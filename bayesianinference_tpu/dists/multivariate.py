@@ -1,0 +1,430 @@
+"""Multivariate and matrix-variate distribution families.
+
+From-scratch JAX implementations of the families used by the reference's
+conjugate machinery: MultinormalDistribution (incl. precision form),
+MultivariateTDistribution, MatrixNormalDistribution, MatrixTDistribution,
+WishartMatrixDistribution / InverseWishartMatrixDistribution
+(BayesianLinearRegression.wl:202-249, BayesianConjugatePriors.wl:153-295).
+
+All use Cholesky factorizations + triangular solves (TPU-friendly: batched
+``lax.linalg`` ops that XLA maps onto the MXU), never explicit inverses.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp
+from jax.scipy.linalg import solve_triangular
+
+from ..core.numerics import guard_log_density
+from .base import Distribution, dist_dataclass
+
+__all__ = [
+    "MultivariateNormal",
+    "MultivariateNormalPrecision",
+    "MultivariateT",
+    "MatrixNormal",
+    "MatrixT",
+    "Wishart",
+    "InverseWishart",
+    "mvgammaln",
+]
+
+_LOG2PI = 1.8378770664093453
+
+
+def _f(x):
+    return jnp.asarray(x, jnp.result_type(jnp.asarray(x).dtype, float))
+
+
+def mvgammaln(a, d: int):
+    """Log multivariate gamma  log Gamma_d(a)."""
+    a = _f(a)
+    j = jnp.arange(1, d + 1, dtype=a.dtype)
+    return 0.25 * d * (d - 1) * jnp.log(jnp.pi) + jnp.sum(
+        jsp.gammaln(a[..., None] + 0.5 * (1.0 - j)), axis=-1
+    )
+
+
+def _chol_logdet(L):
+    """log|A| from L = chol(A)."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def _solve_tri(L, b, trans=0):
+    """Triangular solve supporting broadcasting between L [..., d, d] and
+    rhs b [..., d, k].
+
+    For an unbatched L, batch dims of b are folded into the column axis so
+    XLA issues ONE large solve (better MXU utilization than a vmapped loop);
+    for batched L both operands are broadcast to a common batch."""
+    L = jnp.asarray(L)
+    b = jnp.asarray(b)
+    d = L.shape[-1]
+    if L.ndim == 2:
+        if b.ndim <= 2:
+            return solve_triangular(L, b, lower=True, trans=trans)
+        batch = b.shape[:-2]
+        k = b.shape[-1]
+        cols = jnp.moveaxis(b.reshape((-1, d, k)), 0, -1).reshape(d, -1)
+        z = solve_triangular(L, cols, lower=True, trans=trans)
+        return jnp.moveaxis(z.reshape((d, k, -1)), -1, 0).reshape(batch + (d, k))
+    batch = jnp.broadcast_shapes(L.shape[:-2], b.shape[:-2])
+    Lb = jnp.broadcast_to(L, batch + L.shape[-2:])
+    bb = jnp.broadcast_to(b, batch + b.shape[-2:])
+    return solve_triangular(Lb, bb, lower=True, trans=trans)
+
+
+def _whiten(L, dx):
+    """Solve L z = dx for batched dx [..., d]."""
+    z = _solve_tri(L, dx[..., None])
+    return z[..., 0]
+
+
+@dist_dataclass
+class MultivariateNormal(Distribution):
+    """MVN parameterized by mean and covariance (Cholesky computed lazily)."""
+
+    mean_: jnp.ndarray  # [d]
+    cov: jnp.ndarray  # [d, d]
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.mean_)[-1],)
+
+    def _chol(self):
+        return jnp.linalg.cholesky(_f(self.cov))
+
+    def log_prob(self, x):
+        x = _f(x)
+        d = x.shape[-1]
+        L = self._chol()
+        z = _whiten(L, x - _f(self.mean_))
+        logp = -0.5 * (jnp.sum(z * z, axis=-1) + d * _LOG2PI + _chol_logdet(L))
+        return guard_log_density(logp)
+
+    def sample(self, key, shape=()):
+        d = self.event_shape[0]
+        L = self._chol()
+        z = jax.random.normal(key, tuple(shape) + (d,), dtype=L.dtype)
+        return _f(self.mean_) + jnp.einsum("ij,...j->...i", L, z)
+
+    def mean(self):
+        return _f(self.mean_)
+
+    def variance(self):
+        return jnp.diagonal(_f(self.cov), axis1=-2, axis2=-1)
+
+    def covariance(self):
+        return _f(self.cov)
+
+
+@dist_dataclass
+class MultivariateNormalPrecision(Distribution):
+    """MVN parameterized by mean and precision matrix — the natural output
+    of Laplace approximation (negative Hessian, LaplaceApproximation.wl:22-30)
+    and the conjugate-regression coefficient posterior Lambda_n
+    (BayesianLinearRegression.wl:251-286)."""
+
+    mean_: jnp.ndarray  # [d]
+    precision: jnp.ndarray  # [d, d]
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.mean_)[-1],)
+
+    def log_prob(self, x):
+        x = _f(x)
+        d = x.shape[-1]
+        P = _f(self.precision)
+        Lp = jnp.linalg.cholesky(P)
+        dx = x - _f(self.mean_)
+        # z = Lp^T dx  =>  dx^T P dx = |z|^2
+        z = jnp.einsum("ji,...j->...i", Lp, dx)
+        logp = 0.5 * (_chol_logdet(Lp) - jnp.sum(z * z, axis=-1) - d * _LOG2PI)
+        return guard_log_density(logp)
+
+    def sample(self, key, shape=()):
+        d = self.event_shape[0]
+        Lp = jnp.linalg.cholesky(_f(self.precision))
+        z = jax.random.normal(key, tuple(shape) + (d,), dtype=Lp.dtype)
+        # x = mean + Lp^{-T} z
+        dx = _solve_tri(Lp, z[..., None], trans=1)[..., 0]
+        return _f(self.mean_) + dx
+
+    def mean(self):
+        return _f(self.mean_)
+
+    def covariance(self):
+        P = _f(self.precision)
+        return jnp.linalg.inv(P)
+
+    def variance(self):
+        return jnp.diagonal(self.covariance(), axis1=-2, axis2=-1)
+
+
+@dist_dataclass
+class MultivariateT(Distribution):
+    """Multivariate Student-t(df, loc, shape matrix Sigma) — the marginal
+    coefficient posterior of conjugate regression
+    (BayesianLinearRegression.wl:234-238)."""
+
+    df: jnp.ndarray
+    loc: jnp.ndarray  # [d]
+    shape_matrix: jnp.ndarray  # [d, d]
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.loc)[-1],)
+
+    def log_prob(self, x):
+        x = _f(x)
+        d = x.shape[-1]
+        v = _f(self.df)
+        L = jnp.linalg.cholesky(_f(self.shape_matrix))
+        z = _whiten(L, x - _f(self.loc))
+        q = jnp.sum(z * z, axis=-1)
+        logp = (
+            jsp.gammaln(0.5 * (v + d))
+            - jsp.gammaln(0.5 * v)
+            - 0.5 * d * jnp.log(v * jnp.pi)
+            - 0.5 * _chol_logdet(L)
+            - 0.5 * (v + d) * jnp.log1p(q / v)
+        )
+        return guard_log_density(logp)
+
+    def sample(self, key, shape=()):
+        d = self.event_shape[0]
+        k1, k2 = jax.random.split(key)
+        L = jnp.linalg.cholesky(_f(self.shape_matrix))
+        v = _f(self.df)
+        z = jax.random.normal(k1, tuple(shape) + (d,), dtype=L.dtype)
+        g = jax.random.gamma(k2, 0.5 * v, tuple(shape), dtype=L.dtype)
+        chi2 = 2.0 * g
+        y = jnp.einsum("ij,...j->...i", L, z)
+        return _f(self.loc) + y * jnp.sqrt(v / chi2)[..., None]
+
+    def mean(self):
+        return _f(self.loc)
+
+    def covariance(self):
+        v = _f(self.df)
+        return _f(self.shape_matrix) * v / (v - 2.0)
+
+
+@dist_dataclass
+class MatrixNormal(Distribution):
+    """MatrixNormal(M [n,p], U row-cov [n,n], V col-cov [p,p]) —
+    coefficient prior/posterior of multivariate conjugate regression
+    (BayesianLinearRegression.wl:202-218)."""
+
+    loc: jnp.ndarray  # [n, p]
+    row_cov: jnp.ndarray  # [n, n]
+    col_cov: jnp.ndarray  # [p, p]
+
+    @property
+    def event_shape(self):
+        return tuple(jnp.shape(self.loc)[-2:])
+
+    def log_prob(self, x):
+        x = _f(x)
+        n, p = x.shape[-2], x.shape[-1]
+        Lu = jnp.linalg.cholesky(_f(self.row_cov))
+        Lv = jnp.linalg.cholesky(_f(self.col_cov))
+        dx = x - _f(self.loc)
+        # Z = Lu^{-1} dx Lv^{-T}; tr(V^-1 dx^T U^-1 dx) = |Z|_F^2
+        a = _solve_tri(Lu, dx)
+        z = _solve_tri(Lv, jnp.swapaxes(a, -1, -2))
+        q = jnp.sum(z * z, axis=(-2, -1))
+        logp = -0.5 * (
+            q + n * p * _LOG2PI + p * _chol_logdet(Lu) + n * _chol_logdet(Lv)
+        )
+        return guard_log_density(logp)
+
+    def sample(self, key, shape=()):
+        n, p = self.event_shape
+        Lu = jnp.linalg.cholesky(_f(self.row_cov))
+        Lv = jnp.linalg.cholesky(_f(self.col_cov))
+        z = jax.random.normal(key, tuple(shape) + (n, p), dtype=Lu.dtype)
+        return _f(self.loc) + jnp.einsum("ij,...jk,lk->...il", Lu, z, Lv)
+
+    def mean(self):
+        return _f(self.loc)
+
+
+@dist_dataclass
+class MatrixT(Distribution):
+    """Matrix-variate Student-t (Gupta & Nagar form), the marginal
+    coefficient posterior in multivariate conjugate regression
+    (BayesianLinearRegression.wl:205-210).
+
+    X [n,p] ~ MatrixT(df, M, U [n,n], V [p,p]) with density
+      Gamma_p((df+n+p-1)/2) / (pi^(np/2) Gamma_p((df+p-1)/2))
+      |U|^{-p/2} |V|^{-n/2} |I_p + V^{-1}(X-M)^T U^{-1}(X-M)|^{-(df+n+p-1)/2}
+    """
+
+    df: jnp.ndarray
+    loc: jnp.ndarray  # [n, p]
+    row_cov: jnp.ndarray  # [n, n]
+    col_cov: jnp.ndarray  # [p, p]
+
+    @property
+    def event_shape(self):
+        return tuple(jnp.shape(self.loc)[-2:])
+
+    def log_prob(self, x):
+        x = _f(x)
+        n, p = x.shape[-2], x.shape[-1]
+        v = _f(self.df)
+        Lu = jnp.linalg.cholesky(_f(self.row_cov))
+        Lv = jnp.linalg.cholesky(_f(self.col_cov))
+        dx = x - _f(self.loc)
+        a = _solve_tri(Lu, dx)  # [..., n, p]
+        z = _solve_tri(Lv, jnp.swapaxes(a, -1, -2))  # [..., p, n]
+        # S = I_p + Z Z^T  (p x p)
+        s = jnp.eye(p, dtype=z.dtype) + jnp.einsum("...ik,...jk->...ij", z, z)
+        sign, logdet_s = jnp.linalg.slogdet(s)
+        alpha = 0.5 * (v + n + p - 1.0)
+        beta = 0.5 * (v + p - 1.0)
+        logp = (
+            mvgammaln(alpha, p)
+            - mvgammaln(beta, p)
+            - 0.5 * n * p * jnp.log(jnp.pi)
+            - 0.5 * p * _chol_logdet(Lu)
+            - 0.5 * n * _chol_logdet(Lv)
+            - alpha * logdet_s
+        )
+        return guard_log_density(jnp.where(sign > 0, logp, jnp.nan))
+
+    def sample(self, key, shape=()):
+        # X = M + Lu Z (W/df')^{-1/2}-style: use the IW mixture representation:
+        # S ~ InverseWishart(df + p - 1, V); X | S ~ MatrixNormal(M, U, S)
+        n, p = self.event_shape
+        k1, k2 = jax.random.split(key)
+        iw = InverseWishart(df=_f(self.df) + p - 1.0, scale=_f(self.col_cov))
+        s = iw.sample(k1, shape)  # [..., p, p]
+        Lu = jnp.linalg.cholesky(_f(self.row_cov))
+        Ls = jnp.linalg.cholesky(s)
+        z = jax.random.normal(k2, tuple(shape) + (n, p), dtype=Lu.dtype)
+        return _f(self.loc) + jnp.einsum("ij,...jk,...lk->...il", Lu, z, Ls)
+
+    def mean(self):
+        return _f(self.loc)
+
+
+def _bartlett(key, df, d, dtype):
+    """Lower-triangular Bartlett factor A with A A^T ~ Wishart(df, I)."""
+    k1, k2 = jax.random.split(key)
+    # diagonal: sqrt(chi2_{df - i}) for i = 0..d-1
+    i = jnp.arange(d, dtype=dtype)
+    g = jax.random.gamma(k1, 0.5 * (df - i), (d,), dtype=dtype)
+    diag = jnp.sqrt(2.0 * g)
+    z = jax.random.normal(k2, (d, d), dtype=dtype)
+    a = jnp.tril(z, -1) + jnp.diag(diag)
+    return a
+
+
+@dist_dataclass
+class Wishart(Distribution):
+    """Wishart(df, scale S): E[X] = df * S."""
+
+    df: jnp.ndarray
+    scale: jnp.ndarray  # [d, d]
+
+    @property
+    def event_shape(self):
+        d = jnp.shape(self.scale)[-1]
+        return (d, d)
+
+    def log_prob(self, x):
+        x = _f(x)
+        d = x.shape[-1]
+        v = _f(self.df)
+        Ls = jnp.linalg.cholesky(_f(self.scale))
+        Lx = jnp.linalg.cholesky(x)
+        logdet_x = _chol_logdet(Lx)
+        # tr(S^-1 X) = |Ls^{-1} Lx|_F^2
+        a = _solve_tri(Ls, Lx)
+        tr = jnp.sum(a * a, axis=(-2, -1))
+        logp = (
+            0.5 * (v - d - 1.0) * logdet_x
+            - 0.5 * tr
+            - 0.5 * v * d * jnp.log(2.0)
+            - 0.5 * v * _chol_logdet(Ls)
+            - mvgammaln(0.5 * v, d)
+        )
+        return guard_log_density(logp)
+
+    def sample(self, key, shape=()):
+        d = jnp.shape(self.scale)[-1]
+        Ls = jnp.linalg.cholesky(_f(self.scale))
+        dtype = Ls.dtype
+
+        def one(k):
+            a = _bartlett(k, _f(self.df), d, dtype)
+            la = Ls @ a
+            return la @ la.T
+
+        keys = jax.random.split(key, int(jnp.prod(jnp.asarray(shape or (1,)))))
+        out = jax.vmap(one)(keys)
+        return out.reshape(tuple(shape) + (d, d)) if shape else out[0]
+
+    def mean(self):
+        return _f(self.df) * _f(self.scale)
+
+
+@dist_dataclass
+class InverseWishart(Distribution):
+    """InverseWishart(df, scale Psi): E[X] = Psi / (df - d - 1).
+
+    The covariance posterior of multivariate conjugate models
+    (BayesianConjugatePriors.wl:153-229)."""
+
+    df: jnp.ndarray
+    scale: jnp.ndarray  # [d, d]
+
+    @property
+    def event_shape(self):
+        d = jnp.shape(self.scale)[-1]
+        return (d, d)
+
+    def log_prob(self, x):
+        x = _f(x)
+        d = x.shape[-1]
+        v = _f(self.df)
+        Lp = jnp.linalg.cholesky(_f(self.scale))
+        Lx = jnp.linalg.cholesky(x)
+        logdet_x = _chol_logdet(Lx)
+        # tr(Psi X^-1) = |Lx^{-1} Lp|_F^2 (Lx may be batched)
+        a = solve_triangular(Lx, jnp.broadcast_to(Lp, Lx.shape), lower=True)
+        tr = jnp.sum(a * a, axis=(-2, -1))
+        logp = (
+            0.5 * v * _chol_logdet(Lp)
+            - 0.5 * (v + d + 1.0) * logdet_x
+            - 0.5 * tr
+            - 0.5 * v * d * jnp.log(2.0)
+            - mvgammaln(0.5 * v, d)
+        )
+        return guard_log_density(logp)
+
+    def sample(self, key, shape=()):
+        d = jnp.shape(self.scale)[-1]
+        Lp = jnp.linalg.cholesky(_f(self.scale))
+        dtype = Lp.dtype
+
+        def one(k):
+            a = _bartlett(k, _f(self.df), d, dtype)
+            # X^-1 = Lp^{-T} A A^T Lp^{-1}  =>  X = Lp A^{-T} A^{-1} Lp^T
+            ainv = solve_triangular(a, jnp.eye(d, dtype=dtype), lower=True)
+            m = Lp @ ainv.T
+            return m @ m.T
+
+        keys = jax.random.split(key, int(jnp.prod(jnp.asarray(shape or (1,)))))
+        out = jax.vmap(one)(keys)
+        return out.reshape(tuple(shape) + (d, d)) if shape else out[0]
+
+    def mean(self):
+        d = jnp.shape(self.scale)[-1]
+        v = _f(self.df)
+        return _f(self.scale) / (v - d - 1.0)

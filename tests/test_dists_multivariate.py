@@ -1,0 +1,137 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats as st
+
+from bayesianinference_tpu import dists as d
+
+
+def _spd(rng, n):
+    a = rng.normal(size=(n, n))
+    return a @ a.T + n * np.eye(n)
+
+
+def test_mvn_logpdf(rng, key):
+    cov = _spd(rng, 4)
+    mu = rng.normal(size=4)
+    ours = d.MultivariateNormal(mean_=jnp.asarray(mu), cov=jnp.asarray(cov))
+    ref = st.multivariate_normal(mu, cov)
+    x = rng.normal(size=(10, 4)) * 3
+    np.testing.assert_allclose(np.asarray(ours.log_prob(x)), ref.logpdf(x), rtol=1e-10)
+    s = np.asarray(ours.sample(key, (100_000,)))
+    np.testing.assert_allclose(s.mean(0), mu, atol=0.05)
+    np.testing.assert_allclose(np.cov(s.T), cov, rtol=0.05, atol=0.05)
+
+
+def test_mvn_precision_consistent(rng, key):
+    cov = _spd(rng, 3)
+    mu = rng.normal(size=3)
+    prec = np.linalg.inv(cov)
+    a = d.MultivariateNormal(mean_=jnp.asarray(mu), cov=jnp.asarray(cov))
+    b = d.MultivariateNormalPrecision(mean_=jnp.asarray(mu), precision=jnp.asarray(prec))
+    x = rng.normal(size=(7, 3))
+    np.testing.assert_allclose(
+        np.asarray(a.log_prob(x)), np.asarray(b.log_prob(x)), rtol=1e-9
+    )
+    s = np.asarray(b.sample(key, (100_000,)))
+    np.testing.assert_allclose(np.cov(s.T), cov, rtol=0.05, atol=0.05)
+
+
+def test_mvt_logpdf(rng, key):
+    shape = _spd(rng, 3)
+    mu = rng.normal(size=3)
+    df = 5.0
+    ours = d.MultivariateT(df=df, loc=jnp.asarray(mu), shape_matrix=jnp.asarray(shape))
+    ref = st.multivariate_t(mu, shape, df)
+    x = rng.normal(size=(10, 3)) * 2
+    np.testing.assert_allclose(np.asarray(ours.log_prob(x)), ref.logpdf(x), rtol=1e-10)
+    s = np.asarray(ours.sample(key, (200_000,)))
+    np.testing.assert_allclose(s.mean(0), mu, atol=0.05)
+    np.testing.assert_allclose(np.cov(s.T), shape * df / (df - 2), rtol=0.1, atol=0.1)
+
+
+def test_mvt_reduces_to_studentt(rng):
+    ours = d.MultivariateT(
+        df=4.0, loc=jnp.asarray([1.0]), shape_matrix=jnp.asarray([[4.0]])
+    )
+    uni = d.StudentT(df=4.0, loc=1.0, scale=2.0)
+    x = np.linspace(-5, 7, 21)
+    np.testing.assert_allclose(
+        np.asarray(ours.log_prob(x[:, None])), np.asarray(uni.log_prob(x)), rtol=1e-10
+    )
+
+
+def test_matrix_normal(rng, key):
+    u = _spd(rng, 3)
+    v = _spd(rng, 2)
+    m = rng.normal(size=(3, 2))
+    ours = d.MatrixNormal(
+        loc=jnp.asarray(m), row_cov=jnp.asarray(u), col_cov=jnp.asarray(v)
+    )
+    ref = st.matrix_normal(mean=m, rowcov=u, colcov=v)
+    x = rng.normal(size=(5, 3, 2)) * 2
+    np.testing.assert_allclose(
+        np.asarray(ours.log_prob(x)), [ref.logpdf(xi) for xi in x], rtol=1e-10
+    )
+    # vec(X) covariance is V kron U
+    s = np.asarray(ours.sample(key, (100_000,)))
+    vecs = s.reshape(100_000, 6)  # row-major vec
+    want = np.kron(u, v)
+    np.testing.assert_allclose(np.cov(vecs.T), want, rtol=0.1, atol=0.1)
+
+
+def test_wishart(rng, key):
+    s_mat = _spd(rng, 3)
+    df = 7.0
+    ours = d.Wishart(df=df, scale=jnp.asarray(s_mat))
+    ref = st.wishart(int(df), s_mat)
+    xs = ref.rvs(size=8, random_state=np.random.default_rng(1))
+    np.testing.assert_allclose(
+        np.asarray(ours.log_prob(jnp.asarray(xs))), ref.logpdf(np.moveaxis(xs, 0, -1)),
+        rtol=1e-9,
+    )
+    samples = np.asarray(ours.sample(key, (20_000,)))
+    np.testing.assert_allclose(samples.mean(0), df * s_mat, rtol=0.05, atol=0.1)
+
+
+def test_inverse_wishart(rng, key):
+    psi = _spd(rng, 3)
+    df = 8.0
+    ours = d.InverseWishart(df=df, scale=jnp.asarray(psi))
+    ref = st.invwishart(int(df), psi)
+    xs = ref.rvs(size=8, random_state=np.random.default_rng(1))
+    np.testing.assert_allclose(
+        np.asarray(ours.log_prob(jnp.asarray(xs))), ref.logpdf(np.moveaxis(xs, 0, -1)),
+        rtol=1e-9,
+    )
+    samples = np.asarray(ours.sample(key, (20_000,)))
+    np.testing.assert_allclose(
+        samples.mean(0), psi / (df - 3 - 1), rtol=0.1, atol=0.1
+    )
+
+
+def test_matrix_t_consistency(rng, key):
+    """MatrixT with p=1 column must reduce to a MultivariateT."""
+    u = _spd(rng, 3)
+    m = rng.normal(size=(3, 1))
+    df = 6.0
+    v = np.array([[2.0]])
+    ours = d.MatrixT(
+        df=df, loc=jnp.asarray(m), row_cov=jnp.asarray(u), col_cov=jnp.asarray(v)
+    )
+    # Gupta & Nagar: X ~ T(df, M, U, V) with p=1 <=> MVT(df, M, U * V / 1)
+    mvt = d.MultivariateT(
+        df=df, loc=jnp.asarray(m[:, 0]), shape_matrix=jnp.asarray(u * v[0, 0] / df)
+    )
+    x = rng.normal(size=(6, 3, 1))
+    got = np.asarray(ours.log_prob(x))
+    want = np.asarray(mvt.log_prob(x[..., 0]))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_mvgammaln():
+    from scipy.special import multigammaln
+
+    for dim in (1, 2, 4):
+        got = float(d.mvgammaln(jnp.asarray(5.3), dim))
+        np.testing.assert_allclose(got, multigammaln(5.3, dim), rtol=1e-12)
