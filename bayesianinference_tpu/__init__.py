@@ -14,6 +14,6 @@ lax.while_loop engines, shard_map parallelism, Pallas kernels).
 
 __version__ = "0.1.0"
 
-from . import core, dists
+from . import core, dists, engines, models, ops
 
-__all__ = ["core", "dists", "__version__"]
+__all__ = ["core", "dists", "engines", "models", "ops", "__version__"]

@@ -1,0 +1,309 @@
+"""Evidence resampling: Monte-Carlo error bars on logZ, posterior weights,
+parameter expectations, and exact multi-run combination.
+
+Semantics of ``evidenceSampling`` / ``combineRuns``
+(BayesianStatistics.wl:1158-1315): the X-shrinkage trajectory is
+re-simulated ``num_runs`` times — the i-th deleted point's shrinkage is
+``-log t_i ~ Exponential(m_i)`` (= -log Beta(m_i, 1), BS:1217-1224) with
+``m_i`` the pool size at that deletion, and the final live tail is a sorted
+truncated-Exponential(1) beyond the last deleted logX (BS:1209-1216).  Each
+trajectory yields trapezoid weights, a logZ draw, and a posterior-weight
+vector; means/standard deviations across trajectories give the reported
+uncertainties (``meanAndError``, BS:1138-1156).
+
+Everything is one batched computation over the run axis — the TPU analogue
+of the reference's vectorized matrix simulation (BS:1200-1235).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.containers import WeightedSamples
+from ..core.numerics import log_zero, logsumexp
+from ..dists.empirical import Empirical
+from ..ops.ns_math import (
+    entropy_from_weights,
+    log_trapezoid_weights,
+    log_x_live_tail,
+    pool_schedule,
+)
+
+__all__ = ["MeanAndError", "NestedSamplingResult", "evidence_sampling", "combine_runs"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MeanAndError:
+    """Mean +- standard error across simulated runs (BS:1138-1156)."""
+
+    mean: jnp.ndarray
+    standard_error: jnp.ndarray
+
+    def __repr__(self):
+        try:
+            return f"{float(self.mean):.6g} ± {float(self.standard_error):.3g}"
+        except (TypeError, ValueError):
+            return f"MeanAndError(mean={self.mean}, standard_error={self.standard_error})"
+
+
+def _meta(default=None):
+    return dataclasses.field(default=default, metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NestedSamplingResult:
+    """The enriched posterior object — the analogue of the reference's
+    post-``evidenceSampling`` inferenceObject (BS:1183-1290)."""
+
+    # samples, sorted descending by crude posterior weight
+    points: jnp.ndarray  # [N, d]
+    log_likelihoods: jnp.ndarray  # [N]
+    log_priors: jnp.ndarray  # [N]
+    crude_log_posterior_weights: jnp.ndarray  # [N] normalized (sums to 1 in exp)
+    log_x: jnp.ndarray  # [N] crude logX values
+    sampled_log_x: MeanAndError  # [N]
+    log_posterior_weights: MeanAndError  # [N] across simulated runs
+
+    # scalars
+    log_evidence: MeanAndError
+    crude_log_evidence: jnp.ndarray
+    log_likelihood_maximum: jnp.ndarray
+    log_estimated_missing_evidence: jnp.ndarray
+    crude_relative_entropy: jnp.ndarray
+    relative_entropy: MeanAndError
+    parameter_expected_values: MeanAndError  # [d]
+
+    # bookkeeping
+    sample_pool_size: int = _meta(0)
+    generated_nested_samples: int = _meta(0)
+    total_samples: int = _meta(0)
+    param_names: Tuple[str, ...] = _meta(())
+    empirical_posterior_type: str = _meta("Simple")
+    acceptance_rates: Optional[jnp.ndarray] = None  # [N] (NaN for live/merged)
+    posterior_weight_runs: Optional[jnp.ndarray] = None  # [R, N] (non-Simple)
+    num_likelihood_evals: int = _meta(0)
+    iterations: int = _meta(0)
+
+    @property
+    def parameter_ranges(self):
+        """CoordinateBounds of all samples (BS:1031)."""
+        return jnp.stack(
+            [jnp.min(self.points, axis=0), jnp.max(self.points, axis=0)], axis=-1
+        )
+
+    def posterior_samples(self) -> WeightedSamples:
+        return WeightedSamples(
+            points=self.points,
+            log_weights=self.crude_log_posterior_weights,
+            log_likelihoods=self.log_likelihoods,
+        )
+
+    def empirical_posterior(self):
+        """EmpiricalDistribution over the samples: "Simple" uses the averaged
+        (crude) weights; otherwise a uniform mixture over per-run weight
+        vectors (BS:1269-1288)."""
+        if (
+            self.empirical_posterior_type == "Simple"
+            or self.posterior_weight_runs is None
+        ):
+            return Empirical(
+                points=self.points, log_weights=self.crude_log_posterior_weights
+            )
+        r = self.posterior_weight_runs.shape[0]
+        lw = logsumexp(
+            jnp.log(self.posterior_weight_runs + 1e-300), axis=0
+        ) - jnp.log(float(r))
+        return Empirical(points=self.points, log_weights=lw)
+
+
+def _mean_and_error(x, axis=0) -> MeanAndError:
+    x = jnp.asarray(x)
+    return MeanAndError(
+        mean=jnp.mean(x, axis=axis), standard_error=jnp.std(x, axis=axis, ddof=1)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sample_pool_size",
+        "num_runs",
+    ),
+)
+def _simulate_log_x(key, schedule, sample_pool_size: int, num_runs: int):
+    """[R, N_total] simulated logX trajectories (BS:1206-1225)."""
+    n_deleted = schedule.shape[0]
+    n = sample_pool_size
+    k1, k2 = jax.random.split(key)
+    dtype = schedule.dtype
+    # deleted: cumulative sums of -Exp(1)/m_i
+    e = jax.random.exponential(k1, (num_runs, n_deleted), dtype)
+    log_x_del = -jnp.cumsum(e / schedule, axis=-1)
+    # live tail: sorted Exp(1) beyond the last deleted |logX|
+    last = -log_x_del[:, -1:] if n_deleted > 0 else jnp.zeros((num_runs, 1), dtype)
+    tail = last + jax.random.exponential(k2, (num_runs, n), dtype)
+    log_x_live = -jnp.sort(tail, axis=-1)
+    return jnp.concatenate([log_x_del, log_x_live], axis=-1)
+
+
+def evidence_sampling(
+    *,
+    points,
+    log_likelihoods,
+    log_priors=None,
+    sample_pool_size: int,
+    schedule=None,
+    key=None,
+    num_runs: Optional[int] = 100,
+    empirical_posterior_type: str = "Simple",
+    param_names: Tuple[str, ...] = (),
+) -> NestedSamplingResult:
+    """Post-process a (sorted ascending by logL) nested-sampling sample set.
+
+    ``schedule`` is the per-deletion pool size m_i ([n_deleted]); defaults to
+    the constant ``sample_pool_size`` (the reference's assumption, and the
+    exact one for merged runs, BS:1293-1315).
+    """
+    points = jnp.asarray(points)
+    log_likelihoods = jnp.asarray(log_likelihoods)
+    dtype = jnp.result_type(log_likelihoods.dtype, float)
+    log_likelihoods = log_likelihoods.astype(dtype)
+    n_total = points.shape[0]
+    n = sample_pool_size
+    n_deleted = n_total - n
+    if n_deleted < 1:
+        raise ValueError("need more samples than the live pool size")
+    if log_priors is None:
+        log_priors = jnp.full((n_total,), jnp.nan, dtype)
+    if schedule is None:
+        schedule = jnp.full((n_deleted,), float(n), dtype)
+    schedule = jnp.asarray(schedule, dtype)[:n_deleted]
+    key = jax.random.PRNGKey(0) if key is None else key
+
+    # ---- crude (deterministic) weights ----
+    log_x_del = -jnp.cumsum(1.0 / schedule)
+    last = log_x_del[-1]
+    log_x_live = log_x_live_tail(n, last, dtype)
+    log_x = jnp.concatenate([log_x_del, log_x_live])
+    crude_w = log_trapezoid_weights(log_x)
+    crude_lw = crude_w + log_likelihoods
+    crude_log_z = logsumexp(crude_lw)
+    crude_entropy = entropy_from_weights(crude_lw, log_likelihoods, crude_log_z)
+    ll_max = jnp.max(log_likelihoods)
+    log_missing = jnp.min(log_x) + ll_max
+
+    if not num_runs or num_runs <= 0:
+        order = jnp.argsort(-crude_lw, stable=True)
+        nanv = jnp.full((n_total,), jnp.nan, dtype)
+        me_nan = MeanAndError(nanv, nanv)
+        return NestedSamplingResult(
+            points=points[order],
+            log_likelihoods=log_likelihoods[order],
+            log_priors=log_priors[order],
+            crude_log_posterior_weights=(crude_lw - crude_log_z)[order],
+            log_x=log_x[order],
+            sampled_log_x=me_nan,
+            log_posterior_weights=me_nan,
+            log_evidence=MeanAndError(crude_log_z, jnp.asarray(jnp.nan, dtype)),
+            crude_log_evidence=crude_log_z,
+            log_likelihood_maximum=ll_max,
+            log_estimated_missing_evidence=log_missing,
+            crude_relative_entropy=crude_entropy,
+            relative_entropy=MeanAndError(
+                crude_entropy, jnp.asarray(jnp.nan, dtype)
+            ),
+            parameter_expected_values=MeanAndError(
+                jnp.einsum("n,nd->d", jnp.exp(crude_lw - crude_log_z), points),
+                jnp.full((points.shape[1],), jnp.nan, dtype),
+            ),
+            sample_pool_size=n,
+            generated_nested_samples=int(n_deleted),
+            total_samples=int(n_total),
+            param_names=tuple(param_names),
+            empirical_posterior_type=empirical_posterior_type,
+        )
+
+    # ---- simulated runs (BS:1200-1235) ----
+    sampled_log_x = _simulate_log_x(key, schedule, n, int(num_runs))  # [R, N]
+    w = log_trapezoid_weights(sampled_log_x)  # [R, N]
+    log_ev_w = w + log_likelihoods[None, :]
+    z_samples = logsumexp(log_ev_w, axis=-1)  # [R]
+    log_post_w = log_ev_w - z_samples[:, None]  # [R, N]
+    post_w = jnp.exp(log_post_w)
+    param_means = post_w @ points  # [R, d]
+    lz = log_zero(dtype)
+    safe_ll = jnp.where(log_likelihoods > 0.5 * lz, log_likelihoods, 0.0)
+    rel_entropy = post_w @ safe_ll - z_samples  # [R]
+
+    order = jnp.argsort(-crude_lw, stable=True)
+    result = NestedSamplingResult(
+        points=points[order],
+        log_likelihoods=log_likelihoods[order],
+        log_priors=log_priors[order],
+        crude_log_posterior_weights=(crude_lw - crude_log_z)[order],
+        log_x=log_x[order],
+        sampled_log_x=_mean_and_error(sampled_log_x[:, order]),
+        log_posterior_weights=_mean_and_error(log_post_w[:, order]),
+        log_evidence=_mean_and_error(z_samples),
+        crude_log_evidence=crude_log_z,
+        log_likelihood_maximum=ll_max,
+        log_estimated_missing_evidence=log_missing,
+        crude_relative_entropy=crude_entropy,
+        relative_entropy=_mean_and_error(rel_entropy),
+        parameter_expected_values=_mean_and_error(param_means),
+        sample_pool_size=n,
+        generated_nested_samples=int(n_deleted),
+        total_samples=int(n_total),
+        param_names=tuple(param_names),
+        empirical_posterior_type=empirical_posterior_type,
+        posterior_weight_runs=(
+            post_w[:, order] if empirical_posterior_type != "Simple" else None
+        ),
+    )
+    return result
+
+
+def combine_runs(
+    *results: NestedSamplingResult,
+    key=None,
+    num_runs: Optional[int] = 100,
+    empirical_posterior_type: str = "Simple",
+) -> NestedSamplingResult:
+    """Merge independent runs of the same problem exactly
+    (``combineRuns``, BS:1293-1315): union the samples (deduplicated by
+    point), sum the pool sizes, and re-run evidence sampling with the
+    combined pool — statistically exact for nested sampling by the
+    X-ordering argument."""
+    if len(results) < 2:
+        raise ValueError("need at least two runs to combine")
+    pts = jnp.concatenate([r.points for r in results])
+    ll = jnp.concatenate([r.log_likelihoods for r in results])
+    lp = jnp.concatenate([r.log_priors for r in results])
+
+    # dedupe by point (BS:1294-1297) — host-side, one-off
+    import numpy as np
+
+    _, uniq_idx = np.unique(np.asarray(pts), axis=0, return_index=True)
+    uniq_idx = jnp.asarray(np.sort(uniq_idx))
+    pts, ll, lp = pts[uniq_idx], ll[uniq_idx], lp[uniq_idx]
+
+    order = jnp.argsort(ll, stable=True)
+    pool = sum(r.sample_pool_size for r in results)
+    return evidence_sampling(
+        points=pts[order],
+        log_likelihoods=ll[order],
+        log_priors=lp[order],
+        sample_pool_size=pool,
+        schedule=None,  # constant combined pool (BS:1307)
+        key=key,
+        num_runs=num_runs,
+        empirical_posterior_type=empirical_posterior_type,
+        param_names=results[0].param_names,
+    )

@@ -1,0 +1,82 @@
+"""Public MCMC chain API.
+
+Equivalent of ``createMCMCChain`` / ``iterateMCMC``
+(BayesianStatistics.wl:649-703): build an adaptive-Metropolis chain on the
+unnormalized posterior density of an :class:`InferenceProblem` (or any
+log-density callable) and iterate it, with thinning, collecting samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..models.problem import InferenceProblem
+from ..ops.metropolis import AMState, am_init, run_chain
+
+__all__ = ["MCMCChain", "create_mcmc_chain", "iterate_mcmc"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MCMCChain:
+    state: AMState
+    log_density: Callable = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    covariance_learn_delay: int = dataclasses.field(
+        default=20, metadata=dict(static=True)
+    )
+
+    @property
+    def acceptance_rate(self):
+        s = self.state
+        return s.accepted / jnp.maximum(s.proposed, 1)
+
+
+def create_mcmc_chain(
+    target: Union[InferenceProblem, Callable],
+    starting_point,
+    *,
+    initial_covariance=1.0,
+    covariance_learn_delay: int = 20,
+) -> MCMCChain:
+    """Build a chain (``createMCMCChain``, BS:655-697).
+
+    ``initial_covariance`` may be a scalar, a [d] diagonal, or a [d, d]
+    matrix (BS:679-686)."""
+    x0 = jnp.asarray(starting_point, jnp.result_type(float))
+    d = x0.shape[-1]
+    if isinstance(target, InferenceProblem):
+        log_density = target.log_posterior_density
+    else:
+        log_density = target
+    cov0 = jnp.asarray(initial_covariance, x0.dtype)
+    if cov0.ndim == 0:
+        cov0 = cov0 * jnp.eye(d, dtype=x0.dtype)
+    elif cov0.ndim == 1:
+        cov0 = jnp.diag(cov0)
+    state = am_init(x0, log_density, cov0=cov0, t0=0)
+    return MCMCChain(
+        state=state,
+        log_density=log_density,
+        covariance_learn_delay=covariance_learn_delay,
+    )
+
+
+def iterate_mcmc(chain: MCMCChain, key, num_samples: int, thinning: int = 1):
+    """Advance the chain, returning ([num_samples, d] samples, new chain) —
+    ``MarkovChainIterate``'s ``{n, thinning}`` form (BS:703, 1089)."""
+
+    def step(state, k):
+        state = run_chain(
+            k, state, chain.log_density, thinning, chain.covariance_learn_delay
+        )
+        return state, state.x
+
+    keys = jax.random.split(key, num_samples)
+    state, samples = jax.lax.scan(step, chain.state, keys)
+    return samples, dataclasses.replace(chain, state=state)

@@ -1,0 +1,419 @@
+"""Nested sampling (Skilling 2006) as a single on-device ``lax.while_loop``.
+
+TPU-native re-design of ``nestedSamplingInternal`` / ``nestedSampling``
+(BayesianStatistics.wl:859-1136).  Key departures from the reference's
+one-point-per-iteration CPU loop, chosen for the hardware:
+
+* **Batched deletion**: ``num_delete`` worst points are replaced per
+  iteration by that many *vmapped* adaptive-Metropolis chains, so every MCMC
+  step evaluates a whole batch of likelihoods in one fused XLA kernel (the
+  throughput target lives here).  ``num_delete=1`` reproduces the
+  reference's schedule exactly; the X-shrinkage math stays exact for any
+  ``num_delete`` via per-deletion pool sizes (see ``ops.ns_math``).
+* **Preallocated dead-point buffers** of capacity ``max_iterations *
+  num_delete`` with a fill counter, instead of a growing association
+  (BS:1006-1018) — static shapes under jit.
+* **Crude evidence each iteration** from closed-form X values with masks
+  (the reference recomputes ``calculateWeightsCrude`` on the full sample
+  association each iteration, BS:812-831, 1019-1020).
+* The acceptance-rate retry loop (BS:990-1004) is restated as a bounded
+  extra-steps while_loop inside the chain kernel
+  (``ops.metropolis.run_chain_adaptive``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.numerics import log_zero, logaddexp, logsubexp, logsumexp
+from ..models.problem import InferenceProblem
+from ..ops.metropolis import am_init, run_chain_adaptive
+from ..ops.ns_math import (
+    crude_log_x_deleted,
+    entropy_from_weights,
+    pool_schedule,
+)
+
+__all__ = ["NSState", "nested_sampling_loop", "nested_sampling", "generate_starting_points"]
+
+
+class NSState(NamedTuple):
+    """Carry of the nested-sampling while_loop."""
+
+    key: jnp.ndarray
+    live_points: jnp.ndarray  # [n, d]
+    live_logl: jnp.ndarray  # [n]
+    live_logp: jnp.ndarray  # [n]
+    dead_points: jnp.ndarray  # [cap, d]
+    dead_logl: jnp.ndarray  # [cap]
+    dead_logp: jnp.ndarray  # [cap]
+    dead_acc: jnp.ndarray  # [cap] acceptance rate of the chain that produced it
+    n_dead: jnp.ndarray  # scalar int
+    iteration: jnp.ndarray  # scalar int (1-based, like BS:885)
+    mean_est: jnp.ndarray  # [d]
+    cov_est: jnp.ndarray  # [d, d]
+    log_z: jnp.ndarray  # crude log evidence
+    entropy: jnp.ndarray
+    log_missing: jnp.ndarray  # log estimated missing evidence
+    num_likelihood_evals: jnp.ndarray  # scalar int
+
+
+def _live_tail_log_x(n_live, log_x_last, dtype):
+    i = jnp.arange(n_live, 0, -1, dtype=dtype)
+    return jnp.log(i / (n_live + 1.0)) + log_x_last
+
+
+def _crude_log_z_masked(
+    log_xd: jnp.ndarray,  # [cap] static analytic deleted logX
+    n_dead: jnp.ndarray,  # traced int
+    dead_logl: jnp.ndarray,  # [cap]
+    live_logl_sorted: jnp.ndarray,  # [n] ascending logL
+):
+    """Crude logZ + per-group weights, masked to the active dead prefix.
+
+    Mirrors calculateWeightsCrude + logSumExp (BS:812-831, 1019) without
+    materializing a dynamically-sized concatenation: the dead prefix and
+    the live tail are handled piecewise with jnp.where.
+    Returns (log_z, dead_w, live_w) where the w's are log trapezoid weights
+    (without the logL term).
+    """
+    dtype = log_xd.dtype
+    cap = log_xd.shape[0]
+    n = live_logl_sorted.shape[0]
+    lz = log_zero(dtype)
+    log2 = jnp.log(jnp.asarray(2.0, dtype))
+    half = jnp.log(jnp.asarray(0.5, dtype))
+
+    idx = jnp.arange(cap)
+    active = idx < n_dead
+    # logX of the last deleted point (0 if none yet)
+    log_x_last = jnp.where(
+        n_dead > 0, log_xd[jnp.maximum(n_dead - 1, 0)], jnp.asarray(0.0, dtype)
+    )
+    live_log_x = _live_tail_log_x(n, log_x_last, dtype)  # [n] descending
+    first_live = live_log_x[0]
+
+    # --- dead weights ---
+    # prev[i] = logX[i-1], with mirror 2 - X_1 at i = 0
+    mirror = logsubexp(log2, log_xd[0])
+    prev = jnp.concatenate([jnp.asarray([0.0], dtype), log_xd[:-1]])
+    prev = prev.at[0].set(mirror)
+    # next[i] = logX[i+1] for i < n_dead-1, first live X at i = n_dead-1
+    nxt = jnp.concatenate([log_xd[1:], jnp.asarray([lz], dtype)])
+    nxt = jnp.where(idx == n_dead - 1, first_live, nxt)
+    dead_w = jnp.where(active, half + logsubexp(prev, nxt), lz)
+
+    # --- live weights ---
+    live_prev = jnp.concatenate([jnp.asarray([0.0], dtype), live_log_x[:-1]])
+    live_prev = live_prev.at[0].set(
+        jnp.where(n_dead > 0, log_x_last, logsubexp(log2, live_log_x[0]))
+    )
+    live_nxt = jnp.concatenate([live_log_x[1:], jnp.asarray([lz], dtype)])
+    live_w = half + logsubexp(live_prev, live_nxt)
+    # last live point: w = (X_{m-1} + X_m)/2  (trapezoidWeigths last rule)
+    live_w = live_w.at[-1].set(half + logaddexp(live_log_x[-2], live_log_x[-1]))
+
+    log_z = logaddexp(
+        logsumexp(jnp.where(active, dead_w + dead_logl, lz)),
+        logsumexp(live_w + live_logl_sorted),
+    )
+    return log_z, dead_w, live_w, live_log_x
+
+
+@dataclasses.dataclass(frozen=True)
+class NSRunData:
+    """Raw device output of the NS loop, consumed by evidence resampling."""
+
+    state: NSState
+    n_live: int
+    num_delete: int
+    capacity: int
+
+    def finalize(self):
+        """Host-side: slice buffers to the realized sample count and return
+        (points, logl, logp, acc, n_deleted) sorted ascending in logL with
+        the live points appended (the order calculateWeightsCrude produces).
+        """
+        s = self.state
+        nd = int(s.n_dead)
+        order = jnp.argsort(s.live_logl, stable=True)
+        points = jnp.concatenate([s.dead_points[:nd], s.live_points[order]])
+        logl = jnp.concatenate([s.dead_logl[:nd], s.live_logl[order]])
+        logp = jnp.concatenate([s.dead_logp[:nd], s.live_logp[order]])
+        acc = jnp.concatenate(
+            [s.dead_acc[:nd], jnp.full((self.n_live,), jnp.nan, s.dead_acc.dtype)]
+        )
+        return points, logl, logp, acc, nd
+
+
+def nested_sampling_loop(
+    problem: InferenceProblem,
+    starting_points,
+    key,
+    *,
+    max_iterations: int = 10000,
+    min_iterations: int = 100,
+    monte_carlo_steps=200,
+    termination_fraction: float = 0.01,
+    num_delete: int = 1,
+    min_max_acceptance_rate: Tuple[float, float] = (0.0, 1.0),
+    covariance_learn_delay: int = 10,
+    log_likelihood_maximum: Optional[float] = None,
+) -> NSRunData:
+    """Run the main loop (semantics of ``nestedSamplingInternal``,
+    BS:859-1040) fully on device.  Returns raw buffers; use
+    :func:`nested_sampling` for the full pipeline including evidence
+    resampling."""
+    starting_points = jnp.asarray(starting_points)
+    n_live, dim = starting_points.shape
+    if num_delete < 1 or num_delete >= n_live:
+        raise ValueError("need 1 <= num_delete < n_live")
+    dtype = jnp.result_type(starting_points.dtype, float)
+    lz = log_zero(dtype)
+
+    if isinstance(monte_carlo_steps, int):
+        mc_steps = (monte_carlo_steps, monte_carlo_steps, 5 * monte_carlo_steps)
+    else:
+        mc_steps = tuple(monte_carlo_steps)
+    num_steps, extra_steps, max_steps = mc_steps
+    max_iterations = max(max_iterations, min_iterations)
+    capacity = max_iterations * num_delete
+
+    schedule = pool_schedule(n_live, num_delete, capacity).astype(dtype)
+    log_xd = crude_log_x_deleted(schedule)  # [cap] static analytic
+
+    log_likelihood = problem.guarded_log_likelihood
+    log_prior = problem.guarded_log_prior
+
+    init_logl = jax.vmap(log_likelihood)(starting_points)
+    init_logp = jax.vmap(log_prior)(starting_points)
+    order = jnp.argsort(init_logl, stable=True)
+
+    init = NSState(
+        key=key,
+        live_points=starting_points[order].astype(dtype),
+        live_logl=init_logl[order].astype(dtype),
+        live_logp=init_logp[order].astype(dtype),
+        dead_points=jnp.zeros((capacity, dim), dtype),
+        dead_logl=jnp.full((capacity,), lz, dtype),
+        dead_logp=jnp.full((capacity,), lz, dtype),
+        dead_acc=jnp.zeros((capacity,), dtype),
+        n_dead=jnp.asarray(0, jnp.int32),
+        iteration=jnp.asarray(1, jnp.int32),
+        mean_est=jnp.mean(starting_points, axis=0).astype(dtype),
+        cov_est=jnp.cov(starting_points.T).reshape(dim, dim).astype(dtype),
+        log_z=jnp.asarray(lz, dtype),
+        entropy=jnp.asarray(0.0, dtype),
+        log_missing=jnp.asarray(0.0, dtype),
+        num_likelihood_evals=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+    )
+
+    log_term = jnp.log(jnp.asarray(termination_fraction, dtype))
+
+    def cond(s: NSState):
+        return jnp.logical_and(
+            s.iteration <= max_iterations,
+            jnp.logical_or(
+                s.iteration == 1,
+                jnp.logical_or(
+                    s.iteration <= min_iterations,
+                    s.log_missing > s.log_z + log_term,
+                ),
+            ),
+        )
+
+    def body(s: NSState) -> NSState:
+        key, k_choice, k_chains = jax.random.split(s.key, 3)
+        k = num_delete
+        # live set is sorted ascending by logL; worst k die
+        threshold = s.live_logl[k - 1]
+        # retain a fraction of the previous covariance estimate (BS:989)
+        live_cov = jnp.cov(s.live_points.T).reshape(dim, dim)
+        cov_est = 0.5 * (s.cov_est + live_cov)
+
+        def density(x):
+            ok = jnp.logical_and(
+                problem.in_support(x), log_likelihood(x) > threshold
+            )
+            return jnp.where(ok, log_prior(x), lz)
+
+        # chain starts: random survivors (ranks >= k) — always valid under
+        # the new threshold (reference samples any live point, BS:993)
+        start_idx = jax.random.randint(k_choice, (k,), k, n_live)
+        x0 = s.live_points[start_idx]
+
+        def one_chain(ck, x0_i):
+            st = am_init(
+                x0_i, density, mean0=s.mean_est, cov0=cov_est, t0=10
+            )
+            st, acc = run_chain_adaptive(
+                ck,
+                st,
+                density,
+                num_steps,
+                extra_steps,
+                max_steps,
+                min_acceptance=min_max_acceptance_rate[0],
+                max_acceptance=min_max_acceptance_rate[1],
+                learn_delay=covariance_learn_delay,
+            )
+            return st.x, st.mean, st.cov, acc, st.proposed
+
+        xs, means, covs, accs, proposed = jax.vmap(one_chain)(
+            jax.random.split(k_chains, k), x0
+        )
+        new_logl = jax.vmap(log_likelihood)(xs)
+        new_logp = jax.vmap(log_prior)(xs)
+
+        # write the k deleted points into the dead buffer
+        slots = s.n_dead + jnp.arange(k)
+        dead_points = s.dead_points.at[slots].set(s.live_points[:k])
+        dead_logl = s.dead_logl.at[slots].set(s.live_logl[:k])
+        dead_logp = s.dead_logp.at[slots].set(s.live_logp[:k])
+        dead_acc = s.dead_acc.at[slots].set(accs)
+
+        # replace + re-sort the live set
+        live_points = s.live_points.at[:k].set(xs)
+        live_logl = s.live_logl.at[:k].set(new_logl)
+        live_logp = s.live_logp.at[:k].set(new_logp)
+        order = jnp.argsort(live_logl, stable=True)
+        live_points = live_points[order]
+        live_logl = live_logl[order]
+        live_logp = live_logp[order]
+
+        n_dead = s.n_dead + k
+        log_z, _, _, live_log_x = _crude_log_z_masked(
+            log_xd, n_dead, dead_logl, live_logl
+        )
+        # missing evidence: min X * exp(max logL) (BS:925-939)
+        lmax = (
+            jnp.asarray(log_likelihood_maximum, dtype)
+            if log_likelihood_maximum is not None
+            else live_logl[-1]
+        )
+        log_missing = live_log_x[-1] + lmax
+
+        # entropy over all current samples (BS:1020)
+        idxc = jnp.arange(capacity)
+        activec = idxc < n_dead
+        _, dead_w, live_w, _ = _crude_log_z_masked(
+            log_xd, n_dead, dead_logl, live_logl
+        )
+        dead_crude = jnp.where(activec, dead_w + dead_logl, lz)
+        live_crude = live_w + live_logl
+        entropy = entropy_from_weights(
+            jnp.concatenate([dead_crude, live_crude]),
+            jnp.concatenate([jnp.where(activec, dead_logl, lz), live_logl]),
+            log_z,
+        )
+
+        return NSState(
+            key=key,
+            live_points=live_points,
+            live_logl=live_logl,
+            live_logp=live_logp,
+            dead_points=dead_points,
+            dead_logl=dead_logl,
+            dead_logp=dead_logp,
+            dead_acc=dead_acc,
+            n_dead=n_dead,
+            iteration=s.iteration + 1,
+            mean_est=jnp.mean(means, axis=0),
+            cov_est=0.5 * (jnp.mean(covs, axis=0) + jnp.mean(covs, axis=0).T),
+            log_z=log_z,
+            entropy=entropy,
+            log_missing=log_missing,
+            num_likelihood_evals=s.num_likelihood_evals
+            + jnp.sum(proposed).astype(s.num_likelihood_evals.dtype)
+            + k,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return NSRunData(
+        state=final, n_live=n_live, num_delete=num_delete, capacity=capacity
+    )
+
+
+def generate_starting_points(
+    problem: InferenceProblem,
+    key,
+    n: int,
+    burn_in: int = 1000,
+    thinning: int = 1000,
+) -> jnp.ndarray:
+    """Draw n prior samples: directly when the prior is sampleable,
+    otherwise by adaptive-MCMC on the prior density seeded from crude
+    truncated-Cauchy domain samples (``generateStartingPoints``,
+    BS:1042-1097)."""
+    if problem.prior_distribution is not None:
+        try:
+            pts = problem.prior_distribution.sample(key, (n,))
+            if pts.ndim == 1:
+                pts = pts[:, None]
+            return pts
+        except NotImplementedError:
+            pass
+    from ..models.problem import random_domain_points
+    from ..ops.metropolis import am_init, run_chain
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    crude = random_domain_points(k1, problem.lower, problem.upper, 100)
+    var0 = jnp.var(crude, axis=0)
+    x0 = crude[0]
+    st = am_init(
+        x0, problem.guarded_log_prior, cov0=jnp.diag(var0), t0=0
+    )
+    st = run_chain(k2, st, problem.guarded_log_prior, burn_in, learn_delay=20)
+
+    def step(carry, k):
+        carry = run_chain(k, carry, problem.guarded_log_prior, thinning, 20)
+        return carry, carry.x
+
+    _, pts = jax.lax.scan(step, st, jax.random.split(k3, n))
+    return pts
+
+
+def nested_sampling(
+    problem: InferenceProblem,
+    key,
+    *,
+    sample_pool_size: int = 100,
+    starting_points=None,
+    post_process_sampling_runs: Optional[int] = 100,
+    empirical_posterior_type: str = "Simple",
+    **loop_kwargs,
+):
+    """Full pipeline: starting points -> main loop -> evidence resampling
+    (``nestedSampling``, BS:1099-1136).  Returns a
+    :class:`..engines.evidence.NestedSamplingResult`."""
+    from .evidence import evidence_sampling
+
+    k_start, k_loop = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+    if starting_points is None:
+        starting_points = generate_starting_points(
+            problem, k_start, sample_pool_size
+        )
+    run = nested_sampling_loop(problem, starting_points, k_loop, **loop_kwargs)
+    points, logl, logp, acc, n_deleted = run.finalize()
+    schedule = pool_schedule(run.n_live, run.num_delete, n_deleted)
+    result = evidence_sampling(
+        points=points,
+        log_likelihoods=logl,
+        log_priors=logp,
+        sample_pool_size=run.n_live,
+        schedule=schedule,
+        key=jax.random.fold_in(k_loop, 1),
+        num_runs=post_process_sampling_runs,
+        empirical_posterior_type=empirical_posterior_type,
+        param_names=problem.param_names,
+    )
+    return dataclasses.replace(
+        result,
+        acceptance_rates=acc,
+        num_likelihood_evals=int(run.state.num_likelihood_evals),
+        iterations=int(run.state.iteration) - 1,
+    )

@@ -1,0 +1,21 @@
+from .problem import (
+    InferenceProblem,
+    ParamSpec,
+    define_inference_problem,
+    ignorance_prior,
+    iid_likelihood,
+    random_domain_points,
+    regression_likelihood,
+    validate_problem,
+)
+
+__all__ = [
+    "InferenceProblem",
+    "ParamSpec",
+    "define_inference_problem",
+    "ignorance_prior",
+    "iid_likelihood",
+    "random_domain_points",
+    "regression_likelihood",
+    "validate_problem",
+]

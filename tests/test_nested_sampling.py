@@ -1,0 +1,171 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.core import logsumexp as lse
+from bayesianinference_tpu.models import define_inference_problem
+from bayesianinference_tpu.engines import (
+    combine_runs,
+    evidence_sampling,
+    nested_sampling,
+)
+from bayesianinference_tpu.ops import (
+    crude_log_x_deleted,
+    log_trapezoid_weights,
+    pool_schedule,
+)
+
+A = 5.0  # prior box half-width
+SIGMA = 1.0
+
+
+def _analytic_log_z():
+    # Z = (1/(2A))^2 * P(|x|<A)^2 for an isotropic unit Gaussian likelihood
+    mass = st.norm(0, SIGMA).cdf(A) - st.norm(0, SIGMA).cdf(-A)
+    return 2 * (np.log(mass) - np.log(2 * A))
+
+
+def _problem():
+    return define_inference_problem(
+        parameters=[("x", -A, A), ("y", -A, A)],
+        log_likelihood=lambda th: jnp.sum(
+            d.Normal(0.0, SIGMA).log_prob(th)
+        ),
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+
+
+def test_trapezoid_weights_vs_bruteforce(rng):
+    # brute-force linear-space reference of trapezoidWeigths (BS:747-771)
+    x = np.sort(rng.uniform(0.01, 1.0, size=25))[::-1]
+    logw = np.asarray(log_trapezoid_weights(jnp.log(x)))
+    full = np.concatenate([[2 - x[0]], x, [-x[-1]]])
+    want = 0.5 * (full[:-2] - full[2:])
+    np.testing.assert_allclose(np.exp(logw), want, rtol=1e-10)
+
+
+def test_trapezoid_weights_masked(rng):
+    x = np.sort(rng.uniform(0.01, 1.0, size=30))[::-1]
+    logx = jnp.log(jnp.asarray(x))
+    valid = jnp.arange(30) < 21
+    got = np.asarray(log_trapezoid_weights(logx, valid=valid))[:21]
+    want = np.asarray(log_trapezoid_weights(logx[:21]))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_pool_schedule():
+    s = np.asarray(pool_schedule(100, 1, 5))
+    np.testing.assert_allclose(s, [100] * 5)
+    s = np.asarray(pool_schedule(100, 4, 8))
+    np.testing.assert_allclose(s, [100, 99, 98, 97, 100, 99, 98, 97])
+    # k=1 crude X matches e^{-i/n}
+    lx = np.asarray(crude_log_x_deleted(pool_schedule(50, 1, 10)))
+    np.testing.assert_allclose(lx, -np.arange(1, 11) / 50.0, rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_ns_gaussian_logz(key):
+    problem = _problem()
+    result = nested_sampling(
+        problem,
+        key,
+        sample_pool_size=100,
+        max_iterations=2000,
+        min_iterations=100,
+        monte_carlo_steps=100,
+    )
+    want = _analytic_log_z()
+    got = float(result.log_evidence.mean)
+    err = float(result.log_evidence.standard_error)
+    assert 0.03 < err < 0.5, err
+    assert abs(got - want) < 4 * err, (got, want, err)
+    # crude logZ should be close to the resampled mean
+    assert abs(float(result.crude_log_evidence) - got) < 3 * err
+    # posterior mean of x,y should be ~0
+    pm = np.asarray(result.parameter_expected_values.mean)
+    np.testing.assert_allclose(pm, [0.0, 0.0], atol=0.2)
+    # posterior samples concentrated: weighted std ~ SIGMA
+    ws = result.posterior_samples()
+    np.testing.assert_allclose(
+        np.sqrt(np.asarray(ws.var())), [SIGMA, SIGMA], rtol=0.3
+    )
+    # entropy ~ log(prior volume / posterior volume)
+    h = float(result.relative_entropy.mean)
+    want_h = 2 * np.log(2 * A) - np.log(2 * np.pi * np.e * SIGMA**2)
+    assert abs(h - want_h) < 1.0, (h, want_h)
+    assert result.num_likelihood_evals > 0
+    assert result.total_samples == result.generated_nested_samples + 100
+
+
+@pytest.mark.slow
+def test_ns_batched_deletion_consistent(key):
+    problem = _problem()
+    result = nested_sampling(
+        problem,
+        key,
+        sample_pool_size=200,
+        max_iterations=400,
+        min_iterations=20,
+        monte_carlo_steps=100,
+        num_delete=20,
+    )
+    want = _analytic_log_z()
+    got = float(result.log_evidence.mean)
+    err = float(result.log_evidence.standard_error)
+    assert abs(got - want) < 4 * err, (got, want, err)
+
+
+@pytest.mark.slow
+def test_combine_runs(key):
+    problem = _problem()
+    k1, k2 = jax.random.split(key)
+    r1 = nested_sampling(
+        problem, k1, sample_pool_size=50, max_iterations=1000,
+        min_iterations=50, monte_carlo_steps=60,
+    )
+    r2 = nested_sampling(
+        problem, k2, sample_pool_size=50, max_iterations=1000,
+        min_iterations=50, monte_carlo_steps=60,
+    )
+    merged = combine_runs(r1, r2, key=key)
+    assert merged.sample_pool_size == 100
+    want = _analytic_log_z()
+    got = float(merged.log_evidence.mean)
+    err = float(merged.log_evidence.standard_error)
+    # combined error should be smaller than each individual run's
+    assert err < max(
+        float(r1.log_evidence.standard_error),
+        float(r2.log_evidence.standard_error),
+    ) * 1.1
+    assert abs(got - want) < 4 * err, (got, want, err)
+
+
+def test_evidence_sampling_exact_weights(key):
+    """On a hand-built sample set the crude weights must match the
+    closed-form trapezoid X-schedule."""
+    n, nd = 10, 30
+    logl = jnp.sort(jax.random.normal(key, (n + nd,)))
+    pts = jnp.arange(n + nd, dtype=jnp.float64)[:, None]
+    res = evidence_sampling(
+        points=pts,
+        log_likelihoods=logl,
+        sample_pool_size=n,
+        key=key,
+        num_runs=200,
+    )
+    # reconstruct crude logZ by hand
+    log_x_del = -np.arange(1, nd + 1) / n
+    tail = np.log(np.arange(n, 0, -1) / (n + 1.0)) + log_x_del[-1]
+    log_x = np.concatenate([log_x_del, tail])
+    full = np.concatenate([[2 - np.exp(log_x[0])], np.exp(log_x), [-np.exp(log_x[-1])]])
+    w = 0.5 * (full[:-2] - full[2:])
+    want_z = np.log(np.sum(w * np.exp(np.asarray(logl))))
+    np.testing.assert_allclose(float(res.crude_log_evidence), want_z, rtol=1e-10)
+    # simulated logZ distribution should be centered near the crude value
+    assert abs(float(res.log_evidence.mean) - want_z) < 3 * float(
+        res.log_evidence.standard_error
+    ) + 0.05

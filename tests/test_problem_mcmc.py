@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.core import is_log_zero
+from bayesianinference_tpu.models import (
+    define_inference_problem,
+    ignorance_prior,
+    random_domain_points,
+)
+from bayesianinference_tpu.engines import create_mcmc_chain, iterate_mcmc
+
+
+def _gauss_problem():
+    data = jnp.asarray([0.0])  # unused
+    return define_inference_problem(
+        parameters=[("mu", -5.0, 5.0), ("sigma", 0.1, 10.0)],
+        log_likelihood=lambda th: d.Normal(th[0], th[1]).log_prob(1.0),
+        prior_distribution=["location", "scale"],
+    )
+
+
+def test_define_problem_and_guards():
+    p = _gauss_problem()
+    assert p.dim == 2
+    assert p.param_names == ("mu", "sigma")
+    th = jnp.asarray([0.5, 1.0])
+    assert np.isfinite(float(p.guarded_log_likelihood(th)))
+    # outside box -> log-zero
+    assert bool(is_log_zero(p.guarded_log_prior(jnp.asarray([0.0, -1.0]))))
+    assert bool(is_log_zero(p.guarded_log_likelihood(jnp.asarray([9.0, 1.0]))))
+    # prior: uniform x log-uniform
+    want = -np.log(10.0) + (-np.log(1.0) - np.log(np.log(100.0)))
+    np.testing.assert_allclose(float(p.guarded_log_prior(jnp.asarray([0.0, 1.0]))), want, rtol=1e-10)
+
+
+def test_validation_catches_bad_likelihood():
+    with pytest.raises(ValueError, match="NaN"):
+        define_inference_problem(
+            parameters=[("x", -1.0, 1.0)],
+            log_likelihood=lambda th: jnp.log(th[0]),  # NaN for x<0
+            prior_distribution=["location"],
+        )
+
+
+def test_validation_catches_wrong_shape():
+    with pytest.raises(ValueError, match="scalar"):
+        define_inference_problem(
+            parameters=[("x", -1.0, 1.0)],
+            log_likelihood=lambda th: th,  # vector, not scalar
+            prior_distribution=["location"],
+        )
+
+
+def test_random_domain_points(key):
+    pts = random_domain_points(key, jnp.asarray([-1.0, 0.0]), jnp.asarray([1.0, jnp.inf]), 500)
+    assert pts.shape == (500, 2)
+    assert float(pts[:, 0].min()) >= -1 and float(pts[:, 0].max()) <= 1
+    assert float(pts[:, 1].min()) >= 0
+
+
+def test_iid_likelihood_matches_manual(key):
+    data = jax.random.normal(key, (50,)) * 2 + 1
+    p = define_inference_problem(
+        parameters=[("mu", -10.0, 10.0), ("sigma", 0.01, 20.0)],
+        likelihood=lambda th: d.Normal(th[0], th[1]),
+        data=data,
+        prior_distribution=["location", "scale"],
+    )
+    th = jnp.asarray([1.0, 2.0])
+    want = st.norm(1.0, 2.0).logpdf(np.asarray(data)).sum()
+    np.testing.assert_allclose(float(p.guarded_log_likelihood(th)), want, rtol=1e-10)
+
+
+def test_mcmc_chain_samples_gaussian(key):
+    # target: standard 2-D Gaussian via an improper-prior problem
+    p = define_inference_problem(
+        parameters=[("x", -20.0, 20.0), ("y", -20.0, 20.0)],
+        log_likelihood=lambda th: d.MultivariateNormal(
+            mean_=jnp.asarray([1.0, -1.0]), cov=jnp.asarray([[2.0, 0.6], [0.6, 1.0]])
+        ).log_prob(th),
+        prior_distribution=d.Product((d.Uniform(-20.0, 20.0), d.Uniform(-20.0, 20.0))),
+        validate=False,
+    )
+    chain = create_mcmc_chain(p, jnp.asarray([0.0, 0.0]))
+    k1, k2 = jax.random.split(key)
+    _, chain = iterate_mcmc(chain, k1, 200, thinning=5)  # burn-in
+    samples, chain = iterate_mcmc(chain, k2, 4000, thinning=10)
+    assert samples.shape == (4000, 2)
+    acc = float(chain.acceptance_rate)
+    assert 0.1 < acc < 0.7, acc
+    np.testing.assert_allclose(samples.mean(0), [1.0, -1.0], atol=0.15)
+    np.testing.assert_allclose(
+        np.cov(np.asarray(samples).T), [[2.0, 0.6], [0.6, 1.0]], atol=0.35
+    )
