@@ -108,7 +108,7 @@ class MultivariateNormal(Distribution):
         d = self.event_shape[0]
         L = self._chol()
         z = jax.random.normal(key, tuple(shape) + (d,), dtype=L.dtype)
-        return _f(self.mean_) + jnp.einsum("ij,...j->...i", L, z)
+        return _f(self.mean_) + jnp.einsum("...ij,...j->...i", L, z)
 
     def mean(self):
         return _f(self.mean_)
@@ -202,7 +202,7 @@ class MultivariateT(Distribution):
         z = jax.random.normal(k1, tuple(shape) + (d,), dtype=L.dtype)
         g = jax.random.gamma(k2, 0.5 * v, tuple(shape), dtype=L.dtype)
         chi2 = 2.0 * g
-        y = jnp.einsum("ij,...j->...i", L, z)
+        y = jnp.einsum("...ij,...j->...i", L, z)
         return _f(self.loc) + y * jnp.sqrt(v / chi2)[..., None]
 
     def mean(self):
@@ -247,7 +247,7 @@ class MatrixNormal(Distribution):
         Lu = jnp.linalg.cholesky(_f(self.row_cov))
         Lv = jnp.linalg.cholesky(_f(self.col_cov))
         z = jax.random.normal(key, tuple(shape) + (n, p), dtype=Lu.dtype)
-        return _f(self.loc) + jnp.einsum("ij,...jk,lk->...il", Lu, z, Lv)
+        return _f(self.loc) + jnp.einsum("...ij,...jk,...lk->...il", Lu, z, Lv)
 
     def mean(self):
         return _f(self.loc)

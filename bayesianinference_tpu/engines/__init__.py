@@ -1,3 +1,14 @@
+from .conjugate import (
+    BLRParameters,
+    BLRResult,
+    ConjugateModelResult,
+    bayesian_linear_regression,
+    design_matrix,
+    multinormal_conjugate_model,
+    normal_conjugate_model,
+    polynomial_basis,
+    update_conjugate_model,
+)
 from .evidence import MeanAndError, NestedSamplingResult, combine_runs, evidence_sampling
 from .mcmc import MCMCChain, create_mcmc_chain, iterate_mcmc
 from .nested_sampling import (

@@ -169,3 +169,43 @@ def test_evidence_sampling_exact_weights(key):
     assert abs(float(res.log_evidence.mean) - want_z) < 3 * float(
         res.log_evidence.standard_error
     ) + 0.05
+
+
+@pytest.mark.slow
+def test_ns_matches_exact_conjugate_logz(rng, key):
+    """Cross-engine oracle: NS logZ on a conjugate NIG regression model must
+    match bayesian_linear_regression's exact candidate-point evidence."""
+    from bayesianinference_tpu.engines import bayesian_linear_regression
+    from bayesianinference_tpu.engines.conjugate import BLRParameters
+
+    x = rng.uniform(-2, 2, size=(60, 1))
+    y = 0.5 - 1.2 * x[:, 0] + 0.8 * x[:, 0] ** 2 + 0.4 * rng.normal(size=60)
+    prior = BLRParameters(
+        b=jnp.zeros(3), lam=jnp.eye(3), lam_inv=jnp.eye(3),
+        v=jnp.asarray(2.0), nu=jnp.asarray(4.0),
+    )
+    exact = bayesian_linear_regression(
+        jnp.asarray(x), jnp.asarray(y), degree=2, prior=prior
+    )
+    problem = define_inference_problem(
+        parameters=[("b0", -15.0, 15.0), ("b1", -15.0, 15.0),
+                    ("b2", -15.0, 15.0), ("var", 1e-4, 200.0)],
+        log_likelihood=lambda th: jnp.sum(
+            d.Normal(
+                th[0] + th[1] * x[:, 0] + th[2] * x[:, 0] ** 2,
+                jnp.sqrt(th[3]),
+            ).log_prob(jnp.asarray(y))
+        ),
+        log_prior=lambda th: (
+            d.MultivariateNormal(jnp.zeros(3), th[3] * jnp.eye(3)).log_prob(th[:3])
+            + d.InverseGamma(2.0, 1.0).log_prob(th[3])
+        ),
+        validate=False,
+    )
+    ns = nested_sampling(
+        problem, key, sample_pool_size=200, max_iterations=4000,
+        monte_carlo_steps=150,
+    )
+    diff = float(ns.log_evidence.mean) - float(exact.log_evidence)
+    err = float(ns.log_evidence.standard_error)
+    assert abs(diff) < 4 * err, (diff, err)
