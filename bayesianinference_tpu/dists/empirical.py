@@ -164,8 +164,11 @@ class ParameterMixture(Distribution):
         thetas = self.param_dist.sample(k1, (n,))
         keys = jax.random.split(k2, n)
         out = jax.vmap(lambda th, k: self.build(th).sample(k))(thetas, keys)
-        es = self.build(jax.tree_util.tree_map(lambda a: a[0], thetas)).event_shape
-        return out.reshape(tuple(shape) + tuple(es)) if shape else out[0]
+        # per-draw shape comes from the built distribution's actual output
+        # (scalar families with batched params draw a whole batch per theta)
+        return (
+            out.reshape(tuple(shape) + out.shape[1:]) if shape else out[0]
+        )
 
 
 jax.tree_util.register_pytree_node(

@@ -10,6 +10,16 @@ from .conjugate import (
     update_conjugate_model,
 )
 from .evidence import MeanAndError, NestedSamplingResult, combine_runs, evidence_sampling
+from .laplace import (
+    LaplaceFit,
+    approximate_evidence,
+    approximate_evidence_hyper,
+    find_mode,
+    laplace_log_evidence,
+    laplace_posterior_fit,
+    mackay_update_1,
+    mackay_update_2,
+)
 from .mcmc import MCMCChain, create_mcmc_chain, iterate_mcmc
 from .nested_sampling import (
     NSState,

@@ -1,0 +1,517 @@
+"""Laplace approximation with MacKay evidence-framework hyperparameter
+optimization.
+
+From-scratch JAX implementation of ``LaplaceApproximation.wl``:
+``approximateEvidence`` (LA:177-238), the hyperparameter variant with
+memoized warm starts (LA:241-393), ``macKayUpdateMethod`` (LA:394-435) and
+``laplacePosteriorFit`` (LA:453-563).
+
+TPU-first departures from the reference:
+* Mode finding is jitted multi-start L-BFGS (optax) instead of
+  ``NMaximize``/``FindMaximum`` — all starts run as ONE vmapped batch.
+* The precision matrix is the exact AD Hessian (``jax.hessian``) instead of
+  finite differences (LA:19-20, 217-219).
+* The MacKay fixed point and the hyperparameter search drive the jitted
+  inner fit from the host, exactly as the reference's kernel drives its
+  compiled numerical function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..dists.base import Distribution
+from ..dists.empirical import ParameterMixture
+from ..dists.multivariate import MultivariateNormal
+from ..dists.scalar import Cauchy
+from ..models.problem import InferenceProblem, random_domain_points
+
+__all__ = [
+    "LaplaceFit",
+    "laplace_log_evidence",
+    "find_mode",
+    "approximate_evidence",
+    "mackay_update_1",
+    "mackay_update_2",
+    "approximate_evidence_hyper",
+    "laplace_posterior_fit",
+]
+
+
+def _f(x):
+    return jnp.asarray(x, jnp.result_type(jnp.asarray(x).dtype, float))
+
+
+def laplace_log_evidence(max_log_density, precision_matrix):
+    """logZ = max + (k log(2 pi) - log det A)/2 (``laplaceLogEvidence``,
+    LA:22-30).  Returns NaN when the precision matrix is not positive
+    definite (the reference returns Missing and warns, LA:220-222)."""
+    p = jnp.atleast_2d(_f(precision_matrix))
+    k = p.shape[-1]
+    sign, logdet = jnp.linalg.slogdet(p)
+    out = _f(max_log_density) + 0.5 * (k * jnp.log(2.0 * jnp.pi) - logdet)
+    return jnp.where(sign > 0, out, jnp.nan)
+
+
+def find_mode(
+    log_density: Callable,
+    x0,
+    *,
+    maxiter: int = 500,
+    tol: float = 1e-10,
+    lower=None,
+    upper=None,
+):
+    """Jitted L-BFGS maximization of a log density from one or more starting
+    points (rows of ``x0``); the best final point wins.  Replaces
+    ``NMaximize``/``FindMaximum`` (LA:197-211) with a vmapped multi-start.
+    Returns (mode [d], max_value)."""
+    x0 = jnp.atleast_2d(_f(x0))
+
+    def neg(x):
+        if lower is not None:
+            x = jnp.clip(x, _f(lower), _f(upper))
+        return -log_density(x)
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(neg)
+
+    def solve_one(x_init):
+        state0 = opt.init(x_init)
+
+        def cond(carry):
+            x, state, i, gnorm = carry
+            return jnp.logical_and(i < maxiter, gnorm > tol)
+
+        def body(carry):
+            x, state, i, _ = carry
+            v, g = value_and_grad(x, state=state)
+            updates, state = opt.update(
+                g, state, x, value=v, grad=g, value_fn=neg
+            )
+            x = optax.apply_updates(x, updates)
+            return x, state, i + 1, jnp.linalg.norm(g)
+
+        x, state, _, _ = jax.lax.while_loop(
+            cond, body, (x_init, state0, 0, jnp.asarray(jnp.inf, x_init.dtype))
+        )
+        return x, -neg(x)
+
+    xs, vals = jax.vmap(solve_one)(x0)
+    vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
+    best = jnp.argmax(vals)
+    x_best = xs[best]
+    if lower is not None:
+        x_best = jnp.clip(x_best, _f(lower), _f(upper))
+    return x_best, vals[best]
+
+
+@dataclasses.dataclass(frozen=True)
+class LaplaceFit:
+    """Result of a Laplace fit (LA:223-237, enriched by
+    ``laplacePosteriorFit``, LA:534-562)."""
+
+    log_evidence: jnp.ndarray
+    maximum: jnp.ndarray  # log posterior density at the mode
+    mean: jnp.ndarray  # [d] the mode
+    precision_matrix: jnp.ndarray  # [d, d]
+    log_likelihood_at_mode: Optional[jnp.ndarray] = None
+    param_names: Tuple[str, ...] = ()
+    # hyperparameter block (MacKay path)
+    conditional_log_evidence: Optional[jnp.ndarray] = None
+    hyper_mean: Optional[jnp.ndarray] = None
+    hyper_precision: Optional[jnp.ndarray] = None
+    hyper_path: Optional[tuple] = None
+    predictive_builder: Optional[Callable] = dataclasses.field(
+        default=None, repr=False
+    )
+
+    @property
+    def posterior_distribution(self) -> MultivariateNormal:
+        """MultinormalDistribution[mean, inverse precision] (LA:545-547)."""
+        cov = jnp.linalg.inv(self.precision_matrix)
+        return MultivariateNormal(mean_=self.mean, cov=0.5 * (cov + cov.T))
+
+    @property
+    def hyper_distribution(self) -> Optional[MultivariateNormal]:
+        """Gaussian posterior over hyperparameters (LA:380-383)."""
+        if self.hyper_precision is None:
+            return None
+        cov = jnp.linalg.inv(jnp.atleast_2d(self.hyper_precision))
+        return MultivariateNormal(
+            mean_=jnp.atleast_1d(self.hyper_mean), cov=0.5 * (cov + cov.T)
+        )
+
+    def predictive_distribution(self, num_quadrature: int = 256):
+        """ParameterMixtureDistribution over the Gaussian posterior
+        (LA:548-557); requires a ``predictive_builder`` (theta -> dist)."""
+        if self.predictive_builder is None:
+            raise ValueError("no predictive builder attached to this fit")
+        return ParameterMixture(
+            param_dist=self.posterior_distribution,
+            build=self.predictive_builder,
+            num_quadrature=num_quadrature,
+        )
+
+
+def approximate_evidence(
+    log_density: Union[Callable, Tuple[Callable, Callable]],
+    x0,
+    *,
+    initial_guess=None,
+    maxiter: int = 500,
+    lower=None,
+    upper=None,
+    param_names: Tuple[str, ...] = (),
+) -> LaplaceFit:
+    """Laplace evidence for a fixed model (``approximateEvidence``,
+    LA:177-238).  ``log_density`` is either the joint log posterior density
+    or a (log_likelihood, log_prior) pair."""
+    if isinstance(log_density, tuple):
+        loglike_fn, logprior_fn = log_density
+        dens = lambda x: loglike_fn(x) + logprior_fn(x)
+    else:
+        loglike_fn = None
+        dens = log_density
+    starts = jnp.atleast_2d(_f(initial_guess if initial_guess is not None else x0))
+    mode, max_val = find_mode(
+        dens, starts, maxiter=maxiter, lower=lower, upper=upper
+    )
+    precision = -jax.hessian(dens)(mode)
+    precision = 0.5 * (precision + precision.T)
+    return LaplaceFit(
+        log_evidence=laplace_log_evidence(max_val, precision),
+        maximum=max_val,
+        mean=mode,
+        precision_matrix=precision,
+        log_likelihood_at_mode=(
+            loglike_fn(mode) if loglike_fn is not None else None
+        ),
+        param_names=tuple(param_names),
+    )
+
+
+def mackay_update_1(prior_deriv: Callable = lambda la: 0.0) -> Callable:
+    """One-hyperparameter (log alpha) MacKay update (LA:396-410):
+    alpha_new = k / (|w|^2 + tr(A^-1) - 2 d/dlogalpha logprior)."""
+
+    def update(log_params, fit: LaplaceFit):
+        la = log_params[0]
+        tr_ainv = jnp.trace(jnp.linalg.inv(fit.precision_matrix))
+        ew2 = jnp.sum(fit.mean**2)
+        k = fit.mean.shape[0]
+        return jnp.log(
+            jnp.asarray([k / (ew2 + tr_ainv - 2.0 * prior_deriv(la))])
+        )
+
+    return update
+
+
+def mackay_update_2(
+    n_data: int,
+    derivs: Tuple[Callable, Callable] = (lambda la: 0.0, lambda lb: 0.0),
+) -> Callable:
+    """(log alpha, log beta) MacKay update for weight-decay + noise
+    precision (LA:412-435)."""
+
+    def update(log_params, fit: LaplaceFit):
+        la, lb = log_params[0], log_params[1]
+        alpha, beta = jnp.exp(la), jnp.exp(lb)
+        k = fit.mean.shape[0]
+        tr_ainv = jnp.trace(jnp.linalg.inv(fit.precision_matrix))
+        ew2 = jnp.sum(fit.mean**2)
+        # sum of squared errors from the stored logL (LA:423)
+        ed2 = -(2.0 / beta) * (
+            fit.log_likelihood_at_mode
+            + 0.5 * n_data * jnp.log(2.0 * jnp.pi / beta)
+        )
+        new_alpha = k / (ew2 + tr_ainv - 2.0 * derivs[0](la))
+        new_beta = (n_data - k + alpha * tr_ainv) / (ed2 - 2.0 * derivs[1](lb))
+        return jnp.log(jnp.asarray([new_alpha, new_beta]))
+
+    return update
+
+
+def approximate_evidence_hyper(
+    density_builder: Callable,  # eta [h] -> (loglike_fn, logprior_fn) or fn
+    x0,
+    hyper_prior: Optional[Distribution] = None,
+    *,
+    n_hyper: Optional[int] = None,
+    method: str = "nelder-mead",  # or "fixed_point"
+    initial_hyper=None,
+    update_function: Optional[Callable] = None,
+    max_hyper_iterations: int = 1000,
+    tolerance: float = 1e-6,
+    search_radius: float = 0.25,
+    maxiter: int = 500,
+    lower=None,
+    upper=None,
+    param_names: Tuple[str, ...] = (),
+    finite_diff_eps: float = 1e-3,
+) -> LaplaceFit:
+    """Hyperparameter-level evidence maximization (LA:241-393).
+
+    ``density_builder(eta)`` returns the inner (conditional) model density
+    for hyperparameters ``eta``.  The outer objective is
+    logZ(eta) + logprior(eta), maximized either by a derivative-free
+    Nelder-Mead search (the ``NMaximize`` path) or by the MacKay fixed point
+    (``method="fixed_point"`` with an ``update_function`` from
+    :func:`mackay_update_1` / :func:`mackay_update_2`).
+
+    Inner fits are warm-started from the nearest previously-evaluated
+    hyperparameter point within ``search_radius`` (LA:276-296).
+    """
+    if initial_hyper is None:
+        if n_hyper is None:
+            raise ValueError("give initial_hyper or n_hyper")
+        initial_hyper = np.full((n_hyper,), 0.1)
+    eta0 = np.atleast_1d(np.asarray(initial_hyper, float))
+    h = eta0.shape[0]
+    if hyper_prior is None:
+        # default CauchyDistribution[0, 2] per hyperparameter (LA:466-477)
+        cauchy = Cauchy(loc=0.0, scale=2.0)
+        hyper_log_prior = lambda e: float(np.sum(np.asarray(cauchy.log_prob(e))))
+    else:
+        hyper_log_prior = lambda e: float(hyper_prior.log_prob(jnp.asarray(e)))
+
+    stored: dict = {}
+    best = {"fit": None, "hyper_post": -np.inf, "eta": None}
+
+    starts0 = jnp.atleast_2d(_f(x0))
+
+    # ONE jitted inner solver with eta as a traced argument — every
+    # hyperparameter evaluation reuses the same compiled program (the
+    # reference memoizes per-point instead, LA:276-296; we memoize AND
+    # avoid recompilation)
+    @jax.jit
+    def _inner(eta, starts):
+        built = density_builder(eta)
+        if isinstance(built, tuple):
+            loglike_fn, logprior_fn = built
+            dens = lambda x: loglike_fn(x) + logprior_fn(x)
+        else:
+            loglike_fn = None
+            dens = built
+        mode, max_val = find_mode(
+            dens, starts, maxiter=maxiter, lower=lower, upper=upper
+        )
+        precision = -jax.hessian(dens)(mode)
+        precision = 0.5 * (precision + precision.T)
+        log_ev = laplace_log_evidence(max_val, precision)
+        ll = loglike_fn(mode) if loglike_fn is not None else jnp.nan
+        return mode, max_val, precision, log_ev, ll
+
+    def num_fun(eta_np) -> float:
+        eta_np = np.atleast_1d(np.asarray(eta_np, float))
+        key_ = tuple(np.round(eta_np, 12))
+        if key_ in stored:
+            return stored[key_][0]
+        starts = starts0
+        if stored:
+            etas = np.asarray([list(k) for k in stored])
+            dists = np.linalg.norm(etas - eta_np, axis=1)
+            i = int(np.argmin(dists))
+            if dists[i] <= search_radius:
+                # warm start: prepend the nearest stored mode (LA:283-286)
+                guess = stored[tuple(etas[i])][1]
+                starts = jnp.concatenate(
+                    [jnp.asarray(guess)[None, :], starts0]
+                )
+        else:
+            starts = jnp.concatenate([starts0[:1], starts0])
+        mode, max_val, precision, log_ev, ll = _inner(
+            jnp.asarray(eta_np), starts
+        )
+        fit = LaplaceFit(
+            log_evidence=log_ev,
+            maximum=max_val,
+            mean=mode,
+            precision_matrix=precision,
+            log_likelihood_at_mode=ll,
+            param_names=tuple(param_names),
+        )
+        hyper_post = float(fit.log_evidence) + hyper_log_prior(eta_np)
+        if np.isnan(hyper_post):
+            hyper_post = -np.inf
+        if hyper_post >= best["hyper_post"]:
+            best.update(fit=fit, hyper_post=hyper_post, eta=eta_np)
+        stored[key_] = (hyper_post, np.asarray(fit.mean))
+        return hyper_post
+
+    if method == "fixed_point":
+        if update_function is None:
+            update_function = mackay_update_1()
+        num_fun(eta0)
+        eta = eta0
+        for _ in range(max_hyper_iterations):
+            fit = best["fit"]
+            new_eta = np.asarray(
+                update_function(jnp.asarray(eta), fit), float
+            )
+            if not np.all(np.isfinite(new_eta)):
+                raise RuntimeError(
+                    f"MacKay update returned non-numeric hypers at {eta}"
+                )
+            num_fun(new_eta)
+            if np.max(np.abs(new_eta - eta)) < tolerance:
+                eta = new_eta
+                break
+            eta = new_eta
+        eta_max = eta
+    else:
+        eta_max = _nelder_mead(num_fun, eta0, max_hyper_iterations, tolerance)
+
+    hyper_post_max = num_fun(eta_max)
+    # finite-difference Hessian over the hyper axis (the outer objective is
+    # host-driven, like the reference's numericD on numFun, LA:356-358)
+    hess = np.zeros((h, h))
+    e = finite_diff_eps
+    f0 = hyper_post_max
+    for i in range(h):
+        for j in range(i, h):
+            ei = np.zeros(h)
+            ej = np.zeros(h)
+            ei[i] = e
+            ej[j] = e
+            fpp = num_fun(eta_max + ei + ej)
+            fpm = num_fun(eta_max + ei - ej)
+            fmp = num_fun(eta_max - ei + ej)
+            fmm = num_fun(eta_max - ei - ej)
+            hess[i, j] = hess[j, i] = (fpp - fpm - fmp + fmm) / (4 * e * e)
+    hyper_precision = -hess
+    try:
+        pos_def = bool(np.all(np.linalg.eigvalsh(hyper_precision) > 0))
+    except np.linalg.LinAlgError:
+        pos_def = False
+
+    fit = best["fit"]
+    log_ev = (
+        laplace_log_evidence(hyper_post_max, jnp.asarray(hyper_precision))
+        if pos_def
+        else jnp.asarray(np.nan)
+    )
+    return dataclasses.replace(
+        fit,
+        log_evidence=log_ev,
+        conditional_log_evidence=fit.log_evidence,
+        hyper_mean=jnp.asarray(eta_max),
+        hyper_precision=jnp.asarray(hyper_precision) if pos_def else None,
+        hyper_path=tuple(
+            (np.asarray(k), v[0]) for k, v in stored.items()
+        ),
+    )
+
+
+def _nelder_mead(f, x0, maxiter, tol):
+    """Minimal Nelder-Mead ascent (maximizes f) — host-side, replaces
+    ``NMaximize`` for the non-smooth memoized outer objective."""
+    n = x0.shape[0]
+    pts = [np.asarray(x0, float)]
+    for i in range(n):
+        p = np.array(x0, float)
+        p[i] += 0.25 if p[i] == 0 else 0.25 * abs(p[i]) + 0.05
+        pts.append(p)
+    simplex = np.asarray(pts)
+    vals = np.asarray([f(p) for p in simplex])
+    for _ in range(maxiter):
+        order = np.argsort(-vals)  # descending: best first
+        simplex, vals = simplex[order], vals[order]
+        if np.max(np.abs(vals[0] - vals[-1])) < tol and np.max(
+            np.abs(simplex[0] - simplex[-1])
+        ) < tol:
+            break
+        centroid = simplex[:-1].mean(axis=0)
+        worst = simplex[-1]
+        xr = centroid + (centroid - worst)
+        fr = f(xr)
+        if fr > vals[0]:
+            xe = centroid + 2.0 * (centroid - worst)
+            fe = f(xe)
+            simplex[-1], vals[-1] = (xe, fe) if fe > fr else (xr, fr)
+        elif fr > vals[-2]:
+            simplex[-1], vals[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (worst - centroid)
+            fc = f(xc)
+            if fc > vals[-1]:
+                simplex[-1], vals[-1] = xc, fc
+            else:  # shrink
+                for i in range(1, n + 1):
+                    simplex[i] = simplex[0] + 0.5 * (simplex[i] - simplex[0])
+                    vals[i] = f(simplex[i])
+    return simplex[np.argmax(vals)]
+
+
+def laplace_posterior_fit(
+    *,
+    log_likelihood: Optional[Callable] = None,
+    log_prior: Optional[Callable] = None,
+    problem: Optional[InferenceProblem] = None,
+    hyper_density_builder: Optional[Callable] = None,
+    hyper_prior: Optional[Distribution] = None,
+    n_hyper: Optional[int] = None,
+    initial_guess=None,
+    num_starts: int = 8,
+    key=None,
+    predictive_builder: Optional[Callable] = None,
+    param_names: Tuple[str, ...] = (),
+    lower=None,
+    upper=None,
+    **hyper_kwargs,
+) -> LaplaceFit:
+    """High-level Laplace fit (``laplacePosteriorFit``, LA:453-563).
+
+    Either pass ``problem`` (an :class:`InferenceProblem`) or explicit
+    ``log_likelihood`` + ``log_prior`` callables with box bounds.  With
+    ``hyper_density_builder`` (eta -> (loglike, logprior) pair) the MacKay /
+    search hyperparameter machinery is engaged.
+    """
+    key = jax.random.PRNGKey(0) if key is None else key
+    if problem is not None:
+        log_likelihood = problem.log_likelihood
+        log_prior = problem.log_prior
+        lower = problem.lower if lower is None else lower
+        upper = problem.upper if upper is None else upper
+        param_names = param_names or problem.param_names
+    if log_likelihood is None or log_prior is None:
+        if hyper_density_builder is None:
+            raise ValueError("need log_likelihood+log_prior or a problem")
+
+    if initial_guess is None:
+        lo = jnp.asarray(lower) if lower is not None else None
+        hi = jnp.asarray(upper) if upper is not None else None
+        if lo is None:
+            raise ValueError("need bounds or an initial guess")
+        starts = random_domain_points(key, lo, hi, num_starts, scale=5.0)
+    else:
+        starts = jnp.atleast_2d(_f(initial_guess))
+
+    if hyper_density_builder is not None:
+        fit = approximate_evidence_hyper(
+            hyper_density_builder,
+            starts,
+            hyper_prior,
+            n_hyper=n_hyper,
+            lower=lower,
+            upper=upper,
+            param_names=param_names,
+            **hyper_kwargs,
+        )
+    else:
+        fit = approximate_evidence(
+            (log_likelihood, log_prior),
+            starts,
+            lower=lower,
+            upper=upper,
+            param_names=param_names,
+        )
+    if predictive_builder is not None:
+        fit = dataclasses.replace(fit, predictive_builder=predictive_builder)
+    return fit

@@ -1,0 +1,197 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.engines.laplace import (
+    approximate_evidence,
+    approximate_evidence_hyper,
+    find_mode,
+    laplace_log_evidence,
+    laplace_posterior_fit,
+    mackay_update_2,
+)
+from bayesianinference_tpu.models import define_inference_problem
+
+
+def test_laplace_exact_for_gaussian(rng):
+    """For a Gaussian model the Laplace approximation is exact."""
+    y = rng.normal(size=20) + 1.0
+    s2, tau2 = 1.0, 100.0  # known noise var, prior var
+
+    def loglike(th):
+        return jnp.sum(d.Normal(th[0], jnp.sqrt(s2)).log_prob(jnp.asarray(y)))
+
+    def logprior(th):
+        return d.Normal(0.0, jnp.sqrt(tau2)).log_prob(th[0])
+
+    fit = approximate_evidence((loglike, logprior), jnp.asarray([[0.0]]))
+    # analytic: y_i ~ N(mu, s2), mu ~ N(0, tau2): Z = prod of marginal
+    # likelihood = N(y; 0, s2 I + tau2 11^T)
+    n = len(y)
+    cov = s2 * np.eye(n) + tau2 * np.ones((n, n))
+    want = st.multivariate_normal(np.zeros(n), cov).logpdf(y)
+    np.testing.assert_allclose(float(fit.log_evidence), want, rtol=1e-8)
+    # posterior mean/precision analytic
+    post_prec = n / s2 + 1 / tau2
+    post_mean = np.sum(y) / s2 / post_prec
+    np.testing.assert_allclose(float(fit.mean[0]), post_mean, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(fit.precision_matrix[0, 0]), post_prec, rtol=1e-6
+    )
+
+
+def test_find_mode_multistart():
+    # bimodal-ish: multi-start should find the global max at x = 2
+    def f(x):
+        return -0.1 * (x[0] ** 2 - 4.0) ** 2 - (x[0] - 2.0) ** 2 * 0.05
+
+    x0 = jnp.asarray([[-3.0], [0.5], [3.0]])
+    mode, val = find_mode(f, x0)
+    np.testing.assert_allclose(float(mode[0]), 2.0, atol=1e-4)
+
+
+def test_laplace_log_evidence_nonposdef():
+    out = laplace_log_evidence(0.0, jnp.asarray([[-1.0]]))
+    assert np.isnan(float(out))
+
+
+@pytest.mark.slow
+def test_laplace_iris_logistic(key):
+    """BASELINE config: logistic regression on Fisher Iris."""
+    from sklearn.datasets import load_iris
+
+    iris = load_iris()
+    x = jnp.asarray((iris.data - iris.data.mean(0)) / iris.data.std(0))
+    y = jnp.asarray((iris.target == 0).astype(float))  # setosa vs rest
+
+    def loglike(th):
+        logits = th[0] + x @ th[1:]
+        return jnp.sum(d.BernoulliLogits(logits=logits).log_prob(y))
+
+    def logprior(th):
+        return jnp.sum(d.Normal(0.0, 10.0).log_prob(th))
+
+    problem = define_inference_problem(
+        parameters=[(f"b{i}", -50.0, 50.0) for i in range(5)],
+        log_likelihood=loglike,
+        log_prior=logprior,
+        validate=False,
+    )
+    fit = laplace_posterior_fit(problem=problem, key=key)
+    assert np.isfinite(float(fit.log_evidence))
+    # mode must match an independent optimizer (scipy BFGS)
+    from scipy.optimize import minimize
+
+    dens = jax.jit(lambda th: -(loglike(th) + logprior(th)))
+    grad = jax.jit(jax.grad(lambda th: -(loglike(th) + logprior(th))))
+    neg = lambda th: float(dens(jnp.asarray(th)))
+    sp = minimize(neg, np.zeros(5), jac=lambda th: np.asarray(grad(jnp.asarray(th))),
+                  method="BFGS", options=dict(maxiter=5000, gtol=1e-10))
+    np.testing.assert_allclose(np.asarray(fit.mean), sp.x, atol=5e-3)
+    np.testing.assert_allclose(-float(fit.maximum), sp.fun, rtol=1e-8)
+    # posterior distribution usable
+    post = fit.posterior_distribution
+    s = post.sample(key, (1000,))
+    assert s.shape == (1000, 5)
+    # predictions at the mode separate the classes well
+    logits = np.asarray(x @ fit.mean[1:] + fit.mean[0])
+    acc = np.mean((logits > 0) == np.asarray(y))
+    assert acc > 0.95, acc
+
+
+@pytest.mark.slow
+def test_laplace_logz_matches_ns(key):
+    """Laplace logZ vs nested sampling on a well-behaved 2-D model."""
+    from bayesianinference_tpu.engines import nested_sampling
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-2, 2, size=60)
+    y = 1.2 * x - 0.7 + 0.4 * rng.normal(size=60)
+
+    def loglike(th):
+        return jnp.sum(
+            d.Normal(th[0] * jnp.asarray(x) + th[1], 0.4).log_prob(jnp.asarray(y))
+        )
+
+    def logprior(th):
+        return jnp.sum(d.Normal(0.0, 3.0).log_prob(th))
+
+    problem = define_inference_problem(
+        parameters=[("a", -10.0, 10.0), ("b", -10.0, 10.0)],
+        log_likelihood=loglike,
+        log_prior=logprior,
+        validate=False,
+    )
+    fit = laplace_posterior_fit(problem=problem, key=key)
+    ns = nested_sampling(
+        problem, key, sample_pool_size=100, max_iterations=2000,
+        monte_carlo_steps=80,
+    )
+    diff = float(fit.log_evidence) - float(ns.log_evidence.mean)
+    assert abs(diff) < 4 * float(ns.log_evidence.standard_error) + 0.05, diff
+
+
+@pytest.mark.slow
+def test_mackay_evidence_framework(rng):
+    """Classic MacKay alpha/beta optimization on ridge regression: the
+    fixed point and the direct search must agree."""
+    n, k = 40, 6
+    phi = rng.normal(size=(n, k))
+    w_true = rng.normal(size=k)
+    beta_true = 25.0  # noise precision
+    y = phi @ w_true + rng.normal(size=n) / np.sqrt(beta_true)
+    phi_j, y_j = jnp.asarray(phi), jnp.asarray(y)
+
+    def density_builder(eta):
+        log_alpha, log_beta = eta[0], eta[1]
+        alpha, beta = jnp.exp(log_alpha), jnp.exp(log_beta)
+
+        def loglike(w):
+            r = y_j - phi_j @ w
+            return 0.5 * n * (log_beta - jnp.log(2 * jnp.pi)) - 0.5 * beta * jnp.sum(r * r)
+
+        def logprior(w):
+            return 0.5 * k * (log_alpha - jnp.log(2 * jnp.pi)) - 0.5 * alpha * jnp.sum(w * w)
+
+        return (loglike, logprior)
+
+    x0 = jnp.zeros((1, k))
+    fit_fp = approximate_evidence_hyper(
+        density_builder, x0, n_hyper=2, method="fixed_point",
+        update_function=mackay_update_2(n),
+        initial_hyper=[0.0, 0.0], tolerance=1e-8,
+    )
+    fit_nm = approximate_evidence_hyper(
+        density_builder, x0, n_hyper=2, method="nelder-mead",
+        initial_hyper=[0.0, 0.0], tolerance=1e-10,
+    )
+    a_fp, b_fp = np.exp(np.asarray(fit_fp.hyper_mean))
+    a_nm, b_nm = np.exp(np.asarray(fit_nm.hyper_mean))
+    # NOTE: the fixed point maximizes conditional evidence; nelder-mead
+    # maximizes evidence + Cauchy hyperprior — close but not identical
+    np.testing.assert_allclose(b_fp, beta_true, rtol=0.5)
+    np.testing.assert_allclose(b_nm, b_fp, rtol=0.25)
+    np.testing.assert_allclose(
+        float(fit_nm.conditional_log_evidence),
+        float(fit_fp.conditional_log_evidence),
+        atol=0.5,
+    )
+    # analytic check of the conditional evidence at the fixed point:
+    # Z(alpha, beta) for linear-Gaussian is exact
+    alpha, beta = a_fp, b_fp
+    A = alpha * np.eye(k) + beta * phi.T @ phi
+    m = beta * np.linalg.solve(A, phi.T @ y)
+    want = (
+        0.5 * k * np.log(alpha) + 0.5 * n * np.log(beta)
+        - 0.5 * n * np.log(2 * np.pi)
+        - 0.5 * beta * np.sum((y - phi @ m) ** 2) - 0.5 * alpha * np.sum(m * m)
+        - 0.5 * np.linalg.slogdet(A)[1]
+    )
+    np.testing.assert_allclose(
+        float(fit_fp.conditional_log_evidence), want, rtol=1e-5
+    )
+    # hyper posterior exists on the nelder-mead path
+    assert fit_nm.hyper_distribution is not None
