@@ -9,6 +9,7 @@ from .conjugate import (
     polynomial_basis,
     update_conjugate_model,
 )
+from .gp import GPModel, define_gaussian_process, predict_from_gaussian_process
 from .evidence import MeanAndError, NestedSamplingResult, combine_runs, evidence_sampling
 from .laplace import (
     LaplaceFit,
@@ -29,6 +30,9 @@ from .nested_sampling import (
 )
 
 __all__ = [
+    "GPModel",
+    "define_gaussian_process",
+    "predict_from_gaussian_process",
     "MeanAndError",
     "NestedSamplingResult",
     "combine_runs",

@@ -24,6 +24,7 @@ one-point-per-iteration CPU loop, chosen for the hardware:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -165,22 +166,72 @@ def nested_sampling_loop(
     log_likelihood_maximum: Optional[float] = None,
 ) -> NSRunData:
     """Run the main loop (semantics of ``nestedSamplingInternal``,
-    BS:859-1040) fully on device.  Returns raw buffers; use
-    :func:`nested_sampling` for the full pipeline including evidence
-    resampling."""
+    BS:859-1040) fully on device as ONE cached-jit program — repeated runs
+    of the same problem/config hit the compile cache (the analogue of the
+    reference compiling its densities once per problem).  Returns raw
+    buffers; use :func:`nested_sampling` for the full pipeline including
+    evidence resampling."""
     starting_points = jnp.asarray(starting_points)
-    n_live, dim = starting_points.shape
+    n_live, _ = starting_points.shape
     if num_delete < 1 or num_delete >= n_live:
         raise ValueError("need 1 <= num_delete < n_live")
-    dtype = jnp.result_type(starting_points.dtype, float)
-    lz = log_zero(dtype)
-
     if isinstance(monte_carlo_steps, int):
         mc_steps = (monte_carlo_steps, monte_carlo_steps, 5 * monte_carlo_steps)
     else:
         mc_steps = tuple(monte_carlo_steps)
-    num_steps, extra_steps, max_steps = mc_steps
     max_iterations = max(max_iterations, min_iterations)
+    state = _ns_loop_jit(
+        problem,
+        starting_points,
+        key,
+        max_iterations=max_iterations,
+        min_iterations=min_iterations,
+        mc_steps=mc_steps,
+        termination_fraction=float(termination_fraction),
+        num_delete=num_delete,
+        min_max_acceptance_rate=tuple(min_max_acceptance_rate),
+        covariance_learn_delay=covariance_learn_delay,
+        log_likelihood_maximum=log_likelihood_maximum,
+    )
+    return NSRunData(
+        state=state,
+        n_live=n_live,
+        num_delete=num_delete,
+        capacity=max_iterations * num_delete,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations",
+        "min_iterations",
+        "mc_steps",
+        "termination_fraction",
+        "num_delete",
+        "min_max_acceptance_rate",
+        "covariance_learn_delay",
+        "log_likelihood_maximum",
+    ),
+)
+def _ns_loop_jit(
+    problem: InferenceProblem,
+    starting_points,
+    key,
+    *,
+    max_iterations: int,
+    min_iterations: int,
+    mc_steps: Tuple[int, int, int],
+    termination_fraction: float,
+    num_delete: int,
+    min_max_acceptance_rate: Tuple[float, float],
+    covariance_learn_delay: int,
+    log_likelihood_maximum: Optional[float],
+) -> NSState:
+    n_live, dim = starting_points.shape
+    dtype = jnp.result_type(starting_points.dtype, float)
+    lz = log_zero(dtype)
+    num_steps, extra_steps, max_steps = mc_steps
     capacity = max_iterations * num_delete
 
     schedule = pool_schedule(n_live, num_delete, capacity).astype(dtype)
@@ -332,10 +383,7 @@ def nested_sampling_loop(
             + k,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
-    return NSRunData(
-        state=final, n_live=n_live, num_delete=num_delete, capacity=capacity
-    )
+    return jax.lax.while_loop(cond, body, init)
 
 
 def generate_starting_points(

@@ -1,0 +1,318 @@
+"""Gaussian-process covariance kernels and log-marginal-likelihood ops.
+
+TPU-native re-design of the reference's GP numerics
+(BayesianGaussianProcess.wl): ``covarianceMatrix`` (GP:27-43) becomes a
+matmul-based pairwise assembly that XLA tiles onto the MXU (with an optional
+fused Pallas kernel for the squared-exponential hot path),
+``matrixInverseAndDet`` (GP:130-159) becomes Cholesky + triangular solves,
+and ``gaussianProcessLogLikelihood`` (GP:161-199) is a fused clipped logML
+with well-defined gradients for hyperparameter inference.
+
+Conventions: inputs are [n, d]; kernels are covariance *functions* built
+from hyperparameters, exposing ``matrix(x1, x2)`` and ``diag(x)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+from ..core.numerics import log_zero
+
+__all__ = [
+    "Kernel",
+    "se_kernel",
+    "matern12_kernel",
+    "matern32_kernel",
+    "matern52_kernel",
+    "rational_quadratic_kernel",
+    "periodic_kernel",
+    "linear_kernel",
+    "constant_kernel",
+    "white_kernel",
+    "squared_distances",
+    "covariance_matrix",
+    "gp_log_marginal_likelihood",
+    "gp_posterior_moments",
+    "se_covariance_pallas",
+]
+
+_LOG2PI = 1.8378770664093453
+
+
+def _f(x):
+    return jnp.asarray(x, jnp.result_type(jnp.asarray(x).dtype, float))
+
+
+def squared_distances(x1, x2):
+    """Pairwise squared Euclidean distances via the matmul identity
+    |a-b|^2 = |a|^2 + |b|^2 - 2 a.b  — one MXU matmul instead of an
+    O(n^2 d) gather loop (the reference assembles entry-by-entry via
+    SymmetrizedArray, GP:31-43)."""
+    x1, x2 = _f(x1), _f(x2)
+    n1 = jnp.sum(x1 * x1, axis=-1)
+    n2 = jnp.sum(x2 * x2, axis=-1)
+    g = x1 @ x2.T
+    return jnp.maximum(n1[:, None] + n2[None, :] - 2.0 * g, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Kernel:
+    """A covariance function: ``matrix(x1, x2) -> [n1, n2]`` and
+    ``diag(x) -> [n]``.  Compose with ``+`` and ``*``."""
+
+    matrix: Callable
+    diag: Callable
+
+    def __add__(self, other: "Kernel") -> "Kernel":
+        return Kernel(
+            matrix=lambda a, b: self.matrix(a, b) + other.matrix(a, b),
+            diag=lambda a: self.diag(a) + other.diag(a),
+        )
+
+    def __mul__(self, other: "Kernel") -> "Kernel":
+        return Kernel(
+            matrix=lambda a, b: self.matrix(a, b) * other.matrix(a, b),
+            diag=lambda a: self.diag(a) * other.diag(a),
+        )
+
+
+def _stationary(f_of_sqdist: Callable, variance) -> Kernel:
+    variance = _f(variance)
+    return Kernel(
+        matrix=lambda a, b: variance * f_of_sqdist(squared_distances(a, b)),
+        diag=lambda a: variance * jnp.ones(jnp.shape(a)[0], _f(a).dtype),
+    )
+
+
+def se_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
+    """Squared-exponential (RBF): v * exp(-r^2 / (2 l^2)) — the headline
+    BASELINE kernel."""
+    l2 = _f(lengthscale) ** 2
+
+    def f(sq):
+        return jnp.exp(-0.5 * sq / l2)
+
+    return _stationary(f, variance)
+
+
+def matern12_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
+    l = _f(lengthscale)
+
+    def f(sq):
+        r = jnp.sqrt(sq + 1e-36)
+        return jnp.exp(-r / l)
+
+    return _stationary(f, variance)
+
+
+def matern32_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
+    l = _f(lengthscale)
+
+    def f(sq):
+        r = jnp.sqrt(3.0 * sq + 1e-36) / l
+        return (1.0 + r) * jnp.exp(-r)
+
+    return _stationary(f, variance)
+
+
+def matern52_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
+    l = _f(lengthscale)
+
+    def f(sq):
+        r = jnp.sqrt(5.0 * sq + 1e-36) / l
+        return (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+
+    return _stationary(f, variance)
+
+
+def rational_quadratic_kernel(variance=1.0, lengthscale=1.0, alpha=1.0) -> Kernel:
+    l2, a = _f(lengthscale) ** 2, _f(alpha)
+
+    def f(sq):
+        return (1.0 + sq / (2.0 * a * l2)) ** (-a)
+
+    return _stationary(f, variance)
+
+
+def periodic_kernel(variance=1.0, lengthscale=1.0, period=1.0) -> Kernel:
+    """1-D periodic (exp-sine-squared) kernel."""
+    v, l, p = _f(variance), _f(lengthscale), _f(period)
+
+    def matrix(a, b):
+        a, b = _f(a), _f(b)
+        r = jnp.abs(a[:, None, :] - b[None, :, :]).sum(-1)
+        return v * jnp.exp(-2.0 * jnp.sin(jnp.pi * r / p) ** 2 / l**2)
+
+    return Kernel(
+        matrix=matrix,
+        diag=lambda a: v * jnp.ones(jnp.shape(a)[0], _f(a).dtype),
+    )
+
+
+def linear_kernel(variance=1.0, offset=0.0) -> Kernel:
+    v, c = _f(variance), _f(offset)
+    return Kernel(
+        matrix=lambda a, b: v * ((_f(a) - c) @ (_f(b) - c).T),
+        diag=lambda a: v * jnp.sum((_f(a) - c) ** 2, axis=-1),
+    )
+
+
+def constant_kernel(variance=1.0) -> Kernel:
+    v = _f(variance)
+    return Kernel(
+        matrix=lambda a, b: v * jnp.ones((jnp.shape(a)[0], jnp.shape(b)[0])),
+        diag=lambda a: v * jnp.ones(jnp.shape(a)[0]),
+    )
+
+
+def white_kernel(variance=1.0) -> Kernel:
+    """Nugget as a kernel: contributes only to the diagonal/self-pairs."""
+    v = _f(variance)
+    return Kernel(
+        matrix=lambda a, b: jnp.zeros((jnp.shape(a)[0], jnp.shape(b)[0])),
+        diag=lambda a: v * jnp.ones(jnp.shape(a)[0]),
+    )
+
+
+def covariance_matrix(kernel: Kernel, x, nugget=None) -> jnp.ndarray:
+    """K = k(x_i, x_j) + diag(nugget(x_i)) (``covarianceMatrix``, GP:27-43).
+    ``nugget``: scalar, [n] vector, or callable x -> [n]."""
+    x = _f(x)
+    k = kernel.matrix(x, x)
+    k = 0.5 * (k + k.T)
+    if nugget is None:
+        return k
+    if callable(nugget):
+        nug = nugget(x)
+    else:
+        nug = jnp.broadcast_to(_f(nugget), (x.shape[0],))
+    return k + jnp.diag(nug)
+
+
+def gp_log_marginal_likelihood(
+    k_matrix: jnp.ndarray, y, mean=None
+) -> jnp.ndarray:
+    """Clipped GP log marginal likelihood
+    -(n log 2pi + log|K| + y^T K^-1 y)/2  via one Cholesky
+    (``gaussianProcessLogLikelihood``, GP:161-199).  A failed factorization
+    (non-PD / near-singular K) returns the finite log-zero sentinel, the
+    analogue of the "MatInv" Throw (GP:130-148)."""
+    y = _f(y)
+    if mean is not None:
+        y = y - mean
+    n = y.shape[-1]
+    L = jnp.linalg.cholesky(k_matrix)
+    ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
+    L_safe = jnp.where(ok, L, jnp.eye(n, dtype=L.dtype))
+    alpha = solve_triangular(L_safe, y, lower=True)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe)))
+    out = -0.5 * (n * _LOG2PI + logdet + jnp.sum(alpha * alpha))
+    lz = log_zero(out.dtype)
+    out = jnp.clip(out, lz, -lz)
+    return jnp.where(ok, out, lz)
+
+
+def gp_posterior_moments(
+    kernel: Kernel,
+    x_train,
+    y_train,
+    x_query,
+    nugget=None,
+    mean_fn: Optional[Callable] = None,
+    query_nugget: bool = True,
+):
+    """Posterior predictive moments at query points
+    (``predictFromGaussianProcessInternal``, GP:396-422):
+      m* = m(x*) + k*^T K^-1 (y - m(X));   s*^2 = kappa - k*^T K^-1 k*
+    where kappa includes the nugget when ``query_nugget`` (GP:110-115).
+    Returns (mean [m], std [m])."""
+    x_train, y_train, x_query = _f(x_train), _f(y_train), _f(x_query)
+    k_train = covariance_matrix(kernel, x_train, nugget)
+    k_cross = kernel.matrix(x_train, x_query)  # [n, m]
+    kappa = kernel.diag(x_query)
+    if query_nugget and nugget is not None:
+        if callable(nugget):
+            kappa = kappa + nugget(x_query)
+        else:
+            kappa = kappa + jnp.broadcast_to(_f(nugget), kappa.shape)
+    mean_train = mean_fn(x_train) if mean_fn is not None else 0.0
+    mean_query = mean_fn(x_query) if mean_fn is not None else 0.0
+    L = jnp.linalg.cholesky(k_train)
+    resid = y_train - mean_train
+    alpha = cho_solve((L, True), resid)
+    mean_star = mean_query + k_cross.T @ alpha
+    v = solve_triangular(L, k_cross, lower=True)  # [n, m]
+    var_star = kappa - jnp.sum(v * v, axis=0)
+    return mean_star, jnp.sqrt(jnp.maximum(var_star, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused SE covariance assembly (TPU hot path)
+# ---------------------------------------------------------------------------
+
+
+def _se_cov_kernel(scal_ref, x1_ref, x2_ref, out_ref):
+    """One [bm, bn] tile of  var * exp(-|a-b|^2/(2 l^2)):
+    the Gram tile runs on the MXU; norms, exp and scaling stay in VMEM
+    (fused epilogue — the HBM-bandwidth win over materializing sqdist).
+    ``scal_ref`` holds [inv2l2, var] in SMEM."""
+    inv2l2 = scal_ref[0, 0]
+    var = scal_ref[0, 1]
+    x1 = x1_ref[...]
+    x2 = x2_ref[...]
+    g = jnp.dot(x1, x2.T, preferred_element_type=jnp.float32)
+    n1sq = jnp.sum(x1 * x1, axis=1, keepdims=True)  # [bm, 1]
+    n2sq = jnp.sum(x2 * x2, axis=1, keepdims=True)  # [bn, 1]
+    sq = n1sq + n2sq.T - 2.0 * g
+    sq = jnp.maximum(sq, 0.0)
+    out_ref[...] = (var * jnp.exp(-sq * inv2l2)).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def se_covariance_pallas(
+    x, variance, lengthscale, nugget=0.0, block: int = 256, interpret: bool = False
+):
+    """Fused squared-exponential covariance assembly K [n, n] as a Pallas
+    TPU kernel (tiling: [block, block] output tiles; inputs padded to the
+    block size).  ``interpret=True`` runs the kernel in the Pallas
+    interpreter (for CPU correctness tests).
+
+    NOTE: on the axon-tunneled single-chip dev environment Pallas kernels
+    compile but hang at dispatch; production code paths default to the XLA
+    assembly (``covariance_matrix``), which XLA tiles onto the MXU too —
+    this kernel exists for native-TPU runtimes and as the fusion blueprint.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.asarray(x, jnp.float32)
+    n, d = x.shape
+    n_pad = ((n + block - 1) // block) * block
+    d_pad = ((d + 127) // 128) * 128
+    xp = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(x)
+
+    inv2l2 = jnp.float32(0.5) / jnp.asarray(lengthscale, jnp.float32) ** 2
+    var = jnp.asarray(variance, jnp.float32)
+    scal = jnp.stack([inv2l2, var]).reshape(1, 2)
+
+    grid = (n_pad // block, n_pad // block)
+    out = pl.pallas_call(
+        _se_cov_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((block, d_pad), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j)),
+        interpret=interpret,
+    )(scal, xp, xp)
+    k = out[:n, :n]
+    return k + jnp.asarray(nugget, k.dtype) * jnp.eye(n, dtype=k.dtype)

@@ -1,0 +1,187 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.core import is_log_zero
+from bayesianinference_tpu.engines import (
+    define_gaussian_process,
+    nested_sampling,
+    predict_from_gaussian_process,
+)
+from bayesianinference_tpu.ops import (
+    covariance_matrix,
+    gp_log_marginal_likelihood,
+    gp_posterior_moments,
+    matern32_kernel,
+    se_covariance_pallas,
+    se_kernel,
+    squared_distances,
+    white_kernel,
+)
+
+
+def test_squared_distances(rng):
+    a = rng.normal(size=(10, 3))
+    b = rng.normal(size=(7, 3))
+    got = np.asarray(squared_distances(jnp.asarray(a), jnp.asarray(b)))
+    want = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_kernels_match_direct(rng):
+    x = rng.normal(size=(12, 2))
+    xj = jnp.asarray(x)
+    r2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    # SE
+    k = se_kernel(1.5, 0.7)
+    np.testing.assert_allclose(
+        np.asarray(k.matrix(xj, xj)), 1.5 * np.exp(-r2 / (2 * 0.49)), rtol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(k.diag(xj)), 1.5, rtol=1e-12)
+    # Matern 3/2
+    r = np.sqrt(r2)
+    k32 = matern32_kernel(2.0, 1.3)
+    want = 2.0 * (1 + np.sqrt(3) * r / 1.3) * np.exp(-np.sqrt(3) * r / 1.3)
+    np.testing.assert_allclose(np.asarray(k32.matrix(xj, xj)), want, rtol=1e-6)
+    # algebra
+    ksum = k + k32
+    np.testing.assert_allclose(
+        np.asarray(ksum.matrix(xj, xj)),
+        np.asarray(k.matrix(xj, xj)) + want,
+        rtol=1e-6,
+    )
+
+
+def test_logml_vs_multivariate_normal(rng):
+    x = rng.normal(size=(20, 1))
+    y = rng.normal(size=20)
+    k = covariance_matrix(se_kernel(1.2, 0.9), jnp.asarray(x), nugget=0.1)
+    got = float(gp_log_marginal_likelihood(k, jnp.asarray(y)))
+    want = st.multivariate_normal(np.zeros(20), np.asarray(k)).logpdf(y)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    # with mean adjustment
+    got2 = float(
+        gp_log_marginal_likelihood(k, jnp.asarray(y), mean=jnp.full(20, 0.5))
+    )
+    want2 = st.multivariate_normal(np.full(20, 0.5), np.asarray(k)).logpdf(y)
+    np.testing.assert_allclose(got2, want2, rtol=1e-9)
+
+
+def test_logml_singular_gives_logzero():
+    x = jnp.zeros((5, 1))  # duplicate points, no nugget -> singular
+    k = covariance_matrix(se_kernel(1.0, 1.0), x, nugget=None)
+    out = gp_log_marginal_likelihood(k, jnp.ones(5))
+    assert bool(is_log_zero(out))
+
+
+def test_logml_gradient(rng):
+    """Hyperparameter gradient via AD matches finite differences."""
+    x = jnp.asarray(rng.normal(size=(15, 1)))
+    y = jnp.asarray(rng.normal(size=15))
+
+    def f(theta):
+        k = covariance_matrix(
+            se_kernel(jnp.exp(theta[0]), jnp.exp(theta[1])), x,
+            nugget=jnp.exp(theta[2]),
+        )
+        return gp_log_marginal_likelihood(k, y)
+
+    th = jnp.asarray([0.1, -0.3, -2.0])
+    g = jax.grad(f)(th)
+    for i in range(3):
+        e = np.zeros(3)
+        e[i] = 1e-6
+        fd = (float(f(th + e)) - float(f(th - e))) / 2e-6
+        np.testing.assert_allclose(float(g[i]), fd, rtol=1e-4)
+
+
+def test_posterior_moments_exact(rng):
+    """GP posterior mean/var vs direct dense formula."""
+    x = rng.normal(size=(25, 1))
+    y = np.sin(x[:, 0] * 2) + 0.1 * rng.normal(size=25)
+    xq = np.linspace(-2, 2, 9)[:, None]
+    kern = se_kernel(1.0, 0.8)
+    m, s = gp_posterior_moments(
+        kern, jnp.asarray(x), jnp.asarray(y), jnp.asarray(xq), nugget=0.01
+    )
+    # dense reference
+    r2 = lambda a, b: ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    kf = lambda a, b: np.exp(-r2(a, b) / (2 * 0.64))
+    K = kf(x, x) + 0.01 * np.eye(25)
+    ks = kf(x, xq)
+    want_m = ks.T @ np.linalg.solve(K, y)
+    want_v = (1 + 0.01) - np.sum(ks * np.linalg.solve(K, ks), axis=0)
+    np.testing.assert_allclose(np.asarray(m), want_m, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s) ** 2, want_v, rtol=1e-7, atol=1e-10)
+
+
+def test_se_covariance_pallas_interpret(rng):
+    x = jnp.asarray(rng.normal(size=(70, 3)).astype(np.float32))
+    got = se_covariance_pallas(x, 1.5, 0.8, nugget=0.05, block=64, interpret=True)
+    want = covariance_matrix(
+        se_kernel(1.5, 0.8), jnp.asarray(x, jnp.float32), nugget=0.05
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_gp_full_pipeline(rng, key):
+    """defineGaussianProcess -> nested sampling -> prediction, vs the truth."""
+    n = 40
+    x = np.sort(rng.uniform(-3, 3, size=n))[:, None]
+    f_true = np.sin(1.5 * x[:, 0])
+    y = f_true + 0.1 * rng.normal(size=n)
+
+    problem = define_gaussian_process(
+        jnp.asarray(x),
+        jnp.asarray(y),
+        kernel_builder=lambda th: se_kernel(th[0] ** 2, th[1]),
+        nugget_builder=lambda th: th[2] ** 2,
+        parameters=[("amp", 0.05, 5.0), ("length", 0.05, 5.0), ("noise", 0.01, 1.0)],
+        prior_distribution=["scale", "scale", "scale"],
+    )
+    result = nested_sampling(
+        problem, key, sample_pool_size=100, max_iterations=1500,
+        monte_carlo_steps=80,
+    )
+    assert np.isfinite(float(result.log_evidence.mean))
+    # posterior predictive at held-out points
+    xq = np.linspace(-2.5, 2.5, 21)[:, None]
+    pred = predict_from_gaussian_process(result, problem, jnp.asarray(xq))
+    mean = np.asarray(pred.mean())
+    std = np.asarray(jnp.sqrt(pred.variance()))
+    truth = np.sin(1.5 * xq[:, 0])
+    # predictions within 3 predictive sigmas everywhere, close on average
+    assert np.all(np.abs(mean - truth) < 3 * std + 0.05)
+    assert np.mean(np.abs(mean - truth)) < 0.15
+    # quantile bands are ordered and bracket the mean
+    q = pred.quantile(jnp.asarray([0.05, 0.5, 0.95]))
+    assert np.all(np.asarray(q[0]) <= np.asarray(q[1]) + 1e-6)
+    assert np.all(np.asarray(q[1]) <= np.asarray(q[2]) + 1e-6)
+    np.testing.assert_allclose(np.asarray(q[1]), mean, atol=0.1)
+    # sampling works
+    s = pred.sample(jax.random.PRNGKey(3), (500,))
+    assert s.shape == (500, 21)
+    np.testing.assert_allclose(s.mean(0), mean, atol=0.15)
+
+
+def test_gp_null_kernel(rng):
+    """Pure-nugget model: logML must equal independent Gaussians."""
+    x = rng.normal(size=(30, 1))
+    y = rng.normal(size=30)
+    problem = define_gaussian_process(
+        jnp.asarray(x),
+        jnp.asarray(y),
+        kernel_builder=None,
+        nugget_builder=lambda th: th[0] ** 2,
+        parameters=[("sigma", 0.05, 10.0)],
+        prior_distribution=["scale"],
+        validate=False,
+    )
+    th = jnp.asarray([1.3])
+    got = float(problem.guarded_log_likelihood(th))
+    want = st.norm(0, 1.3).logpdf(y).sum()
+    np.testing.assert_allclose(got, want, rtol=1e-9)

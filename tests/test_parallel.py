@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.models import define_inference_problem
+from bayesianinference_tpu.parallel import (
+    make_mesh,
+    parallel_nested_sampling,
+    shard_data,
+)
+
+A = 5.0
+
+
+def _problem():
+    return define_inference_problem(
+        parameters=[("x", -A, A), ("y", -A, A)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+
+
+def _analytic_log_z():
+    mass = st.norm(0, 1).cdf(A) - st.norm(0, 1).cdf(-A)
+    return 2 * (np.log(mass) - np.log(2 * A))
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.slow
+def test_parallel_ns_over_mesh(key):
+    problem = _problem()
+    mesh = make_mesh(("runs",))
+    assert mesh.shape["runs"] == 8
+    result = parallel_nested_sampling(
+        problem,
+        key,
+        num_runs=8,
+        sample_pool_size=25,  # 8 x 25 = 200 total live points
+        mesh=mesh,
+        max_iterations=800,
+        min_iterations=30,
+        monte_carlo_steps=60,
+    )
+    assert result.sample_pool_size == 200
+    want = _analytic_log_z()
+    got = float(result.log_evidence.mean)
+    err = float(result.log_evidence.standard_error)
+    assert abs(got - want) < 4 * err, (got, want, err)
+    np.testing.assert_allclose(
+        np.asarray(result.parameter_expected_values.mean), [0, 0], atol=0.2
+    )
+
+
+@pytest.mark.slow
+def test_parallel_runs_vmapped_within_device(key):
+    """More runs than mesh shards: vmap handles the surplus."""
+    problem = _problem()
+    mesh = make_mesh(("runs",), shape=(4,), devices=jax.devices()[:4])
+    result = parallel_nested_sampling(
+        problem, key, num_runs=8, sample_pool_size=20, mesh=mesh,
+        max_iterations=600, min_iterations=30, monte_carlo_steps=50,
+    )
+    want = _analytic_log_z()
+    got = float(result.log_evidence.mean)
+    err = float(result.log_evidence.standard_error)
+    assert abs(got - want) < 4 * err, (got, want, err)
+
+
+def test_data_sharded_likelihood(key):
+    """A sum-reduction likelihood over GSPMD-sharded data must give
+    identical results to the replicated one."""
+    mesh = make_mesh(("data",))
+    data = jax.random.normal(key, (4096,)) * 1.5 + 0.7
+    data_sharded = shard_data(data, mesh, "data")
+
+    def loglike(theta, dat):
+        return jnp.sum(d.Normal(theta[0], theta[1]).log_prob(dat))
+
+    f = jax.jit(loglike)
+    th = jnp.asarray([0.5, 1.2])
+    got = float(f(th, data_sharded))
+    want = float(loglike(th, data))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # the sharded input really is distributed
+    assert len(data_sharded.sharding.device_set) == 8
