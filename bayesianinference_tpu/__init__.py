@@ -14,6 +14,6 @@ lax.while_loop engines, shard_map parallelism, Pallas kernels).
 
 __version__ = "0.1.0"
 
-from . import core, dists, engines, models, ops
+from . import core, dists, engines, models, ops, parallel, results
 
-__all__ = ["core", "dists", "engines", "models", "ops", "__version__"]
+__all__ = ["core", "dists", "engines", "models", "ops", "parallel", "results", "__version__"]

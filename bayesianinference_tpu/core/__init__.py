@@ -1,3 +1,4 @@
+from .linalg import inverse_matrix_block_inverse, matrix_block_inverse
 from .containers import WeightedSamples, take_posterior_fraction
 from .numerics import (
     guard_log_density,
@@ -16,6 +17,8 @@ from .numerics import (
 from .standardize import NormalizedData, Standardizer, normalize_data, standardize
 
 __all__ = [
+    "inverse_matrix_block_inverse",
+    "matrix_block_inverse",
     "WeightedSamples",
     "take_posterior_fraction",
     "guard_log_density",

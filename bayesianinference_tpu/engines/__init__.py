@@ -9,6 +9,7 @@ from .conjugate import (
     polynomial_basis,
     update_conjugate_model,
 )
+from .direct import DirectPosterior, direct_posterior_distribution, gauss_legendre_grid
 from .gp import GPModel, define_gaussian_process, predict_from_gaussian_process
 from .evidence import MeanAndError, NestedSamplingResult, combine_runs, evidence_sampling
 from .laplace import (
@@ -30,6 +31,9 @@ from .nested_sampling import (
 )
 
 __all__ = [
+    "DirectPosterior",
+    "direct_posterior_distribution",
+    "gauss_legendre_grid",
     "GPModel",
     "define_gaussian_process",
     "predict_from_gaussian_process",

@@ -1,0 +1,73 @@
+"""Posterior-predictive distributions from sampled results.
+
+Equivalent of ``predictiveDistribution`` (BayesianStatistics.wl:1373-1483):
+mixtures of the generating distribution over the posterior samples, with
+``"MAP"`` / ``"MaximumLikelihood"`` single-point variants, for both i.i.d.
+and regression models.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dists.combinators import Mixture
+from ..dists.pointwise import PointwiseMixture
+from ..engines.evidence import NestedSamplingResult
+
+__all__ = [
+    "predictive_distribution",
+    "regression_predictive_distribution",
+]
+
+
+def _select_samples(result: NestedSamplingResult, mode: Optional[str]):
+    thetas = result.points
+    log_w = result.crude_log_posterior_weights
+    if mode is None:
+        return thetas, log_w
+    if mode == "MaximumLikelihood":
+        # single best-likelihood sample (BS:1389-1402)
+        i = jnp.argmax(result.log_likelihoods)
+    elif mode == "MAP":
+        # best posterior-density sample (BS:1404-1417)
+        i = jnp.argmax(result.log_likelihoods + result.log_priors)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return thetas[i : i + 1], jnp.zeros((1,), log_w.dtype)
+
+
+def predictive_distribution(
+    result: NestedSamplingResult,
+    dist_builder: Callable,
+    mode: Optional[str] = None,
+) -> Mixture:
+    """Posterior predictive for an i.i.d. model:
+    MixtureDistribution[weights, dist(theta_s)] (BS:1419-1435).
+
+    ``dist_builder(theta)`` must return the generating distribution; it is
+    vmapped over the sample axis, so the mixture component is one batched
+    distribution rather than a list."""
+    thetas, log_w = _select_samples(result, mode)
+    component = jax.vmap(dist_builder)(thetas)
+    return Mixture(log_weights=log_w, component=component)
+
+
+def regression_predictive_distribution(
+    result: NestedSamplingResult,
+    dist_builder: Callable,
+    inputs,
+    mode: Optional[str] = None,
+) -> PointwiseMixture:
+    """Posterior predictive for a regression model at ``inputs`` [m, d_in]
+    (BS:1437-1483): a per-input-point mixture over the posterior samples,
+    batched as one [S, m] component.
+
+    ``dist_builder(theta, x)`` must return a scalar distribution of the
+    output at inputs ``x`` ([m, d_in] -> params [m])."""
+    inputs = jnp.atleast_2d(jnp.asarray(inputs))
+    thetas, log_w = _select_samples(result, mode)
+    component = jax.vmap(lambda th: dist_builder(th, inputs))(thetas)
+    return PointwiseMixture(log_weights=log_w, component=component)

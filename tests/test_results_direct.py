@@ -1,0 +1,137 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.core import (
+    inverse_matrix_block_inverse,
+    matrix_block_inverse,
+)
+from bayesianinference_tpu.engines import (
+    direct_posterior_distribution,
+    evidence_sampling,
+    nested_sampling,
+)
+from bayesianinference_tpu.models import define_inference_problem
+from bayesianinference_tpu.results import (
+    calculation_report,
+    predictive_distribution,
+    regression_predictive_distribution,
+)
+
+
+def test_matrix_block_inverse(rng):
+    a = rng.normal(size=(6, 6))
+    m = a @ a.T + 6 * np.eye(6)
+    cols = jnp.asarray([1, 3, 4])
+    got = np.asarray(matrix_block_inverse(jnp.asarray(m), cols))
+    want = np.linalg.inv(m)[np.ix_([1, 3, 4], [1, 3, 4])]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    got2 = np.asarray(inverse_matrix_block_inverse(jnp.asarray(m), cols))
+    np.testing.assert_allclose(got2, np.linalg.inv(want), rtol=1e-9)
+
+
+def test_direct_posterior_conjugate_oracle(rng):
+    """Quadrature evidence on a 2-D model vs the exact conjugate value."""
+    from bayesianinference_tpu.engines import bayesian_linear_regression
+    from bayesianinference_tpu.engines.conjugate import BLRParameters
+
+    y = rng.normal(size=12) * 0.8 + 0.4
+    prior = BLRParameters(
+        b=jnp.zeros(1), lam=jnp.eye(1), lam_inv=jnp.eye(1),
+        v=jnp.asarray(2.0), nu=jnp.asarray(4.0),
+    )
+    exact = bayesian_linear_regression(
+        jnp.zeros((12, 1)), jnp.asarray(y), basis=(), prior=prior
+    )
+    dp = direct_posterior_distribution(
+        parameters=[("mu", -6.0, 6.0), ("var", 1e-3, 30.0)],
+        log_likelihood=lambda th: jnp.sum(
+            d.Normal(th[0], jnp.sqrt(th[1])).log_prob(jnp.asarray(y))
+        ),
+        log_prior=lambda th: (
+            d.Normal(0.0, jnp.sqrt(th[1])).log_prob(th[0])
+            + d.InverseGamma(2.0, 1.0).log_prob(th[1])
+        ),
+        num_points=200,
+    )
+    np.testing.assert_allclose(
+        float(dp.log_evidence), float(exact.log_evidence), rtol=1e-6
+    )
+    # posterior mean of mu close to the conjugate posterior mean
+    np.testing.assert_allclose(
+        float(dp.mean()[0]), float(exact.posterior_parameters.b[0]), atol=1e-3
+    )
+    # log_pdf normalization: re-integrating exp(log_pdf) over grid = 1
+    total = float(
+        jnp.exp(
+            jax.scipy.special.logsumexp(
+                dp.log_quad_weights + jax.vmap(dp.log_pdf)(dp.nodes)
+            )
+        )
+    )
+    np.testing.assert_allclose(total, 1.0, rtol=1e-8)
+    s = dp.sample(jax.random.PRNGKey(0), (5000,))
+    assert s.shape == (5000, 2)
+    np.testing.assert_allclose(
+        s.mean(0)[0], float(dp.mean()[0]), atol=0.05
+    )
+
+
+def _tiny_ns_result(key):
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0), ("sigma", 0.1, 5.0)],
+        likelihood=lambda th: d.Normal(th[0], th[1]),
+        data=jax.random.normal(key, (30,)) * 1.2 + 0.5,
+        prior_distribution=["location", "scale"],
+    )
+    res = nested_sampling(
+        problem, key, sample_pool_size=60, max_iterations=600,
+        min_iterations=50, monte_carlo_steps=50,
+    )
+    return problem, res
+
+
+@pytest.mark.slow
+def test_predictive_and_report(key):
+    problem, res = _tiny_ns_result(key)
+    pred = predictive_distribution(res, lambda th: d.Normal(th[0], th[1]))
+    x = np.linspace(-3, 4, 11)
+    lp = np.asarray(pred.log_prob(jnp.asarray(x)))
+    assert np.all(np.isfinite(lp))
+    # predictive mean == crude-weighted posterior mean of mu (same weights)
+    np.testing.assert_allclose(
+        float(pred.mean()), float(res.posterior_samples().mean()[0]), atol=1e-9
+    )
+    # ML and MAP variants are single-component
+    ml = predictive_distribution(res, lambda th: d.Normal(th[0], th[1]),
+                                 mode="MaximumLikelihood")
+    assert ml.num_components == 1
+    map_ = predictive_distribution(res, lambda th: d.Normal(th[0], th[1]),
+                                   mode="MAP")
+    assert map_.num_components == 1
+
+    # regression-style predictive over inputs
+    xq = jnp.linspace(-1, 1, 5)[:, None]
+    rpred = regression_predictive_distribution(
+        res, lambda th, xx: d.Normal(th[0] + 0.0 * xx[:, 0], th[1]), xq
+    )
+    assert np.asarray(rpred.mean()).shape == (5,)
+
+    # report arrays
+    rep = calculation_report(res)
+    n = res.total_samples
+    assert rep.skilling_log_x.shape == (n,)
+    assert rep.evidence_progression.shape == (n,)
+    assert np.all(np.diff(rep.evidence_progression) >= -1e-12)
+    assert rep.concentration_fit_coefficients is not None
+    panels = rep.panels()
+    assert set(panels) == {
+        "Skilling's plot", "Posterior concentration", "Evidence",
+        "LogLikelihood", "Acceptance rate",
+    }
+    # acceptance rates present for dead points
+    acc = rep.acceptance_rates
+    assert acc is not None and np.isfinite(acc).sum() > 0
