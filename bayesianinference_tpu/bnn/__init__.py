@@ -1,0 +1,21 @@
+from .losses import (
+    alpha_divergence_loss,
+    gaussian_loss,
+    net_regularization_loss,
+    network_log_evidence,
+    regression_loss,
+)
+from .nets import RegressionNet, regression_net
+from .predict import sample_trained_net, train_regression_net
+
+__all__ = [
+    "alpha_divergence_loss",
+    "gaussian_loss",
+    "net_regularization_loss",
+    "network_log_evidence",
+    "regression_loss",
+    "RegressionNet",
+    "regression_net",
+    "sample_trained_net",
+    "train_regression_net",
+]

@@ -70,4 +70,14 @@ def regression_predictive_distribution(
     inputs = jnp.atleast_2d(jnp.asarray(inputs))
     thetas, log_w = _select_samples(result, mode)
     component = jax.vmap(lambda th: dist_builder(th, inputs))(thetas)
+    # normalize parameter leaves to [S, m]: builders often return scalar
+    # params (e.g. one noise level per theta) alongside [m]-shaped ones
+    m = inputs.shape[0]
+    s = thetas.shape[0]
+    component = jax.tree_util.tree_map(
+        lambda p: jnp.broadcast_to(
+            p[:, None] if jnp.ndim(p) == 1 else p, (s, m)
+        ),
+        component,
+    )
     return PointwiseMixture(log_weights=log_w, component=component)

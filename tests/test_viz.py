@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.models import define_inference_problem
+from bayesianinference_tpu.engines import nested_sampling
+from bayesianinference_tpu.results import regression_predictive_distribution
+from bayesianinference_tpu import viz
+
+
+@pytest.fixture(scope="module")
+def ns_result():
+    key = jax.random.PRNGKey(0)
+    x = jnp.linspace(-2, 2, 25)
+    y = 1.5 * x + 0.5 + 0.3 * jax.random.normal(key, (25,))
+    problem = define_inference_problem(
+        parameters=[("a", -5.0, 5.0), ("b", -5.0, 5.0), ("sigma", 0.05, 3.0)],
+        log_likelihood=lambda th: jnp.sum(
+            d.Normal(th[0] * x + th[1], th[2]).log_prob(y)
+        ),
+        prior_distribution=["location", "location", "scale"],
+        validate=False,
+    )
+    res = nested_sampling(
+        problem, key, sample_pool_size=50, max_iterations=500,
+        min_iterations=50, monte_carlo_steps=40,
+    )
+    return problem, res, x, y
+
+
+def test_all_plots_render(ns_result, tmp_path):
+    problem, res, x, y = ns_result
+    figs = {
+        "cov": viz.covariance_matrix_plot(res),
+        "pdf1d": viz.posterior_marginal_pdf_plot_1d(res, 0),
+        "cdf1d": viz.posterior_marginal_cdf_plot_1d(res, 0),
+        "pdf2d": viz.posterior_marginal_pdf_density_plot_2d(res, (0, 1)),
+        "cdf2d": viz.posterior_marginal_cdf_density_plot_2d(res, (0, 1), num_points=20),
+        "bubble": viz.posterior_bubble_chart(res, (0, 1)),
+        "bubble3d": viz.posterior_bubble_chart(res, (0, 1, 2)),
+        "report": viz.calculation_report_plot(res),
+    }
+    xq = jnp.linspace(-2, 2, 15)
+    pred = regression_predictive_distribution(
+        res, lambda th, xx: d.Normal(th[0] * xx[:, 0] + th[1], th[2]), xq[:, None]
+    )
+    figs["regression"] = viz.regression_plot_1d(
+        res, pred, xq, x_data=x, y_data=y
+    )
+    figs["regression_moments"] = viz.regression_plot_1d(
+        res, pred, xq, x_data=x, y_data=y, moments=True
+    )
+    for name, fig in figs.items():
+        out = tmp_path / f"{name}.png"
+        fig.savefig(out, dpi=50)
+        assert out.stat().st_size > 1000, name
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
