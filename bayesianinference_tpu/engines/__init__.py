@@ -1,3 +1,4 @@
+from .checkpoint import load_ns_run, resume_nested_sampling_loop, save_ns_run
 from .conjugate import (
     BLRParameters,
     BLRResult,
@@ -31,6 +32,9 @@ from .nested_sampling import (
 )
 
 __all__ = [
+    "load_ns_run",
+    "resume_nested_sampling_loop",
+    "save_ns_run",
     "DirectPosterior",
     "direct_posterior_distribution",
     "gauss_legendre_grid",

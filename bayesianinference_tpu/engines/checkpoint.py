@@ -1,0 +1,115 @@
+"""Checkpoint / resume for nested-sampling runs.
+
+The reference has no explicit checkpointing, but its design is
+resumable-by-construction: the inferenceObject association is a complete
+serializable state and ``combineRuns`` merges post-hoc (SURVEY §5;
+BayesianStatistics.wl:1293-1315).  Here the analogous property is explicit:
+the :class:`~.nested_sampling.NSState` pytree IS the checkpoint — every
+array it holds fully determines the continuation of the while_loop.
+
+``save_ns_run``/``load_ns_run`` serialize a run to a single ``.npz`` file;
+``resume_nested_sampling_loop`` grows the dead-point buffers and re-enters
+the loop; ``nested_sampling`` (the high-level wrapper) accepts
+``checkpoint_path``/``checkpoint_every`` for automatic segmented running.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.numerics import log_zero
+from ..models.problem import InferenceProblem
+from .nested_sampling import NSRunData, NSState, _LoopConfig, _ns_resume_jit
+
+__all__ = ["save_ns_run", "load_ns_run", "resume_nested_sampling_loop"]
+
+
+def save_ns_run(path, run: NSRunData) -> None:
+    """Write a run checkpoint (single .npz; all state arrays + statics)."""
+    s = run.state
+    meta = dict(
+        n_live=run.n_live, num_delete=run.num_delete, capacity=run.capacity
+    )
+    np.savez_compressed(
+        path,
+        __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        **{f: np.asarray(getattr(s, f)) for f in NSState._fields},
+    )
+
+
+def load_ns_run(path) -> NSRunData:
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        state = NSState(
+            **{f: jnp.asarray(z[f]) for f in NSState._fields}
+        )
+    return NSRunData(state=state, **meta)
+
+
+def resume_nested_sampling_loop(
+    problem: InferenceProblem,
+    run: NSRunData,
+    *,
+    extra_iterations: int,
+    min_iterations: int = 0,
+    monte_carlo_steps=200,
+    termination_fraction: float = 0.01,
+    min_max_acceptance_rate=(0.0, 1.0),
+    covariance_learn_delay: int = 10,
+    log_likelihood_maximum: Optional[float] = None,
+    progress_callback=None,
+    progress_interval: int = 0,
+    interrupt_check=None,
+) -> NSRunData:
+    """Continue a (possibly loaded) run for up to ``extra_iterations`` more
+    iterations; the dead buffers are padded to the new capacity and the
+    same while_loop re-entered from the saved state (an interrupted run
+    resumes cleanly — the ``interrupted`` flag is reset)."""
+    s = run.state
+    k = run.num_delete
+    done = int(s.iteration) - 1
+    new_max = done + extra_iterations
+    new_capacity = new_max * k
+    dtype = s.dead_logl.dtype
+    lz = log_zero(dtype)
+    pad = new_capacity - run.capacity
+    if pad < 0:
+        raise ValueError("extra_iterations would shrink the buffer")
+    if pad > 0:
+        dim = s.dead_points.shape[1]
+        s = s._replace(
+            dead_points=jnp.concatenate(
+                [s.dead_points, jnp.zeros((pad, dim), dtype)]
+            ),
+            dead_logl=jnp.concatenate([s.dead_logl, jnp.full((pad,), lz, dtype)]),
+            dead_logp=jnp.concatenate([s.dead_logp, jnp.full((pad,), lz, dtype)]),
+            dead_acc=jnp.concatenate([s.dead_acc, jnp.zeros((pad,), dtype)]),
+        )
+    s = s._replace(interrupted=jnp.asarray(False))
+    if isinstance(monte_carlo_steps, int):
+        mc_steps = (monte_carlo_steps, monte_carlo_steps, 5 * monte_carlo_steps)
+    else:
+        mc_steps = tuple(monte_carlo_steps)
+    cfg = _LoopConfig(
+        max_iterations=new_max,
+        min_iterations=min_iterations,
+        mc_steps=mc_steps,
+        termination_fraction=float(termination_fraction),
+        num_delete=k,
+        min_max_acceptance_rate=tuple(min_max_acceptance_rate),
+        covariance_learn_delay=covariance_learn_delay,
+        log_likelihood_maximum=log_likelihood_maximum,
+        progress_callback=progress_callback,
+        progress_interval=progress_interval,
+        interrupt_check=interrupt_check,
+    )
+    state = _ns_resume_jit(problem, s, cfg, run.n_live)
+    return dataclasses.replace(
+        run, state=state, capacity=new_capacity
+    )

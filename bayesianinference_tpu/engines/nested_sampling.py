@@ -61,6 +61,7 @@ class NSState(NamedTuple):
     entropy: jnp.ndarray
     log_missing: jnp.ndarray  # log estimated missing evidence
     num_likelihood_evals: jnp.ndarray  # scalar int
+    interrupted: jnp.ndarray  # scalar bool (cooperative cancellation)
 
 
 def _live_tail_log_x(n_live, log_x_last, dtype):
@@ -164,13 +165,21 @@ def nested_sampling_loop(
     min_max_acceptance_rate: Tuple[float, float] = (0.0, 1.0),
     covariance_learn_delay: int = 10,
     log_likelihood_maximum: Optional[float] = None,
+    progress_callback: Optional[Callable] = None,
+    progress_interval: int = 0,
+    interrupt_check: Optional[Callable] = None,
 ) -> NSRunData:
     """Run the main loop (semantics of ``nestedSamplingInternal``,
     BS:859-1040) fully on device as ONE cached-jit program — repeated runs
     of the same problem/config hit the compile cache (the analogue of the
     reference compiling its densities once per problem).  Returns raw
     buffers; use :func:`nested_sampling` for the full pipeline including
-    evidence resampling."""
+    evidence resampling.
+
+    ``progress_callback(iteration, n_samples, log_z, entropy)`` fires every
+    ``progress_interval`` iterations (the Monitor cell, BS:941-965);
+    ``interrupt_check()`` is a host predicate polled each iteration for
+    cooperative cancellation (the Finish button, BS:950-969)."""
     starting_points = jnp.asarray(starting_points)
     n_live, _ = starting_points.shape
     if num_delete < 1 or num_delete >= n_live:
@@ -180,10 +189,7 @@ def nested_sampling_loop(
     else:
         mc_steps = tuple(monte_carlo_steps)
     max_iterations = max(max_iterations, min_iterations)
-    state = _ns_loop_jit(
-        problem,
-        starting_points,
-        key,
+    cfg = _LoopConfig(
         max_iterations=max_iterations,
         min_iterations=min_iterations,
         mc_steps=mc_steps,
@@ -192,7 +198,11 @@ def nested_sampling_loop(
         min_max_acceptance_rate=tuple(min_max_acceptance_rate),
         covariance_learn_delay=covariance_learn_delay,
         log_likelihood_maximum=log_likelihood_maximum,
+        progress_callback=progress_callback,
+        progress_interval=progress_interval,
+        interrupt_check=interrupt_check,
     )
+    state = _ns_loop_jit(problem, starting_points, key, cfg)
     return NSRunData(
         state=state,
         n_live=n_live,
@@ -201,77 +211,44 @@ def nested_sampling_loop(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "max_iterations",
-        "min_iterations",
-        "mc_steps",
-        "termination_fraction",
-        "num_delete",
-        "min_max_acceptance_rate",
-        "covariance_learn_delay",
-        "log_likelihood_maximum",
-    ),
-)
-def _ns_loop_jit(
-    problem: InferenceProblem,
-    starting_points,
-    key,
-    *,
-    max_iterations: int,
-    min_iterations: int,
-    mc_steps: Tuple[int, int, int],
-    termination_fraction: float,
-    num_delete: int,
-    min_max_acceptance_rate: Tuple[float, float],
-    covariance_learn_delay: int,
-    log_likelihood_maximum: Optional[float],
-) -> NSState:
-    n_live, dim = starting_points.shape
-    dtype = jnp.result_type(starting_points.dtype, float)
-    lz = log_zero(dtype)
-    num_steps, extra_steps, max_steps = mc_steps
-    capacity = max_iterations * num_delete
+class _LoopConfig(NamedTuple):
+    """Static configuration of the NS loop (hashable jit key)."""
 
-    schedule = pool_schedule(n_live, num_delete, capacity).astype(dtype)
+    max_iterations: int
+    min_iterations: int
+    mc_steps: Tuple[int, int, int]
+    termination_fraction: float
+    num_delete: int
+    min_max_acceptance_rate: Tuple[float, float]
+    covariance_learn_delay: int
+    log_likelihood_maximum: Optional[float]
+    progress_callback: Optional[Callable] = None
+    progress_interval: int = 0
+    interrupt_check: Optional[Callable] = None
+
+
+def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig):
+    """Construct the (cond, body) pair of the NS while_loop — shared by the
+    fresh-start and checkpoint-resume entry points."""
+    lz = log_zero(dtype)
+    num_steps, extra_steps, max_steps = cfg.mc_steps
+    capacity = cfg.max_iterations * cfg.num_delete
+    schedule = pool_schedule(n_live, cfg.num_delete, capacity).astype(dtype)
     log_xd = crude_log_x_deleted(schedule)  # [cap] static analytic
 
     log_likelihood = problem.guarded_log_likelihood
     log_prior = problem.guarded_log_prior
-
-    init_logl = jax.vmap(log_likelihood)(starting_points)
-    init_logp = jax.vmap(log_prior)(starting_points)
-    order = jnp.argsort(init_logl, stable=True)
-
-    init = NSState(
-        key=key,
-        live_points=starting_points[order].astype(dtype),
-        live_logl=init_logl[order].astype(dtype),
-        live_logp=init_logp[order].astype(dtype),
-        dead_points=jnp.zeros((capacity, dim), dtype),
-        dead_logl=jnp.full((capacity,), lz, dtype),
-        dead_logp=jnp.full((capacity,), lz, dtype),
-        dead_acc=jnp.zeros((capacity,), dtype),
-        n_dead=jnp.asarray(0, jnp.int32),
-        iteration=jnp.asarray(1, jnp.int32),
-        mean_est=jnp.mean(starting_points, axis=0).astype(dtype),
-        cov_est=jnp.cov(starting_points.T).reshape(dim, dim).astype(dtype),
-        log_z=jnp.asarray(lz, dtype),
-        entropy=jnp.asarray(0.0, dtype),
-        log_missing=jnp.asarray(0.0, dtype),
-        num_likelihood_evals=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
-    )
-
-    log_term = jnp.log(jnp.asarray(termination_fraction, dtype))
+    log_term = jnp.log(jnp.asarray(cfg.termination_fraction, dtype))
 
     def cond(s: NSState):
         return jnp.logical_and(
-            s.iteration <= max_iterations,
+            jnp.logical_and(
+                jnp.logical_not(s.interrupted), s.iteration <= cfg.max_iterations
+            ),
             jnp.logical_or(
                 s.iteration == 1,
                 jnp.logical_or(
-                    s.iteration <= min_iterations,
+                    s.iteration <= cfg.min_iterations,
                     s.log_missing > s.log_z + log_term,
                 ),
             ),
@@ -279,7 +256,7 @@ def _ns_loop_jit(
 
     def body(s: NSState) -> NSState:
         key, k_choice, k_chains = jax.random.split(s.key, 3)
-        k = num_delete
+        k = cfg.num_delete
         # live set is sorted ascending by logL; worst k die
         threshold = s.live_logl[k - 1]
         # retain a fraction of the previous covariance estimate (BS:989)
@@ -308,9 +285,9 @@ def _ns_loop_jit(
                 num_steps,
                 extra_steps,
                 max_steps,
-                min_acceptance=min_max_acceptance_rate[0],
-                max_acceptance=min_max_acceptance_rate[1],
-                learn_delay=covariance_learn_delay,
+                min_acceptance=cfg.min_max_acceptance_rate[0],
+                max_acceptance=cfg.min_max_acceptance_rate[1],
+                learn_delay=cfg.covariance_learn_delay,
             )
             return st.x, st.mean, st.cov, acc, st.proposed
 
@@ -337,13 +314,13 @@ def _ns_loop_jit(
         live_logp = live_logp[order]
 
         n_dead = s.n_dead + k
-        log_z, _, _, live_log_x = _crude_log_z_masked(
+        log_z, dead_w, live_w, live_log_x = _crude_log_z_masked(
             log_xd, n_dead, dead_logl, live_logl
         )
         # missing evidence: min X * exp(max logL) (BS:925-939)
         lmax = (
-            jnp.asarray(log_likelihood_maximum, dtype)
-            if log_likelihood_maximum is not None
+            jnp.asarray(cfg.log_likelihood_maximum, dtype)
+            if cfg.log_likelihood_maximum is not None
             else live_logl[-1]
         )
         log_missing = live_log_x[-1] + lmax
@@ -351,9 +328,6 @@ def _ns_loop_jit(
         # entropy over all current samples (BS:1020)
         idxc = jnp.arange(capacity)
         activec = idxc < n_dead
-        _, dead_w, live_w, _ = _crude_log_z_masked(
-            log_xd, n_dead, dead_logl, live_logl
-        )
         dead_crude = jnp.where(activec, dead_w + dead_logl, lz)
         live_crude = live_w + live_logl
         entropy = entropy_from_weights(
@@ -361,6 +335,32 @@ def _ns_loop_jit(
             jnp.concatenate([jnp.where(activec, dead_logl, lz), live_logl]),
             log_z,
         )
+
+        # progress monitor (the reference's 1 Hz status cell, BS:941-965)
+        if cfg.progress_callback is not None and cfg.progress_interval > 0:
+            jax.lax.cond(
+                s.iteration % cfg.progress_interval == 0,
+                lambda: jax.debug.callback(
+                    cfg.progress_callback,
+                    s.iteration,
+                    n_dead + n_live,
+                    log_z,
+                    entropy,
+                ),
+                lambda: None,
+            )
+
+        # cooperative interruption (the reference's "Finish" button,
+        # BS:950-957, 969): a host predicate polled once per iteration
+        interrupted = s.interrupted
+        if cfg.interrupt_check is not None:
+            from jax.experimental import io_callback
+
+            interrupted = io_callback(
+                lambda: jnp.asarray(bool(cfg.interrupt_check())),
+                jax.ShapeDtypeStruct((), jnp.bool_),
+                ordered=False,
+            )
 
         return NSState(
             key=key,
@@ -381,9 +381,64 @@ def _ns_loop_jit(
             num_likelihood_evals=s.num_likelihood_evals
             + jnp.sum(proposed).astype(s.num_likelihood_evals.dtype)
             + k,
+            interrupted=interrupted,
         )
 
+    return cond, body
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _ns_loop_jit(
+    problem: InferenceProblem,
+    starting_points,
+    key,
+    cfg: _LoopConfig,
+) -> NSState:
+    n_live, dim = starting_points.shape
+    dtype = jnp.result_type(starting_points.dtype, float)
+    lz = log_zero(dtype)
+    capacity = cfg.max_iterations * cfg.num_delete
+
+    init_logl = jax.vmap(problem.guarded_log_likelihood)(starting_points)
+    init_logp = jax.vmap(problem.guarded_log_prior)(starting_points)
+    order = jnp.argsort(init_logl, stable=True)
+
+    init = NSState(
+        key=key,
+        live_points=starting_points[order].astype(dtype),
+        live_logl=init_logl[order].astype(dtype),
+        live_logp=init_logp[order].astype(dtype),
+        dead_points=jnp.zeros((capacity, dim), dtype),
+        dead_logl=jnp.full((capacity,), lz, dtype),
+        dead_logp=jnp.full((capacity,), lz, dtype),
+        dead_acc=jnp.zeros((capacity,), dtype),
+        n_dead=jnp.asarray(0, jnp.int32),
+        iteration=jnp.asarray(1, jnp.int32),
+        mean_est=jnp.mean(starting_points, axis=0).astype(dtype),
+        cov_est=jnp.cov(starting_points.T).reshape(dim, dim).astype(dtype),
+        log_z=jnp.asarray(lz, dtype),
+        entropy=jnp.asarray(0.0, dtype),
+        log_missing=jnp.asarray(0.0, dtype),
+        num_likelihood_evals=jnp.asarray(
+            0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        ),
+        interrupted=jnp.asarray(False),
+    )
+    cond, body = _build_loop(problem, n_live, dim, dtype, cfg)
     return jax.lax.while_loop(cond, body, init)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_live"))
+def _ns_resume_jit(
+    problem: InferenceProblem,
+    state: NSState,
+    cfg: _LoopConfig,
+    n_live: int,
+) -> NSState:
+    dim = state.live_points.shape[1]
+    dtype = state.live_points.dtype
+    cond, body = _build_loop(problem, n_live, dim, dtype, cfg)
+    return jax.lax.while_loop(cond, body, state)
 
 
 def generate_starting_points(
@@ -433,11 +488,17 @@ def nested_sampling(
     starting_points=None,
     post_process_sampling_runs: Optional[int] = 100,
     empirical_posterior_type: str = "Simple",
+    checkpoint_path=None,
+    checkpoint_every: Optional[int] = None,
     **loop_kwargs,
 ):
     """Full pipeline: starting points -> main loop -> evidence resampling
     (``nestedSampling``, BS:1099-1136).  Returns a
-    :class:`..engines.evidence.NestedSamplingResult`."""
+    :class:`..engines.evidence.NestedSamplingResult`.
+
+    With ``checkpoint_path`` + ``checkpoint_every`` the loop executes in
+    segments of that many iterations, writing a resumable checkpoint after
+    each segment (see :mod:`.checkpoint`)."""
     from .evidence import evidence_sampling
 
     k_start, k_loop = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
@@ -445,7 +506,38 @@ def nested_sampling(
         starting_points = generate_starting_points(
             problem, k_start, sample_pool_size
         )
-    run = nested_sampling_loop(problem, starting_points, k_loop, **loop_kwargs)
+    if checkpoint_path is not None and checkpoint_every:
+        from .checkpoint import resume_nested_sampling_loop, save_ns_run
+
+        total_max = loop_kwargs.get("max_iterations", 10000)
+        seg_kwargs = dict(loop_kwargs)
+        seg_kwargs["max_iterations"] = min(checkpoint_every, total_max)
+        run = nested_sampling_loop(
+            problem, starting_points, k_loop, **seg_kwargs
+        )
+        save_ns_run(checkpoint_path, run)
+        resume_kwargs = {
+            k_: v
+            for k_, v in loop_kwargs.items()
+            if k_
+            not in ("max_iterations", "min_iterations", "num_delete")
+        }
+        while True:
+            done = int(run.state.iteration) - 1
+            terminated = done < run.capacity // run.num_delete or bool(
+                run.state.interrupted
+            )
+            if terminated or done >= total_max:
+                break
+            run = resume_nested_sampling_loop(
+                problem,
+                run,
+                extra_iterations=min(checkpoint_every, total_max - done),
+                **resume_kwargs,
+            )
+            save_ns_run(checkpoint_path, run)
+    else:
+        run = nested_sampling_loop(problem, starting_points, k_loop, **loop_kwargs)
     points, logl, logp, acc, n_deleted = run.finalize()
     schedule = pool_schedule(run.n_live, run.num_delete, n_deleted)
     result = evidence_sampling(

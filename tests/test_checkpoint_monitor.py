@@ -1,0 +1,132 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.models import define_inference_problem
+from bayesianinference_tpu.engines import (
+    load_ns_run,
+    nested_sampling,
+    resume_nested_sampling_loop,
+    save_ns_run,
+)
+from bayesianinference_tpu.engines.nested_sampling import nested_sampling_loop
+from bayesianinference_tpu.engines.evidence import evidence_sampling
+from bayesianinference_tpu.ops import pool_schedule
+
+A = 5.0
+
+
+def _problem():
+    return define_inference_problem(
+        parameters=[("x", -A, A), ("y", -A, A)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+
+
+def _analytic_log_z():
+    mass = st.norm(0, 1).cdf(A) - st.norm(0, 1).cdf(-A)
+    return 2 * (np.log(mass) - np.log(2 * A))
+
+
+def test_save_load_roundtrip(tmp_path, key):
+    problem = _problem()
+    starts = problem.prior_distribution.sample(key, (40,))
+    run = nested_sampling_loop(
+        problem, starts, key, max_iterations=50, min_iterations=50,
+        monte_carlo_steps=30,
+    )
+    path = tmp_path / "ck.npz"
+    save_ns_run(path, run)
+    run2 = load_ns_run(path)
+    assert run2.n_live == run.n_live
+    assert run2.capacity == run.capacity
+    for f in run.state._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(run.state, f)), np.asarray(getattr(run2.state, f)),
+            err_msg=f,
+        )
+
+
+@pytest.mark.slow
+def test_resume_equivalent_statistics(tmp_path, key):
+    """Segmented (checkpointed) runs must produce a valid evidence estimate
+    consistent with the analytic answer."""
+    problem = _problem()
+    starts = problem.prior_distribution.sample(key, (100,))
+    # run 150 iterations in one go
+    run_a = nested_sampling_loop(
+        problem, starts, key, max_iterations=450, min_iterations=450,
+        monte_carlo_steps=40,
+    )
+    # 150 then resume 300 from a saved checkpoint
+    run_b = nested_sampling_loop(
+        problem, starts, key, max_iterations=150, min_iterations=150,
+        monte_carlo_steps=40,
+    )
+    path = tmp_path / "seg.npz"
+    save_ns_run(path, run_b)
+    run_b = resume_nested_sampling_loop(
+        problem, load_ns_run(path), extra_iterations=300,
+        min_iterations=450, monte_carlo_steps=40,
+    )
+    assert int(run_b.state.iteration) == int(run_a.state.iteration)
+    assert int(run_b.state.n_dead) == int(run_a.state.n_dead)
+    # same RNG path would give identical results only if the key evolution
+    # matches; we check statistical agreement of logZ instead
+    for run in (run_a, run_b):
+        pts, ll, lp, acc, nd = run.finalize()
+        res = evidence_sampling(
+            points=pts, log_likelihoods=ll, log_priors=lp,
+            sample_pool_size=run.n_live,
+            schedule=pool_schedule(run.n_live, 1, nd), key=key,
+        )
+        got, err = float(res.log_evidence.mean), float(res.log_evidence.standard_error)
+        assert abs(got - _analytic_log_z()) < 5 * err, (got, err)
+
+
+@pytest.mark.slow
+def test_checkpointed_nested_sampling(tmp_path, key):
+    problem = _problem()
+    res = nested_sampling(
+        problem, key, sample_pool_size=80, max_iterations=800,
+        min_iterations=80, monte_carlo_steps=40,
+        checkpoint_path=tmp_path / "auto.npz", checkpoint_every=100,
+    )
+    assert (tmp_path / "auto.npz").exists()
+    got = float(res.log_evidence.mean)
+    err = float(res.log_evidence.standard_error)
+    assert abs(got - _analytic_log_z()) < 5 * err
+    # the saved checkpoint itself is loadable and complete
+    run = load_ns_run(tmp_path / "auto.npz")
+    assert int(run.state.n_dead) == res.generated_nested_samples
+
+
+def test_progress_and_interrupt(key):
+    problem = _problem()
+    starts = problem.prior_distribution.sample(key, (30,))
+    seen = []
+
+    def progress(it, n, logz, ent):
+        seen.append((int(it), float(logz)))
+
+    calls = {"n": 0}
+
+    def interrupt():
+        calls["n"] += 1
+        return calls["n"] >= 25  # stop after 25 iterations
+
+    run = nested_sampling_loop(
+        problem, starts, key, max_iterations=200, min_iterations=200,
+        monte_carlo_steps=20,
+        progress_callback=progress, progress_interval=10,
+        interrupt_check=interrupt,
+    )
+    assert bool(run.state.interrupted)
+    assert int(run.state.iteration) - 1 < 200  # stopped early
+    assert len(seen) >= 1
+    assert seen[0][0] % 10 == 0
