@@ -172,7 +172,11 @@ def run_chain_adaptive(
             s.proposed.astype(s.x.dtype), 1.0
         )
 
-    if extra_steps <= 0 or max_steps <= num_steps:
+    trivial_bounds = min_acceptance <= 0.0 and max_acceptance >= 1.0
+    if extra_steps <= 0 or max_steps <= num_steps or trivial_bounds:
+        # with the default (0, 1) bounds the retry loop can never fire
+        # (BS:848 default "MinMaxAcceptanceRate" -> {0, 1}); skipping it
+        # statically removes a vmapped while_loop from the hot path
         return state, acc_rate(state)
 
     def cond(carry):
