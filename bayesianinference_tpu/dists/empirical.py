@@ -63,6 +63,19 @@ class Empirical(Distribution):
         c = p - mu
         return jnp.einsum("n,ni,nj->ij", w, c, c)
 
+    def to_weighted_samples(self):
+        """Convert to the core container (the
+        ``empiricalDistributionToWeightedData`` direction, BU:453-456)."""
+        from ..core.containers import WeightedSamples
+
+        return WeightedSamples(
+            points=jnp.asarray(self.points), log_weights=_f(self.log_weights)
+        )
+
+    @staticmethod
+    def from_weighted_samples(ws) -> "Empirical":
+        return Empirical(points=ws.points, log_weights=ws.log_weights)
+
     def cdf(self, x):
         """Marginal-wise empirical CDF at x [d] (or batched [..., d])."""
         w = jnp.exp(self._norm_logw())

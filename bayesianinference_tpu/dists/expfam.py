@@ -47,6 +47,12 @@ class ExponentialFamily:
     natural_parameter_count: int
     # B(chi, nu): normalizer of the conjugate prior; None if not closed-form
     log_conjugate_partition: Optional[Callable] = None
+    # eta -> bool: the natural-parameter region where A(eta) is finite
+    # (``naturalParametersAssumptions``/``naturalParametersRegion``,
+    # EF:99-105); None means all of R^k
+    natural_parameter_support: Optional[Callable] = None
+    # standard-parameter region check (``parametersRegion``, EF:99-105)
+    parameter_support: Optional[Callable] = None
 
     def log_pdf(self, x, eta):
         """Canonical log-density  (``cannonicalPDF``, EF:60-66)."""
@@ -105,6 +111,8 @@ EXPONENTIAL = ExponentialFamily(
     log_base_measure=lambda x: jnp.zeros_like(_f(x)),
     sufficient_statistic=lambda x: jnp.stack([_f(x)], axis=-1),
     natural_parameter_count=1,
+    natural_parameter_support=lambda eta: jnp.asarray(eta)[..., 0] < 0,
+    parameter_support=lambda lam: _f(lam) > 0,
     # int exp(eta chi + nu log(-eta)) deta over eta<0 = Gamma(nu+1)/chi^(nu+1)
     log_conjugate_partition=lambda chi, nu: jsp.gammaln(_f(nu) + 1.0)
     - (_f(nu) + 1.0) * jnp.log(jnp.asarray(chi)[..., 0]),
@@ -155,6 +163,8 @@ NORMAL = ExponentialFamily(
     sufficient_statistic=lambda x: jnp.stack([_f(x), _f(x) ** 2], axis=-1),
     natural_parameter_count=2,
     log_conjugate_partition=_nig_log_partition,
+    natural_parameter_support=lambda eta: jnp.asarray(eta)[..., 1] < 0,
+    parameter_support=lambda mu, var: _f(var) > 0,
 )
 
 POISSON = ExponentialFamily(
@@ -168,6 +178,10 @@ POISSON = ExponentialFamily(
     # int exp(eta chi - nu e^eta) deta = Gamma(chi)/nu^chi
     log_conjugate_partition=lambda chi, nu: jsp.gammaln(jnp.asarray(chi)[..., 0])
     - jnp.asarray(chi)[..., 0] * jnp.log(_f(nu)),
+    natural_parameter_support=lambda eta: jnp.isfinite(
+        jnp.asarray(eta)[..., 0]
+    ),
+    parameter_support=lambda lam: _f(lam) > 0,
 )
 
 LOG_NORMAL = ExponentialFamily(

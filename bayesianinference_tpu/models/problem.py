@@ -298,6 +298,17 @@ def define_inference_problem(
             plo, phi = prior_dist.support()
             plo = jnp.broadcast_to(jnp.asarray(plo, lower.dtype), lower.shape)
             phi = jnp.broadcast_to(jnp.asarray(phi, upper.dtype), upper.shape)
+            # prior support must cover the requested box; warn otherwise
+            # (``distributionDomainTest``, BS:310-325)
+            if bool(jnp.any(plo > lower) | jnp.any(phi < upper)):
+                import warnings
+
+                warnings.warn(
+                    "prior support does not cover the full parameter box; "
+                    "bounds tightened to the prior domain (the evidence is "
+                    "relative to the prior restricted to the box)",
+                    stacklevel=2,
+                )
             lower = jnp.maximum(lower, plo)
             upper = jnp.minimum(upper, phi)
         if prior_dist.event_shape not in ((len(params),), ()):

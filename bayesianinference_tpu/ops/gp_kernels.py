@@ -195,6 +195,70 @@ def covariance_matrix(kernel: Kernel, x, nugget=None) -> jnp.ndarray:
     return k + jnp.diag(nug)
 
 
+def _gp_logml_forward(k_matrix, y):
+    n = y.shape[-1]
+    L = jnp.linalg.cholesky(k_matrix)
+    ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
+    L_safe = jnp.where(ok, L, jnp.eye(n, dtype=L.dtype))
+    w = solve_triangular(L_safe, y, lower=True)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe)))
+    out = -0.5 * (n * _LOG2PI + logdet + jnp.sum(w * w))
+    lz = log_zero(out.dtype)
+    out = jnp.clip(out, lz, -lz)
+    return jnp.where(ok, out, lz), (L_safe, w, ok)
+
+
+@jax.custom_vjp
+def _gp_logml_core(k_matrix, y):
+    return _gp_logml_forward(k_matrix, y)[0]
+
+
+def _gp_logml_fwd(k_matrix, y):
+    out, (L, w, ok) = _gp_logml_forward(k_matrix, y)
+    return out, (L, w, ok)
+
+
+def _inv_from_chol(L, chunk: int = 2048):
+    """K^-1 from L = chol(K) by solving against identity COLUMN BLOCKS
+    under lax.scan.  XLA's TPU triangular solve materializes huge temps for
+    very wide right-hand sides (67 GB at n=16k for the full identity);
+    chunking keeps the working set at O(n * chunk) while each block is
+    still a large MXU-friendly solve."""
+    n = L.shape[-1]
+    if n <= chunk or n % chunk != 0:
+        eye = jnp.eye(n, dtype=L.dtype)
+        z = solve_triangular(L, eye, lower=True)
+        return solve_triangular(L, z, lower=True, trans=1)
+
+    def body(_, i):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 1) + i * chunk
+        eye_block = (rows == cols).astype(L.dtype)
+        z = solve_triangular(L, eye_block, lower=True)
+        w = solve_triangular(L, z, lower=True, trans=1)  # K^-1 columns
+        return None, w
+
+    _, blocks = jax.lax.scan(body, None, jnp.arange(n // chunk))
+    # [nb, n, chunk] -> [n, n] (column blocks in order)
+    return jnp.moveaxis(blocks, 0, 1).reshape(n, n)
+
+
+def _gp_logml_bwd(res, g):
+    """Closed-form reverse rule (instead of differentiating through the
+    Cholesky):  d logML/dK = (alpha alpha^T - K^-1)/2  with
+    alpha = K^-1 y,  d logML/dy = -alpha."""
+    L, w, ok = res
+    alpha = solve_triangular(L, w, lower=True, trans=1)  # K^-1 y
+    k_inv = _inv_from_chol(L)
+    dk = 0.5 * (jnp.outer(alpha, alpha) - k_inv)
+    dk = jnp.where(ok, dk, jnp.zeros_like(dk))
+    dy = jnp.where(ok, -alpha, jnp.zeros_like(alpha))
+    return (g * dk, g * dy)
+
+
+_gp_logml_core.defvjp(_gp_logml_fwd, _gp_logml_bwd)
+
+
 def gp_log_marginal_likelihood(
     k_matrix: jnp.ndarray, y, mean=None
 ) -> jnp.ndarray:
@@ -202,20 +266,15 @@ def gp_log_marginal_likelihood(
     -(n log 2pi + log|K| + y^T K^-1 y)/2  via one Cholesky
     (``gaussianProcessLogLikelihood``, GP:161-199).  A failed factorization
     (non-PD / near-singular K) returns the finite log-zero sentinel, the
-    analogue of the "MatInv" Throw (GP:130-148)."""
+    analogue of the "MatInv" Throw (GP:130-148).
+
+    The hyperparameter gradient uses the closed-form custom VJP
+    d logML/dK = (alpha alpha^T - K^-1)/2 rather than differentiating the
+    factorization."""
     y = _f(y)
     if mean is not None:
         y = y - mean
-    n = y.shape[-1]
-    L = jnp.linalg.cholesky(k_matrix)
-    ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
-    L_safe = jnp.where(ok, L, jnp.eye(n, dtype=L.dtype))
-    alpha = solve_triangular(L_safe, y, lower=True)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe)))
-    out = -0.5 * (n * _LOG2PI + logdet + jnp.sum(alpha * alpha))
-    lz = log_zero(out.dtype)
-    out = jnp.clip(out, lz, -lz)
-    return jnp.where(ok, out, lz)
+    return _gp_logml_core(k_matrix, y)
 
 
 def gp_posterior_moments(
