@@ -72,13 +72,52 @@ def am_init(
     )
 
 
+_SMALL_CHOL_MAX_DIM = 16
+
+
+def small_cholesky(a: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled Cholesky-Crout for small static d, batched over leading
+    dims as pure elementwise ops.
+
+    XLA's TPU `cholesky` lowers tiny batched factorizations (the [d, d]
+    proposal covariances of thousands of vmapped chains) to a serialized
+    kernel costing ~milliseconds per call; this unrolled form is a handful
+    of fused VPU ops regardless of the batch size.  NaN propagates for
+    non-PD inputs (same contract as `jnp.linalg.cholesky`)."""
+    d = a.shape[-1]
+    rows = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - rows[i][k] * rows[j][k]
+            if i == j:
+                rows[i][j] = jnp.sqrt(s)
+            else:
+                rows[i][j] = s / rows[j][j]
+    zero = jnp.zeros_like(a[..., 0, 0])
+    cols = [
+        jnp.stack(
+            [rows[i][j] if j <= i else zero for j in range(d)], axis=-1
+        )
+        for i in range(d)
+    ]
+    return jnp.stack(cols, axis=-2)
+
+
+def _cholesky(a):
+    if a.shape[-1] <= _SMALL_CHOL_MAX_DIM:
+        return small_cholesky(a)
+    return jnp.linalg.cholesky(a)
+
+
 def _proposal_chol(cov, d, learn: jnp.ndarray):
     """Cholesky of the scaled proposal covariance; identity until the learn
     delay has passed."""
     dtype = cov.dtype
     scaled = (_SCALING / d) * cov + _JITTER * jnp.eye(d, dtype=dtype)
     base = jnp.eye(d, dtype=dtype) * jnp.sqrt(_SCALING / d)
-    L = jnp.linalg.cholesky(scaled)
+    L = _cholesky(scaled)
     L = jnp.where(jnp.isfinite(L).all(), L, base)
     return jnp.where(learn, L, base)
 

@@ -37,10 +37,10 @@ def main():
         validate=False,
     )
 
-    n_live = 2048
-    num_delete = 512
+    n_live = 32768
+    num_delete = 8192
     mc_steps = 50
-    iters = 24
+    iters = 16
 
     key = jax.random.PRNGKey(0)
     starts = problem.prior_distribution.sample(key, (n_live,))
@@ -56,15 +56,16 @@ def main():
             num_delete=num_delete,
         )
 
-    # compile + warm up
+    # compile + warm up (host fetch forces real completion; see
+    # PERFORMANCE.md on block_until_ready through the axon tunnel)
     r = run(key)
-    jax.block_until_ready(r.state.live_logl)
+    float(r.state.log_z)
 
     best_dt = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
         r = run(jax.random.fold_in(key, rep + 1))
-        jax.block_until_ready(r.state.live_logl)
+        float(r.state.log_z)
         best_dt = min(best_dt, time.perf_counter() - t0)
     dt = best_dt
 
