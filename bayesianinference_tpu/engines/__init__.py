@@ -15,6 +15,7 @@ from .gp import GPModel, define_gaussian_process, predict_from_gaussian_process
 from .evidence import MeanAndError, NestedSamplingResult, combine_runs, evidence_sampling
 from .laplace import (
     LaplaceFit,
+    fit_precision_at_max,
     approximate_evidence,
     approximate_evidence_hyper,
     find_mode,
@@ -32,6 +33,7 @@ from .nested_sampling import (
 )
 
 __all__ = [
+    "fit_precision_at_max",
     "load_ns_run",
     "resume_nested_sampling_loop",
     "save_ns_run",

@@ -41,6 +41,7 @@ __all__ = [
     "mackay_update_2",
     "approximate_evidence_hyper",
     "laplace_posterior_fit",
+    "fit_precision_at_max",
 ]
 
 
@@ -195,6 +196,57 @@ def approximate_evidence(
         ),
         param_names=tuple(param_names),
     )
+
+
+def fit_precision_at_max(points, log_densities):
+    """Estimate the precision matrix by fitting a quadratic to a path of
+    (point, log-density) evaluations around the maximum
+    (``fitPrecisionAtMax``, LaplaceApproximation.wl:570-629) — the manual
+    fallback when the Hessian at the mode is not positive definite.
+
+    Fits  logdens ~ max - dx^T P dx / 2  by least squares over the unique
+    elements of the symmetric P; returns P [d, d].
+    """
+    import warnings
+
+    points = jnp.atleast_2d(_f(points))
+    log_densities = _f(jnp.ravel(jnp.asarray(log_densities)))
+    n, d = points.shape
+    n_coeff = d * (d + 1) // 2
+    if n <= n_coeff + 1:
+        raise ValueError(
+            f"{n} points is insufficient for computing the precision "
+            f"matrix; requires at least {n_coeff + 2}"
+        )
+    imax = int(jnp.argmax(log_densities))
+    dx = points - points[imax]
+    de = log_densities - log_densities[imax]
+
+    sv = np.linalg.svd(np.cov(np.asarray(dx).T).reshape(d, d), compute_uv=False)
+    if sv.max() < 1e-10 or sv.min() / max(sv.max(), 1e-300) < 1e-4:
+        warnings.warn(
+            "test points are highly correlated or localized; expect a poor "
+            "precision-matrix fit", stacklevel=2,
+        )
+    if float(jnp.max(jnp.abs(de))) < 1e-5:
+        warnings.warn(
+            "log-density range in the path is tiny; expect a poor "
+            "precision-matrix fit", stacklevel=2,
+        )
+
+    cols = []
+    index_pairs = [(i, j) for i in range(d) for j in range(i, d)]
+    for i, j in index_pairs:
+        factor = 1.0 if i == j else 2.0
+        cols.append(factor * dx[:, i] * dx[:, j])
+    m = jnp.stack(cols, axis=-1)  # [n, n_coeff]
+    coeffs, *_ = jnp.linalg.lstsq(m, de)
+    p = jnp.zeros((d, d), points.dtype)
+    for (i, j), c in zip(index_pairs, -2.0 * coeffs):
+        p = p.at[i, j].set(c)
+        if i != j:
+            p = p.at[j, i].set(c)
+    return p
 
 
 def mackay_update_1(prior_deriv: Callable = lambda la: 0.0) -> Callable:

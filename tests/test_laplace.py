@@ -195,3 +195,28 @@ def test_mackay_evidence_framework(rng):
     )
     # hyper posterior exists on the nelder-mead path
     assert fit_nm.hyper_distribution is not None
+
+
+def test_fit_precision_at_max(rng):
+    """Quadratic density: the path-based precision fit is exact."""
+    from bayesianinference_tpu.engines import fit_precision_at_max
+
+    p_true = np.array([[2.0, 0.5], [0.5, 1.5]])
+    mode = np.array([1.0, -0.5])
+    # include the exact mode: the fit is relative to the path's best point
+    pts = np.concatenate([[mode], mode + 0.3 * rng.normal(size=(40, 2))])
+    dx = pts - mode
+    logd = 3.0 - 0.5 * np.einsum("ni,ij,nj->n", dx, p_true, dx)
+    got = np.asarray(fit_precision_at_max(jnp.asarray(pts), jnp.asarray(logd)))
+    np.testing.assert_allclose(got, p_true, rtol=1e-6)
+    # insufficient points raises
+    with pytest.raises(ValueError, match="insufficient"):
+        fit_precision_at_max(pts[:3], logd[:3])
+    # degenerate path warns
+    with pytest.warns(UserWarning, match="correlated or localized"):
+        line = mode + np.outer(np.linspace(-1, 1, 20), np.array([1.0, 0.0]))
+        dl = line - mode
+        fit_precision_at_max(
+            jnp.asarray(line),
+            jnp.asarray(3.0 - 0.5 * np.einsum("ni,ij,nj->n", dl, p_true, dl)),
+        )
