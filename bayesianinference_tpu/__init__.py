@@ -16,4 +16,31 @@ __version__ = "0.1.0"
 
 from . import core, dists, engines, models, ops, parallel, results
 
-__all__ = ["core", "dists", "engines", "models", "ops", "parallel", "results", "__version__"]
+# bnn (flax/optax) and viz (matplotlib) are imported lazily so the core
+# library carries no hard dependency on them
+_LAZY = ("bnn", "viz", "utils")
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "core",
+    "dists",
+    "engines",
+    "models",
+    "ops",
+    "parallel",
+    "results",
+    "bnn",
+    "viz",
+    "utils",
+    "__version__",
+]

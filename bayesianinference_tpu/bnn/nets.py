@@ -13,10 +13,9 @@ discipline replaces ``NetEvaluationMode -> "Train"`` (NN:308-311).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Sequence, Union
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 __all__ = ["RegressionNet", "regression_net"]

@@ -9,7 +9,6 @@ epistemic + aliased aleatoric variance — yielding one Normal per input.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -10,8 +10,6 @@ on device, cross ``jit`` boundaries, and be sharded over a mesh.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -9,7 +9,6 @@ the dtype of its inputs (float32 on TPU by default, float64 on CPU tests).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = [

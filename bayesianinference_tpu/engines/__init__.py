@@ -33,6 +33,24 @@ from .nested_sampling import (
 )
 
 __all__ = [
+    "BLRParameters",
+    "BLRResult",
+    "ConjugateModelResult",
+    "bayesian_linear_regression",
+    "design_matrix",
+    "multinormal_conjugate_model",
+    "normal_conjugate_model",
+    "polynomial_basis",
+    "update_conjugate_model",
+    "LaplaceFit",
+    "approximate_evidence",
+    "approximate_evidence_hyper",
+    "find_mode",
+    "laplace_log_evidence",
+    "laplace_posterior_fit",
+    "mackay_update_1",
+    "mackay_update_2",
+
     "fit_precision_at_max",
     "load_ns_run",
     "resume_nested_sampling_loop",

@@ -31,7 +31,6 @@ from ..ops.ns_math import (
     entropy_from_weights,
     log_trapezoid_weights,
     log_x_live_tail,
-    pool_schedule,
 )
 
 __all__ = ["MeanAndError", "NestedSamplingResult", "evidence_sampling", "combine_runs"]

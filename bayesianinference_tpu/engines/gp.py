@@ -13,7 +13,7 @@ refactorization loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,6 @@ from ..dists.scalar import Normal
 from ..engines.evidence import NestedSamplingResult
 from ..models.problem import InferenceProblem, define_inference_problem
 from ..ops.gp_kernels import (
-    Kernel,
     covariance_matrix,
     gp_log_marginal_likelihood,
     gp_posterior_moments,

@@ -9,7 +9,7 @@ log-density callable) and iterate it, with thinning, collecting samples.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Union
+from typing import Callable, Union
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple
 
 import jax

@@ -13,10 +13,9 @@ reference's ``X_i = e^{-i/n}`` for k = 1).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
-from ..core.numerics import log_zero, logaddexp, logsubexp, logsumexp
+from ..core.numerics import log_zero, logaddexp, logsubexp
 
 __all__ = [
     "pool_schedule",

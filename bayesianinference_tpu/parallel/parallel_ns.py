@@ -28,12 +28,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engines.evidence import NestedSamplingResult, evidence_sampling
 from ..engines.nested_sampling import (
-    NSRunData,
     generate_starting_points,
     nested_sampling_loop,
 )
 from ..models.problem import InferenceProblem
-from ..ops.ns_math import pool_schedule
 
 __all__ = ["parallel_nested_sampling"]
 

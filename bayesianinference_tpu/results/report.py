@@ -12,7 +12,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..engines.evidence import NestedSamplingResult

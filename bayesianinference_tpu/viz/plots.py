@@ -14,7 +14,7 @@ the core library has no hard viz dependency.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

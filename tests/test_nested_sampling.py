@@ -209,3 +209,23 @@ def test_ns_matches_exact_conjugate_logz(rng, key):
     diff = float(ns.log_evidence.mean) - float(exact.log_evidence)
     err = float(ns.log_evidence.standard_error)
     assert abs(diff) < 4 * err, (diff, err)
+
+
+def test_evidence_sampling_mixture_posterior(key):
+    """EmpiricalPosteriorDistributionType != Simple: the mixture over
+    per-run weight vectors (BS:1279-1288)."""
+    n, nd = 10, 40
+    logl = jnp.sort(jax.random.normal(key, (n + nd,)))
+    pts = jnp.arange(n + nd, dtype=jnp.float64)[:, None]
+    res = evidence_sampling(
+        points=pts, log_likelihoods=logl, sample_pool_size=n, key=key,
+        num_runs=50, empirical_posterior_type="Mixture",
+    )
+    assert res.posterior_weight_runs is not None
+    assert res.posterior_weight_runs.shape == (50, n + nd)
+    emp = res.empirical_posterior()
+    # averaged-run weights normalize and resemble the crude weights
+    w = np.exp(np.asarray(emp.log_weights - lse(emp.log_weights)))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-9)
+    crude = np.exp(np.asarray(res.crude_log_posterior_weights))
+    assert np.corrcoef(w, crude)[0, 1] > 0.95

@@ -83,3 +83,29 @@ def test_grad_safety():
     # gradient through guarded ops at the boundary must not be NaN
     g = jax.grad(lambda x: xlogx(x))(0.0)
     assert np.isfinite(g)
+
+
+def test_take_posterior_fraction(rng):
+    import jax.numpy as jnp
+    from bayesianinference_tpu.core import (
+        WeightedSamples,
+        is_log_zero,
+        take_posterior_fraction,
+    )
+
+    pts = jnp.asarray(rng.normal(size=(100, 2)))
+    lw = jnp.asarray(rng.normal(size=100))
+    ws = WeightedSamples(points=pts, log_weights=lw)
+    ws2 = take_posterior_fraction(ws, 0.5)
+    kept = ~np.asarray(is_log_zero(ws2.log_weights))
+    w = np.asarray(ws.normalized_weights())
+    # kept samples are exactly the top-weight ones covering >= 50% mass
+    order = np.argsort(-w)
+    cum = np.cumsum(w[order])
+    n_keep = int(np.searchsorted(cum, 0.5) + 1)
+    assert kept.sum() == n_keep
+    assert set(np.nonzero(kept)[0]) == set(order[:n_keep])
+    # kept weights unchanged
+    np.testing.assert_allclose(
+        np.asarray(ws2.log_weights)[kept], np.asarray(lw)[kept]
+    )
