@@ -1,7 +1,10 @@
 from .parallel_ns import parallel_nested_sampling
+from .sharded_gp import sharded_covariance_matrix, sharded_gp_log_marginal_likelihood
 from .sharding import Mesh, NamedSharding, P, make_mesh, replicated, shard_data
 
 __all__ = [
+    "sharded_covariance_matrix",
+    "sharded_gp_log_marginal_likelihood",
     "parallel_nested_sampling",
     "Mesh",
     "NamedSharding",

@@ -90,3 +90,28 @@ def test_data_sharded_likelihood(key):
     np.testing.assert_allclose(got, want, rtol=1e-12)
     # the sharded input really is distributed
     assert len(data_sharded.sharding.device_set) == 8
+
+
+def test_sharded_gp_logml(key, rng):
+    """Row-sharded covariance assembly gives the identical logML and the
+    matrix really lives sharded across the mesh."""
+    from bayesianinference_tpu.ops import covariance_matrix, se_kernel
+    from bayesianinference_tpu.ops import gp_log_marginal_likelihood
+    from bayesianinference_tpu.parallel import (
+        sharded_covariance_matrix,
+        sharded_gp_log_marginal_likelihood,
+    )
+
+    mesh = make_mesh(("data",))
+    x = jnp.asarray(rng.normal(size=(128, 2)))
+    y = jnp.asarray(rng.normal(size=128))
+    kern = se_kernel(1.3, 0.8)
+
+    k_sharded = sharded_covariance_matrix(kern, x, mesh, "data", nugget=0.05)
+    assert len(k_sharded.sharding.device_set) == 8
+    k_ref = covariance_matrix(kern, x, nugget=0.05)
+    np.testing.assert_allclose(np.asarray(k_sharded), np.asarray(k_ref), rtol=1e-12)
+
+    got = float(sharded_gp_log_marginal_likelihood(kern, x, y, mesh, nugget=0.05))
+    want = float(gp_log_marginal_likelihood(k_ref, y))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
