@@ -65,6 +65,7 @@ def resume_nested_sampling_loop(
     progress_callback=None,
     progress_interval: int = 0,
     interrupt_check=None,
+    monte_carlo_method: str = "adaptive_metropolis",
 ) -> NSRunData:
     """Continue a (possibly loaded) run for up to ``extra_iterations`` more
     iterations; the dead buffers are padded to the new capacity and the
@@ -107,6 +108,7 @@ def resume_nested_sampling_loop(
         progress_callback=progress_callback,
         progress_interval=progress_interval,
         interrupt_check=interrupt_check,
+        monte_carlo_method=monte_carlo_method,
     )
     state = _ns_resume_jit(problem, s, cfg, run.n_live)
     return dataclasses.replace(

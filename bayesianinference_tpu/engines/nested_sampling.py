@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from ..core.numerics import log_zero, logaddexp, logsubexp, logsumexp
 from ..models.problem import InferenceProblem
-from ..ops.metropolis import am_init, run_chain_adaptive
+from ..ops.metropolis import am_init, run_chain_adaptive, small_cholesky
+from ..ops.slice import run_slice_chain
 from ..ops.ns_math import (
     crude_log_x_deleted,
     entropy_from_weights,
@@ -168,6 +169,7 @@ def nested_sampling_loop(
     progress_callback: Optional[Callable] = None,
     progress_interval: int = 0,
     interrupt_check: Optional[Callable] = None,
+    monte_carlo_method: str = "adaptive_metropolis",
 ) -> NSRunData:
     """Run the main loop (semantics of ``nestedSamplingInternal``,
     BS:859-1040) fully on device as ONE cached-jit program — repeated runs
@@ -201,6 +203,7 @@ def nested_sampling_loop(
         progress_callback=progress_callback,
         progress_interval=progress_interval,
         interrupt_check=interrupt_check,
+        monte_carlo_method=monte_carlo_method,
     )
     state = _ns_loop_jit(problem, starting_points, key, cfg)
     return NSRunData(
@@ -225,6 +228,7 @@ class _LoopConfig(NamedTuple):
     progress_callback: Optional[Callable] = None
     progress_interval: int = 0
     interrupt_check: Optional[Callable] = None
+    monte_carlo_method: str = "adaptive_metropolis"
 
 
 def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig):
@@ -274,22 +278,42 @@ def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig)
         start_idx = jax.random.randint(k_choice, (k,), k, n_live)
         x0 = s.live_points[start_idx]
 
-        def one_chain(ck, x0_i):
-            st = am_init(
-                x0_i, density, mean0=s.mean_est, cov0=cov_est, t0=10
+        if cfg.monte_carlo_method == "slice":
+            # random-direction slice sampling (PolyChord-style); number of
+            # slice updates per new point = num_steps (choose ~5 * dim)
+            dir_chol = small_cholesky(
+                cov_est + 1e-10 * jnp.eye(dim, dtype=cov_est.dtype)
             )
-            st, acc = run_chain_adaptive(
-                ck,
-                st,
-                density,
-                num_steps,
-                extra_steps,
-                max_steps,
-                min_acceptance=cfg.min_max_acceptance_rate[0],
-                max_acceptance=cfg.min_max_acceptance_rate[1],
-                learn_delay=cfg.covariance_learn_delay,
+            dir_chol = jnp.where(
+                jnp.isfinite(dir_chol).all(),
+                dir_chol,
+                jnp.eye(dim, dtype=cov_est.dtype),
             )
-            return st.x, st.mean, st.cov, acc, st.proposed
+
+            def one_chain(ck, x0_i):
+                st = run_slice_chain(
+                    ck, x0_i, density, dir_chol, num_steps
+                )
+                moved_frac = st.moved.astype(x0_i.dtype) / num_steps
+                return st.x, s.mean_est, cov_est, moved_frac, st.evals
+        else:
+
+            def one_chain(ck, x0_i):
+                st = am_init(
+                    x0_i, density, mean0=s.mean_est, cov0=cov_est, t0=10
+                )
+                st, acc = run_chain_adaptive(
+                    ck,
+                    st,
+                    density,
+                    num_steps,
+                    extra_steps,
+                    max_steps,
+                    min_acceptance=cfg.min_max_acceptance_rate[0],
+                    max_acceptance=cfg.min_max_acceptance_rate[1],
+                    learn_delay=cfg.covariance_learn_delay,
+                )
+                return st.x, st.mean, st.cov, acc, st.proposed
 
         xs, means, covs, accs, proposed = jax.vmap(one_chain)(
             jax.random.split(k_chains, k), x0

@@ -229,3 +229,20 @@ def test_evidence_sampling_mixture_posterior(key):
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-9)
     crude = np.exp(np.asarray(res.crude_log_posterior_weights))
     assert np.corrcoef(w, crude)[0, 1] > 0.95
+
+
+@pytest.mark.slow
+def test_ns_slice_sampling_method(key):
+    """The slice-sampling kernel gives the same evidence as the MH kernel."""
+    problem = _problem()
+    result = nested_sampling(
+        problem, key, sample_pool_size=100, max_iterations=2000,
+        min_iterations=100, monte_carlo_steps=10,  # ~5 x dim slice updates
+        monte_carlo_method="slice",
+    )
+    want = _analytic_log_z()
+    got = float(result.log_evidence.mean)
+    err = float(result.log_evidence.standard_error)
+    assert abs(got - want) < 4 * err, (got, want, err)
+    # slice sampling uses far fewer likelihood evals than 100-step MH
+    assert result.num_likelihood_evals < 2000 * 10 * 40
