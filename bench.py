@@ -21,6 +21,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+# amortize the slow remote compiles across invocations
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def main():
     from bayesianinference_tpu import dists as d
