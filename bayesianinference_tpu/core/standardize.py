@@ -64,10 +64,10 @@ class NormalizedData:
 
 
 def normalize_data(x, y) -> NormalizedData:
-    x = jnp.atleast_2d(jnp.asarray(x))
-    y = jnp.atleast_2d(jnp.asarray(y))
-    if x.ndim == 2 and x.shape[0] == 1 and x.shape[1] > 1:
-        pass
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    x = x[:, None] if x.ndim == 1 else x
+    y = y[:, None] if y.ndim == 1 else y
     xs, x_tf = standardize(x)
     ys, y_tf = standardize(y)
     return NormalizedData(x=xs, y=ys, x_tf=x_tf, y_tf=y_tf)

@@ -268,13 +268,11 @@ class ImproperUniform(Distribution):
 
     @property
     def event_shape(self):
-        return (self.dim,) if self.dim > 1 else ()
+        return (self.dim,)
 
     def log_prob(self, x):
         x = _f(x)
-        if self.event_shape:
-            return jnp.zeros(x.shape[:-1], x.dtype)
-        return jnp.zeros(jnp.shape(x), x.dtype)
+        return jnp.zeros(x.shape[:-1], x.dtype)
 
     def sample(self, key, shape=()):
         raise NotImplementedError(

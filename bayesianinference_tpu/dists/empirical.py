@@ -110,7 +110,9 @@ class GaussianKDE(Distribution):
 
     @staticmethod
     def fit(points, log_weights=None) -> "GaussianKDE":
-        p = _f(jnp.atleast_2d(points))
+        p = _f(points)
+        if p.ndim == 1:
+            p = p[:, None]  # [n] samples -> [n, 1], NOT one n-dim point
         n = p.shape[0]
         lw = (
             jnp.zeros((n,), p.dtype) if log_weights is None else _f(log_weights)

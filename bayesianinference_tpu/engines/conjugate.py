@@ -56,9 +56,9 @@ def design_matrix(x, basis: Sequence[Callable], include_constant: bool = True):
     """Build the design matrix from basis functions over inputs [n, d_in]
     (the analogue of WL ``DesignMatrix``, LR:53-69; ``IncludeConstantBasis``
     option LR:12)."""
-    x = jnp.atleast_2d(_f(x))
-    if x.shape[0] == 1 and x.ndim == 2 and jnp.ndim(x) == 2:
-        pass
+    x = _f(x)
+    if x.ndim == 1:
+        x = x[:, None]
     cols = []
     if include_constant:
         cols.append(jnp.ones((x.shape[0],), x.dtype))
@@ -293,9 +293,9 @@ def bayesian_linear_regression(
     ``basis`` is a sequence of callables phi_j([d_in]) -> scalar; for 1-D
     polynomial fits pass ``degree=p`` instead.
     """
-    x = jnp.atleast_2d(_f(x))
-    if x.ndim == 2 and x.shape[0] == 1:
-        x = x.T if x.shape[1] > 1 else x
+    x = _f(x)
+    if x.ndim == 1:
+        x = x[:, None]
     y = _f(y)
     if basis is None:
         if degree is not None:

@@ -28,6 +28,7 @@ from ..core.containers import WeightedSamples
 from ..core.numerics import log_zero, logsumexp
 from ..dists.empirical import Empirical
 from ..ops.ns_math import (
+    crude_log_x_deleted,
     entropy_from_weights,
     log_trapezoid_weights,
     log_x_live_tail,
@@ -187,7 +188,7 @@ def evidence_sampling(
     key = jax.random.PRNGKey(0) if key is None else key
 
     # ---- crude (deterministic) weights ----
-    log_x_del = -jnp.cumsum(1.0 / schedule)
+    log_x_del = crude_log_x_deleted(schedule)
     last = log_x_del[-1]
     log_x_live = log_x_live_tail(n, last, dtype)
     log_x = jnp.concatenate([log_x_del, log_x_live])

@@ -335,6 +335,7 @@ def approximate_evidence_hyper(
 
     stored: dict = {}
     best = {"fit": None, "hyper_post": -np.inf, "eta": None}
+    last = {"fit": None}  # the fit at the most recently evaluated eta
 
     starts0 = jnp.atleast_2d(_f(x0))
 
@@ -364,6 +365,7 @@ def approximate_evidence_hyper(
         eta_np = np.atleast_1d(np.asarray(eta_np, float))
         key_ = tuple(np.round(eta_np, 12))
         if key_ in stored:
+            last["fit"] = stored[key_][2]
             return stored[key_][0]
         starts = starts0
         if stored:
@@ -394,7 +396,8 @@ def approximate_evidence_hyper(
             hyper_post = -np.inf
         if hyper_post >= best["hyper_post"]:
             best.update(fit=fit, hyper_post=hyper_post, eta=eta_np)
-        stored[key_] = (hyper_post, np.asarray(fit.mean))
+        last["fit"] = fit
+        stored[key_] = (hyper_post, np.asarray(fit.mean), fit)
         return hyper_post
 
     if method == "fixed_point":
@@ -403,7 +406,9 @@ def approximate_evidence_hyper(
         num_fun(eta0)
         eta = eta0
         for _ in range(max_hyper_iterations):
-            fit = best["fit"]
+            # the MacKay update needs the fit AT THE CURRENT eta (the
+            # reference threads prevFit through the FixedPoint, LA:322-343)
+            fit = last["fit"]
             new_eta = np.asarray(
                 update_function(jnp.asarray(eta), fit), float
             )
@@ -421,6 +426,7 @@ def approximate_evidence_hyper(
         eta_max = _nelder_mead(num_fun, eta0, max_hyper_iterations, tolerance)
 
     hyper_post_max = num_fun(eta_max)
+    best_fit = stored[tuple(np.round(np.atleast_1d(np.asarray(eta_max, float)), 12))][2]
     # finite-difference Hessian over the hyper axis (the outer objective is
     # host-driven, like the reference's numericD on numFun, LA:356-358)
     hess = np.zeros((h, h))
@@ -443,7 +449,7 @@ def approximate_evidence_hyper(
     except np.linalg.LinAlgError:
         pos_def = False
 
-    fit = best["fit"]
+    fit = best_fit
     log_ev = (
         laplace_log_evidence(hyper_post_max, jnp.asarray(hyper_precision))
         if pos_def

@@ -32,11 +32,12 @@ import jax.numpy as jnp
 
 from ..core.numerics import log_zero, logaddexp, logsubexp, logsumexp
 from ..models.problem import InferenceProblem
-from ..ops.metropolis import am_init, run_chain_adaptive, small_cholesky
+from ..ops.metropolis import _cholesky, am_init, run_chain_adaptive
 from ..ops.slice import run_slice_chain
 from ..ops.ns_math import (
     crude_log_x_deleted,
     entropy_from_weights,
+    log_x_live_tail,
     pool_schedule,
 )
 
@@ -63,11 +64,6 @@ class NSState(NamedTuple):
     log_missing: jnp.ndarray  # log estimated missing evidence
     num_likelihood_evals: jnp.ndarray  # scalar int
     interrupted: jnp.ndarray  # scalar bool (cooperative cancellation)
-
-
-def _live_tail_log_x(n_live, log_x_last, dtype):
-    i = jnp.arange(n_live, 0, -1, dtype=dtype)
-    return jnp.log(i / (n_live + 1.0)) + log_x_last
 
 
 def _crude_log_z_masked(
@@ -97,7 +93,7 @@ def _crude_log_z_masked(
     log_x_last = jnp.where(
         n_dead > 0, log_xd[jnp.maximum(n_dead - 1, 0)], jnp.asarray(0.0, dtype)
     )
-    live_log_x = _live_tail_log_x(n, log_x_last, dtype)  # [n] descending
+    live_log_x = log_x_live_tail(n, log_x_last, dtype)  # [n] descending
     first_live = live_log_x[0]
 
     # --- dead weights ---
@@ -281,7 +277,7 @@ def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig)
         if cfg.monte_carlo_method == "slice":
             # random-direction slice sampling (PolyChord-style); number of
             # slice updates per new point = num_steps (choose ~5 * dim)
-            dir_chol = small_cholesky(
+            dir_chol = _cholesky(
                 cov_est + 1e-10 * jnp.eye(dim, dtype=cov_est.dtype)
             )
             dir_chol = jnp.where(
@@ -534,8 +530,14 @@ def nested_sampling(
         from .checkpoint import resume_nested_sampling_loop, save_ns_run
 
         total_max = loop_kwargs.get("max_iterations", 10000)
+        total_min = loop_kwargs.get("min_iterations", 100)
         seg_kwargs = dict(loop_kwargs)
-        seg_kwargs["max_iterations"] = min(checkpoint_every, total_max)
+        seg_max = min(checkpoint_every, total_max)
+        # cap the segment's min_iterations so the loop cannot silently
+        # extend a segment past its checkpoint boundary (the loop raises
+        # max_iterations to min_iterations, BS:867)
+        seg_kwargs["max_iterations"] = seg_max
+        seg_kwargs["min_iterations"] = min(total_min, seg_max)
         run = nested_sampling_loop(
             problem, starting_points, k_loop, **seg_kwargs
         )
@@ -548,15 +550,16 @@ def nested_sampling(
         }
         while True:
             done = int(run.state.iteration) - 1
-            terminated = done < run.capacity // run.num_delete or bool(
-                run.state.interrupted
-            )
+            seg_cap = run.capacity // run.num_delete
+            terminated = done < seg_cap or bool(run.state.interrupted)
             if terminated or done >= total_max:
                 break
+            extra = min(checkpoint_every, total_max - done)
             run = resume_nested_sampling_loop(
                 problem,
                 run,
-                extra_iterations=min(checkpoint_every, total_max - done),
+                extra_iterations=extra,
+                min_iterations=min(total_min, done + extra),
                 **resume_kwargs,
             )
             save_ns_run(checkpoint_path, run)

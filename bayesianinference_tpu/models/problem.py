@@ -315,7 +315,16 @@ def define_inference_problem(
             raise ValueError(
                 "prior distribution dimension does not match parameters"
             )
-        log_prior = prior_dist.log_prob
+        if prior_dist.event_shape == ():
+            # scalar prior over a single parameter: theta arrives as a
+            # [1]-vector, the density must still be a scalar
+            if len(params) != 1:
+                raise ValueError(
+                    "scalar prior given for a multi-parameter problem"
+                )
+            log_prior = lambda th: prior_dist.log_prob(jnp.asarray(th)[..., 0])
+        else:
+            log_prior = prior_dist.log_prob
     elif prior_distribution is not None:
         raise ValueError("give either log_prior or prior_distribution")
 

@@ -67,7 +67,9 @@ def regression_predictive_distribution(
 
     ``dist_builder(theta, x)`` must return a scalar distribution of the
     output at inputs ``x`` ([m, d_in] -> params [m])."""
-    inputs = jnp.atleast_2d(jnp.asarray(inputs))
+    inputs = jnp.asarray(inputs)
+    if inputs.ndim == 1:
+        inputs = inputs[:, None]  # [m] query points -> [m, 1]
     thetas, log_w = _select_samples(result, mode)
     component = jax.vmap(lambda th: dist_builder(th, inputs))(thetas)
     # normalize parameter leaves to [S, m]: builders often return scalar

@@ -80,11 +80,10 @@ def calculation_report(
         slope, intercept = np.polyfit(np.log(xs[good]), np.log(ys[good]), 1)
         fit = (float(intercept), float(slope))
 
-    evidence_prog = np.log(
-        np.maximum(
-            np.cumsum(crude_w * np.exp(float(result.crude_log_evidence))),
-            1e-300,
-        )
+    # log-space: crude_w sums to 1, so log(cumsum) + crude logZ never
+    # under/overflows even for |logZ| beyond float range
+    evidence_prog = float(result.crude_log_evidence) + np.log(
+        np.maximum(np.cumsum(crude_w), 1e-300)
     )
     acc = (
         np.asarray(result.acceptance_rates)
