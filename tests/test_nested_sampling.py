@@ -246,3 +246,39 @@ def test_ns_slice_sampling_method(key):
     assert abs(got - want) < 4 * err, (got, want, err)
     # slice sampling uses far fewer likelihood evals than 100-step MH
     assert result.num_likelihood_evals < 2000 * 10 * 40
+
+
+@pytest.mark.slow
+def test_ns_5d_correlated_gaussian(key, rng):
+    """Higher-dimensional correlated likelihood: both chain kernels must
+    recover the analytic evidence."""
+    a = 4.0
+    d5 = 5
+    q = rng.normal(size=(d5, d5))
+    cov = q @ q.T / d5 + 0.5 * np.eye(d5)
+    cov_j = jnp.asarray(cov)
+    mu = jnp.zeros(d5)
+    mvn = d.MultivariateNormal(mean_=mu, cov=cov_j)
+    problem = define_inference_problem(
+        parameters=[(f"x{i}", -a, a) for i in range(d5)],
+        log_likelihood=mvn.log_prob,
+        prior_distribution=["location"] * d5,
+        validate=False,
+    )
+    # analytic: Z = P(box)/(2a)^d; box mass via MC on the exact MVN
+    s = np.asarray(mvn.sample(jax.random.PRNGKey(9), (200_000,)))
+    mass = np.mean(np.all(np.abs(s) < a, axis=1))
+    want = np.log(mass) - d5 * np.log(2 * a)
+    for method, steps in (("adaptive_metropolis", 150), ("slice", 25)):
+        result = nested_sampling(
+            problem, key, sample_pool_size=200, max_iterations=4000,
+            min_iterations=200, monte_carlo_steps=steps,
+            monte_carlo_method=method,
+        )
+        got = float(result.log_evidence.mean)
+        err = float(result.log_evidence.standard_error)
+        assert abs(got - want) < 5 * err, (method, got, want, err)
+        np.testing.assert_allclose(
+            np.asarray(result.parameter_expected_values.mean),
+            np.zeros(d5), atol=0.25,
+        )
