@@ -130,13 +130,6 @@ def _mean_and_error(x, axis=0) -> MeanAndError:
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "sample_pool_size",
-        "num_runs",
-    ),
-)
 def _simulate_log_x(key, schedule, sample_pool_size: int, num_runs: int):
     """[R, N_total] simulated logX trajectories (BS:1206-1225)."""
     n_deleted = schedule.shape[0]
@@ -151,6 +144,43 @@ def _simulate_log_x(key, schedule, sample_pool_size: int, num_runs: int):
     tail = last + jax.random.exponential(k2, (num_runs, n), dtype)
     log_x_live = -jnp.sort(tail, axis=-1)
     return jnp.concatenate([log_x_del, log_x_live], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("sample_pool_size",))
+def _crude_arrays(schedule, log_likelihoods, sample_pool_size: int):
+    n = sample_pool_size
+    dtype = log_likelihoods.dtype
+    log_x_del = crude_log_x_deleted(schedule)
+    log_x_live = log_x_live_tail(n, log_x_del[-1], dtype)
+    log_x = jnp.concatenate([log_x_del, log_x_live])
+    crude_w = log_trapezoid_weights(log_x)
+    crude_lw = crude_w + log_likelihoods
+    crude_log_z = logsumexp(crude_lw)
+    crude_entropy = entropy_from_weights(crude_lw, log_likelihoods, crude_log_z)
+    ll_max = jnp.max(log_likelihoods)
+    log_missing = jnp.min(log_x) + ll_max
+    order = jnp.argsort(-crude_lw, stable=True)
+    return log_x, crude_lw, crude_log_z, crude_entropy, ll_max, log_missing, order
+
+
+@partial(jax.jit, static_argnames=("sample_pool_size", "num_runs"))
+def _simulated_arrays(
+    key, schedule, log_likelihoods, points, sample_pool_size: int, num_runs: int
+):
+    dtype = log_likelihoods.dtype
+    sampled_log_x = _simulate_log_x(
+        key, schedule, sample_pool_size, num_runs
+    )  # [R, N]
+    w = log_trapezoid_weights(sampled_log_x)  # [R, N]
+    log_ev_w = w + log_likelihoods[None, :]
+    z_samples = logsumexp(log_ev_w, axis=-1)  # [R]
+    log_post_w = log_ev_w - z_samples[:, None]  # [R, N]
+    post_w = jnp.exp(log_post_w)
+    param_means = post_w @ points  # [R, d]
+    lz = log_zero(dtype)
+    safe_ll = jnp.where(log_likelihoods > 0.5 * lz, log_likelihoods, 0.0)
+    rel_entropy = post_w @ safe_ll - z_samples  # [R]
+    return sampled_log_x, z_samples, log_post_w, post_w, param_means, rel_entropy
 
 
 def evidence_sampling(
@@ -187,20 +217,18 @@ def evidence_sampling(
     schedule = jnp.asarray(schedule, dtype)[:n_deleted]
     key = jax.random.PRNGKey(0) if key is None else key
 
-    # ---- crude (deterministic) weights ----
-    log_x_del = crude_log_x_deleted(schedule)
-    last = log_x_del[-1]
-    log_x_live = log_x_live_tail(n, last, dtype)
-    log_x = jnp.concatenate([log_x_del, log_x_live])
-    crude_w = log_trapezoid_weights(log_x)
-    crude_lw = crude_w + log_likelihoods
-    crude_log_z = logsumexp(crude_lw)
-    crude_entropy = entropy_from_weights(crude_lw, log_likelihoods, crude_log_z)
-    ll_max = jnp.max(log_likelihoods)
-    log_missing = jnp.min(log_x) + ll_max
+    # ---- crude (deterministic) weights (one jitted program per shape) ----
+    (
+        log_x,
+        crude_lw,
+        crude_log_z,
+        crude_entropy,
+        ll_max,
+        log_missing,
+        order,
+    ) = _crude_arrays(schedule, log_likelihoods, n)
 
     if not num_runs or num_runs <= 0:
-        order = jnp.argsort(-crude_lw, stable=True)
         nanv = jnp.full((n_total,), jnp.nan, dtype)
         me_nan = MeanAndError(nanv, nanv)
         return NestedSamplingResult(
@@ -230,19 +258,11 @@ def evidence_sampling(
             empirical_posterior_type=empirical_posterior_type,
         )
 
-    # ---- simulated runs (BS:1200-1235) ----
-    sampled_log_x = _simulate_log_x(key, schedule, n, int(num_runs))  # [R, N]
-    w = log_trapezoid_weights(sampled_log_x)  # [R, N]
-    log_ev_w = w + log_likelihoods[None, :]
-    z_samples = logsumexp(log_ev_w, axis=-1)  # [R]
-    log_post_w = log_ev_w - z_samples[:, None]  # [R, N]
-    post_w = jnp.exp(log_post_w)
-    param_means = post_w @ points  # [R, d]
-    lz = log_zero(dtype)
-    safe_ll = jnp.where(log_likelihoods > 0.5 * lz, log_likelihoods, 0.0)
-    rel_entropy = post_w @ safe_ll - z_samples  # [R]
+    # ---- simulated runs (BS:1200-1235), one jitted program per shape ----
+    sampled_log_x, z_samples, log_post_w, post_w, param_means, rel_entropy = (
+        _simulated_arrays(key, schedule, log_likelihoods, points, n, int(num_runs))
+    )
 
-    order = jnp.argsort(-crude_lw, stable=True)
     result = NestedSamplingResult(
         points=points[order],
         log_likelihoods=log_likelihoods[order],

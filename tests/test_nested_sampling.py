@@ -282,3 +282,24 @@ def test_ns_5d_correlated_gaussian(key, rng):
             np.asarray(result.parameter_expected_values.mean),
             np.zeros(d5), atol=0.25,
         )
+
+
+@pytest.mark.slow
+def test_logz_error_bars_calibrated(key):
+    """The reported logZ standard error must match the true run-to-run
+    spread (a 24-seed study gives empirical-sd/reported-err = 1.00; this
+    cheaper 8-seed version bounds the ratio)."""
+    problem = _problem()
+    gots, errs = [], []
+    for seed in range(8):
+        r = nested_sampling(
+            problem, jax.random.PRNGKey(seed), sample_pool_size=100,
+            max_iterations=1500, min_iterations=100, monte_carlo_steps=80,
+        )
+        gots.append(float(r.log_evidence.mean))
+        errs.append(float(r.log_evidence.standard_error))
+    gots, errs = np.asarray(gots), np.asarray(errs)
+    z = (gots - _analytic_log_z()) / errs
+    assert np.abs(z).max() < 4.5, z
+    ratio = gots.std(ddof=1) / errs.mean()
+    assert 0.35 < ratio < 2.5, ratio
