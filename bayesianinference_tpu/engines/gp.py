@@ -174,8 +174,20 @@ def predict_from_gaussian_process(
         raise ValueError("problem has no attached GPModel metadata")
     points = jnp.atleast_2d(_f(points))
 
-    log_w = result.crude_log_posterior_weights
-    thetas = result.points
+    if isinstance(result, NestedSamplingResult):
+        log_w = result.crude_log_posterior_weights
+        thetas = result.points
+    else:
+        # any weighted-sample carrier (WeightedSamples, Empirical, or a
+        # plain [S, d] array of equally-weighted posterior draws, e.g.
+        # from a Laplace fit or an MCMC chain)
+        thetas = jnp.asarray(getattr(result, "points", result))
+        lw = getattr(result, "log_weights", None)
+        log_w = (
+            jnp.asarray(lw)
+            if lw is not None
+            else jnp.zeros((thetas.shape[0],), thetas.dtype)
+        )
     if max_samples is not None and thetas.shape[0] > max_samples:
         order = jnp.argsort(-log_w)[:max_samples]
         thetas, log_w = thetas[order], log_w[order]

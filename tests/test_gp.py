@@ -185,3 +185,32 @@ def test_gp_null_kernel(rng):
     got = float(problem.guarded_log_likelihood(th))
     want = st.norm(0, 1.3).logpdf(y).sum()
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_gp_predict_from_plain_samples(rng, key):
+    """predict_from_gaussian_process accepts raw posterior draws (e.g. a
+    Laplace posterior sample) in place of a NestedSamplingResult."""
+    x = rng.normal(size=(20, 1))
+    y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=20)
+    problem = define_gaussian_process(
+        jnp.asarray(x), jnp.asarray(y),
+        kernel_builder=lambda th: se_kernel(th[0] ** 2, th[1]),
+        nugget_builder=lambda th: th[2] ** 2,
+        parameters=[("amp", 0.05, 5.0), ("len", 0.05, 5.0), ("noise", 0.01, 1.0)],
+        prior_distribution=["scale", "scale", "scale"],
+        validate=False,
+    )
+    thetas = jnp.asarray(
+        np.abs(rng.normal(size=(16, 3)) * 0.2 + np.array([1.0, 0.8, 0.15]))
+    )
+    pred = predict_from_gaussian_process(thetas, problem, jnp.asarray([[0.0], [1.0]]))
+    assert pred.mean().shape == (2,)
+    assert np.all(np.isfinite(np.asarray(pred.mean())))
+    # also via a WeightedSamples carrier
+    from bayesianinference_tpu.core import WeightedSamples
+
+    ws = WeightedSamples(points=thetas, log_weights=jnp.zeros(16))
+    pred2 = predict_from_gaussian_process(ws, problem, jnp.asarray([[0.0], [1.0]]))
+    np.testing.assert_allclose(
+        np.asarray(pred.mean()), np.asarray(pred2.mean()), rtol=1e-10
+    )
