@@ -34,7 +34,25 @@ from ..ops.ns_math import (
     log_x_live_tail,
 )
 
-__all__ = ["MeanAndError", "NestedSamplingResult", "evidence_sampling", "combine_runs"]
+__all__ = [
+    "MeanAndError",
+    "NestedSamplingResult",
+    "evidence_sampling",
+    "combine_runs",
+    "dedup_by_point",
+]
+
+
+def dedup_by_point(points, *aligned):
+    """Drop samples whose parameter point is an exact duplicate of an
+    earlier one, keeping first occurrences in the given order
+    (``DeleteDuplicatesBy[..., #Point&]``, BS:1294-1297).  Host-side,
+    one-off.  Returns (points, *aligned) filtered consistently."""
+    import numpy as np
+
+    _, uniq_idx = np.unique(np.asarray(points), axis=0, return_index=True)
+    uniq_idx = jnp.asarray(np.sort(uniq_idx))
+    return (points[uniq_idx],) + tuple(a[uniq_idx] for a in aligned)
 
 
 @jax.tree_util.register_dataclass
@@ -307,12 +325,7 @@ def combine_runs(
     ll = jnp.concatenate([r.log_likelihoods for r in results])
     lp = jnp.concatenate([r.log_priors for r in results])
 
-    # dedupe by point (BS:1294-1297) — host-side, one-off
-    import numpy as np
-
-    _, uniq_idx = np.unique(np.asarray(pts), axis=0, return_index=True)
-    uniq_idx = jnp.asarray(np.sort(uniq_idx))
-    pts, ll, lp = pts[uniq_idx], ll[uniq_idx], lp[uniq_idx]
+    pts, ll, lp = dedup_by_point(pts, ll, lp)
 
     order = jnp.argsort(ll, stable=True)
     pool = sum(r.sample_pool_size for r in results)

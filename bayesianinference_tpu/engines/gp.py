@@ -189,6 +189,14 @@ def predict_from_gaussian_process(
             else jnp.zeros((thetas.shape[0],), thetas.dtype)
         )
     if max_samples is not None and thetas.shape[0] > max_samples:
+        import warnings
+
+        warnings.warn(
+            f"predict_from_gaussian_process: truncating to the "
+            f"{max_samples} highest-weight posterior samples of "
+            f"{thetas.shape[0]} (pass max_samples=None to keep all)",
+            stacklevel=2,
+        )
         order = jnp.argsort(-log_w)[:max_samples]
         thetas, log_w = thetas[order], log_w[order]
 

@@ -62,8 +62,31 @@ class NSState(NamedTuple):
     log_z: jnp.ndarray  # crude log evidence
     entropy: jnp.ndarray
     log_missing: jnp.ndarray  # log estimated missing evidence
-    num_likelihood_evals: jnp.ndarray  # scalar int
+    num_likelihood_evals: jnp.ndarray  # [2] int32 (hi, lo) base-2^30 pair
     interrupted: jnp.ndarray  # scalar bool (cooperative cancellation)
+
+
+_EVAL_BASE = 1 << 30  # counter radix: int32-safe per-iteration accumulation
+
+
+def _accumulate_evals(counter: jnp.ndarray, inc: jnp.ndarray) -> jnp.ndarray:
+    """Add ``inc`` to the (hi, lo) eval counter without int32 wraparound.
+
+    TPU has no int64 (x64 stays off on the bench path), and at >1e8
+    likelihood evals/s a flat int32 counter wraps within seconds.  Keeping
+    (hi, lo) base-2^30 digits is exact as long as a single iteration adds
+    < 2^30 evals (it adds at most num_delete * max_steps)."""
+    lo = counter[1] + inc.astype(jnp.int32)
+    carry = lo // _EVAL_BASE
+    return jnp.stack([counter[0] + carry, lo - carry * _EVAL_BASE])
+
+
+def evals_to_int(counter) -> int:
+    """Host-side decode of the (hi, lo) eval counter to a Python int."""
+    import numpy as np
+
+    c = np.asarray(counter).reshape(-1, 2)
+    return int((c[:, 0].astype(object) * _EVAL_BASE + c[:, 1]).sum())
 
 
 def _crude_log_z_masked(
@@ -398,9 +421,9 @@ def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig)
             log_z=log_z,
             entropy=entropy,
             log_missing=log_missing,
-            num_likelihood_evals=s.num_likelihood_evals
-            + jnp.sum(proposed).astype(s.num_likelihood_evals.dtype)
-            + k,
+            num_likelihood_evals=_accumulate_evals(
+                s.num_likelihood_evals, jnp.sum(proposed) + k
+            ),
             interrupted=interrupted,
         )
 
@@ -439,9 +462,7 @@ def _ns_loop_jit(
         log_z=jnp.asarray(lz, dtype),
         entropy=jnp.asarray(0.0, dtype),
         log_missing=jnp.asarray(0.0, dtype),
-        num_likelihood_evals=jnp.asarray(
-            0, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
-        ),
+        num_likelihood_evals=jnp.zeros((2,), jnp.int32),
         interrupted=jnp.asarray(False),
     )
     cond, body = _build_loop(problem, n_live, dim, dtype, cfg)
@@ -581,6 +602,6 @@ def nested_sampling(
     return dataclasses.replace(
         result,
         acceptance_rates=acc,
-        num_likelihood_evals=int(run.state.num_likelihood_evals),
+        num_likelihood_evals=evals_to_int(run.state.num_likelihood_evals),
         iterations=int(run.state.iteration) - 1,
     )

@@ -26,8 +26,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engines.evidence import NestedSamplingResult, evidence_sampling
+from ..engines.evidence import (
+    NestedSamplingResult,
+    dedup_by_point,
+    evidence_sampling,
+)
 from ..engines.nested_sampling import (
+    evals_to_int,
     generate_starting_points,
     nested_sampling_loop,
 )
@@ -119,6 +124,8 @@ def parallel_nested_sampling(
     pts = jnp.concatenate(pts_list)
     ll = jnp.concatenate(ll_list)
     lp = jnp.concatenate(lp_list)
+    # dedup by point exactly as combineRuns does (BS:1294-1297)
+    pts, ll, lp = dedup_by_point(pts, ll, lp)
     order = jnp.argsort(ll, stable=True)
 
     total_pool = num_runs * sample_pool_size
@@ -135,6 +142,6 @@ def parallel_nested_sampling(
     )
     return dataclasses.replace(
         result,
-        num_likelihood_evals=int(jnp.sum(evals)),
+        num_likelihood_evals=evals_to_int(evals),
         iterations=int(jnp.max(iters)) - 1,
     )

@@ -76,7 +76,9 @@ def main():
         best_dt = min(best_dt, time.perf_counter() - t0)
     dt = best_dt
 
-    evals = int(r.state.num_likelihood_evals)
+    from bayesianinference_tpu.engines.nested_sampling import evals_to_int
+
+    evals = evals_to_int(r.state.num_likelihood_evals)
     evals_per_sec = evals / dt
 
     print(

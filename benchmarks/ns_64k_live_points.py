@@ -74,7 +74,9 @@ def main():
     r = run(jax.random.fold_in(key, 1))
     v = float(r.state.log_z)  # host fetch forces completion
     dt = time.perf_counter() - t0
-    evals = int(r.state.num_likelihood_evals)
+    from bayesianinference_tpu.engines.nested_sampling import evals_to_int
+
+    evals = evals_to_int(r.state.num_likelihood_evals)
     print(
         f"platform={jax.default_backend()} n_live={args.n_live} "
         f"num_delete={args.num_delete} iters={args.iters}"

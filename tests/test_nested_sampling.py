@@ -303,3 +303,24 @@ def test_logz_error_bars_calibrated(key):
     assert np.abs(z).max() < 4.5, z
     ratio = gots.std(ddof=1) / errs.mean()
     assert 0.35 < ratio < 2.5, ratio
+
+
+def test_eval_counter_monotone_past_int32():
+    """The (hi, lo) eval counter must not wrap at 2^31 (TPU has no int64;
+    a flat int32 counter wraps in ~16 s at measured throughputs)."""
+    from bayesianinference_tpu.engines.nested_sampling import (
+        _accumulate_evals,
+        evals_to_int,
+    )
+
+    counter = jnp.zeros((2,), jnp.int32)
+    inc = jnp.asarray(123_456_789, jnp.int32)
+    total = 0
+    for _ in range(40):  # crosses 2^31 ~ 2.1e9 twice over
+        counter = _accumulate_evals(counter, inc)
+        total += int(inc)
+    assert evals_to_int(counter) == total
+    assert total > 2**32
+    # stacked per-run counters (parallel NS) decode to the pooled sum
+    stacked = jnp.stack([counter, counter])
+    assert evals_to_int(stacked) == 2 * total
