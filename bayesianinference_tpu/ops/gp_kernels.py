@@ -218,29 +218,62 @@ def _gp_logml_fwd(k_matrix, y):
     return out, (L, w, ok)
 
 
-def _inv_from_chol(L, chunk: int = 2048):
-    """K^-1 from L = chol(K) by solving against identity COLUMN BLOCKS
-    under lax.scan.  XLA's TPU triangular solve materializes huge temps for
-    very wide right-hand sides (67 GB at n=16k for the full identity);
-    chunking keeps the working set at O(n * chunk) while each block is
-    still a large MXU-friendly solve."""
+def _tri_inv_lower(L, base: int = 256):
+    """Z = L^-1 for lower-triangular L by blocked divide and conquer:
+
+        [[A, 0], [B, C]]^-1 = [[A^-1, 0], [-C^-1 B A^-1, C^-1]]
+
+    Triangular solves appear only at the ``base``-sized diagonal blocks —
+    ALL of which invert in one batched (vmapped) solve — and the combine
+    step runs level-by-level as batched matmuls, which is what the MXU
+    wants: XLA's own triangular solve runs its substitution serially and
+    leaves the MXU idle (the 8x forward/backward gap of PERFORMANCE.md
+    round 1 lived here).  Static shapes; log2(n/base) levels."""
     n = L.shape[-1]
-    if n <= chunk or n % chunk != 0:
-        eye = jnp.eye(n, dtype=L.dtype)
-        z = solve_triangular(L, eye, lower=True)
-        return solve_triangular(L, z, lower=True, trans=1)
+    nb = n // base if n % base == 0 else 0
+    if L.ndim != 2 or nb <= 1 or (nb & (nb - 1)) != 0:
+        # general fallback (odd sizes, leading batch dims): plain recursion
+        if n <= base:
+            return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+        m = n // 2
+        ai = _tri_inv_lower(L[..., :m, :m], base)
+        ci = _tri_inv_lower(L[..., m:, m:], base)
+        x = -ci @ (L[..., m:, :m] @ ai)
+        top = jnp.concatenate(
+            [ai, jnp.zeros(ai.shape[:-1] + (n - m,), L.dtype)], axis=-1
+        )
+        bot = jnp.concatenate([x, ci], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
 
-    def body(_, i):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 1) + i * chunk
-        eye_block = (rows == cols).astype(L.dtype)
-        z = solve_triangular(L, eye_block, lower=True)
-        w = solve_triangular(L, z, lower=True, trans=1)  # K^-1 columns
-        return None, w
+    # [k, k, m, m] block view of L at the current level's block size m
+    blocks = L.reshape(nb, base, nb, base).transpose(0, 2, 1, 3)
+    diag = blocks[jnp.arange(nb), jnp.arange(nb)]  # [nb, base, base]
+    invs = jax.vmap(
+        lambda t: solve_triangular(t, jnp.eye(base, dtype=L.dtype), lower=True)
+    )(diag)
 
-    _, blocks = jax.lax.scan(body, None, jnp.arange(n // chunk))
-    # [nb, n, chunk] -> [n, n] (column blocks in order)
-    return jnp.moveaxis(blocks, 0, 1).reshape(n, n)
+    m, k = base, nb
+    while k > 1:
+        pairs = invs.reshape(k // 2, 2, m, m)
+        ai, ci = pairs[:, 0], pairs[:, 1]
+        bv = L.reshape(k // 2, 2 * m, k // 2, 2 * m).transpose(0, 2, 1, 3)
+        b = bv[jnp.arange(k // 2), jnp.arange(k // 2), m:, :m]  # [k/2, m, m]
+        x = -ci @ (b @ ai)
+        new = jnp.zeros((k // 2, 2 * m, 2 * m), L.dtype)
+        new = new.at[:, :m, :m].set(ai)
+        new = new.at[:, m:, :m].set(x)
+        new = new.at[:, m:, m:].set(ci)
+        invs, m, k = new, 2 * m, k // 2
+    return invs[0]
+
+
+def _inv_from_chol(L):
+    """K^-1 from L = chol(K):  K^-1 = L^-T L^-1 = Z^T Z with Z = L^-1
+    computed by the blocked inverse above — one matmul-dominated pass
+    instead of 2n chained triangular-solve columns."""
+    z = _tri_inv_lower(L)
+    k_inv = jnp.swapaxes(z, -1, -2) @ z
+    return 0.5 * (k_inv + jnp.swapaxes(k_inv, -1, -2))
 
 
 def _gp_logml_bwd(res, g):

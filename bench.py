@@ -1,16 +1,17 @@
-"""Benchmark: nested-sampling likelihood throughput on one chip.
+"""Benchmark: both BASELINE metrics on one chip, ONE JSON line.
 
-Prints ONE JSON line:
   {"metric": "ns_likelihood_evals_per_sec_per_chip", "value": N,
-   "unit": "evals/s", "vs_baseline": N / 1e6}
+   "unit": "evals/s", "vs_baseline": N / 1e6,
+   "gp_logml_grad_tflops_n16k": T, "gp_logml_fwd_ms_n16k": ms,
+   "gp_logml_grad_ms_n16k": ms}
 
-Config: the BASELINE 2-D Gaussian-likelihood x uniform-prior nested
-sampling run (BASELINE.json configs[1]), with the live-point pool evolved
-by batched vmapped adaptive-Metropolis chains (num_delete chains per
-iteration, each chain a lax.scan of MH steps; every step evaluates one
-likelihood per chain).  The baseline target is >= 1e6 evals/s/chip
-(BASELINE.json north_star).
-"""
+Primary metric (BASELINE north_star >= 1e6 evals/s/chip): the 2-D
+Gaussian-likelihood x uniform-prior nested-sampling run (BASELINE.json
+configs[1]), live-point pool evolved by batched vmapped
+adaptive-Metropolis chains.  Secondary (BASELINE metric string, configs
+[3]): the n=16k SE-kernel GP log-marginal-likelihood + hyperparameter
+gradient, reported as chol-equivalent TFLOP/s (4 n^3 / 3 flops, the
+PERFORMANCE.md convention)."""
 
 from __future__ import annotations
 
@@ -27,6 +28,60 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
+
+
+def bench_gp(n=16384, reps=4):
+    """Time the SE-kernel logML forward and value+grad at ``n``; returns
+    (fwd_ms, grad_ms, grad_tflops).  Reps run inside one jitted scan so the
+    ~24 ms axon host-fetch amortizes (see PERFORMANCE.md on timing through
+    the tunnel)."""
+    from bayesianinference_tpu.ops.gp_kernels import (
+        covariance_matrix,
+        gp_log_marginal_likelihood,
+        se_kernel,
+    )
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, 3), jnp.float32)
+    y = jnp.sin(x[:, 0]) + 0.1 * jax.random.normal(key, (n,), jnp.float32)
+
+    def f(th):
+        k = covariance_matrix(
+            se_kernel(jnp.exp(th[0]), jnp.exp(th[1])), x, nugget=jnp.exp(th[2])
+        )
+        return gp_log_marginal_likelihood(k, y)
+
+    th0 = jnp.asarray([0.0, 0.0, -2.0], jnp.float32)
+    # perturb theta per rep so the scan can't CSE the iterations away
+    thetas = th0 + 1e-4 * jnp.arange(reps, dtype=jnp.float32)[:, None]
+
+    @jax.jit
+    def many_fwd(ths):
+        return jax.lax.scan(lambda c, t: (c + f(t), None), 0.0, ths)[0]
+
+    @jax.jit
+    def many_grad(ths):
+        def step(c, t):
+            v, g = jax.value_and_grad(f)(t)
+            return c + v + jnp.sum(g), None
+
+        return jax.lax.scan(step, 0.0, ths)[0]
+
+    results = {}
+    for name, fn in (("fwd", many_fwd), ("grad", many_grad)):
+        float(fn(thetas))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(thetas))  # host fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        results[name] = best / reps
+    flops = 4.0 * n**3 / 3.0
+    return (
+        results["fwd"] * 1e3,
+        results["grad"] * 1e3,
+        flops / results["grad"] / 1e12,
+    )
 
 
 def main():
@@ -87,6 +142,14 @@ def main():
         f"(analytic -4.605)",
         file=sys.stderr,
     )
+
+    gp_fwd_ms, gp_grad_ms, gp_tflops = bench_gp()
+    print(
+        f"[bench] gp n=16k fwd={gp_fwd_ms:.1f}ms grad={gp_grad_ms:.1f}ms "
+        f"({gp_tflops:.1f} chol-equiv TF/s)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -94,6 +157,9 @@ def main():
                 "value": evals_per_sec,
                 "unit": "evals/s",
                 "vs_baseline": evals_per_sec / 1e6,
+                "gp_logml_fwd_ms_n16k": round(gp_fwd_ms, 2),
+                "gp_logml_grad_ms_n16k": round(gp_grad_ms, 2),
+                "gp_logml_grad_tflops_n16k": round(gp_tflops, 2),
             }
         )
     )

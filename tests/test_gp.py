@@ -214,3 +214,36 @@ def test_gp_predict_from_plain_samples(rng, key):
     np.testing.assert_allclose(
         np.asarray(pred.mean()), np.asarray(pred2.mean()), rtol=1e-10
     )
+
+
+def test_blocked_triangular_inverse_matches_dense():
+    """_tri_inv_lower (MXU-friendly blocked L^-1, the gradient hot path)
+    must match the dense inverse on the level-based path (power-of-two
+    block counts), the recursive fallback (odd n), and under vmap."""
+    from bayesianinference_tpu.ops.gp_kernels import _inv_from_chol, _tri_inv_lower
+
+    rng = np.random.default_rng(3)
+    for n in (64, 512, 700):
+        a = rng.standard_normal((n, n))
+        k = a @ a.T + n * np.eye(n)
+        chol = np.linalg.cholesky(k)
+        z = np.asarray(_tri_inv_lower(jnp.asarray(chol), base=256))
+        np.testing.assert_allclose(z, np.linalg.inv(chol), atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(_inv_from_chol(jnp.asarray(chol))),
+            np.linalg.inv(k),
+            atol=1e-8,
+        )
+    chols = np.stack(
+        [
+            np.linalg.cholesky(
+                (lambda b: b @ b.T + 600 * np.eye(512))(
+                    rng.standard_normal((512, 512))
+                )
+            )
+            for _ in range(3)
+        ]
+    )
+    zb = np.asarray(jax.vmap(_tri_inv_lower)(jnp.asarray(chols)))
+    for i in range(3):
+        np.testing.assert_allclose(zb[i], np.linalg.inv(chols[i]), atol=1e-8)
