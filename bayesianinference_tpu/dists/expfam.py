@@ -24,6 +24,8 @@ __all__ = [
     "NORMAL",
     "POISSON",
     "LOG_NORMAL",
+    "GAMMA",
+    "INVERSE_GAMMA",
     "GAMMA_FIXED_SHAPE",
     "conjugate_update",
 ]
@@ -195,6 +197,50 @@ LOG_NORMAL = ExponentialFamily(
     ),
     natural_parameter_count=2,
     log_conjugate_partition=_nig_log_partition,
+)
+
+GAMMA = ExponentialFamily(
+    name="Gamma",
+    # GammaDistribution[k, theta] (shape/scale): eta = (k - 1, -1/theta),
+    # T(x) = (log x, x), A = logGamma(eta1 + 1) - (eta1 + 1) log(-eta2),
+    # h = 1 (EF:176-181).  No closed-form conjugate partition exists (the
+    # reference defines none either): conjugate_update still accumulates
+    # (chi, nu) exactly; normalized conjugate/predictive densities raise.
+    natural_parameters=lambda k, theta: jnp.stack(
+        [_f(k) - 1.0, -1.0 / _f(theta)], axis=-1
+    ),
+    log_partition=lambda eta: jsp.gammaln(jnp.asarray(eta)[..., 0] + 1.0)
+    - (jnp.asarray(eta)[..., 0] + 1.0) * jnp.log(-jnp.asarray(eta)[..., 1]),
+    log_base_measure=lambda x: jnp.zeros(jnp.shape(_f(x))),
+    sufficient_statistic=lambda x: jnp.stack([jnp.log(_f(x)), _f(x)], axis=-1),
+    natural_parameter_count=2,
+    natural_parameter_support=lambda eta: jnp.logical_and(
+        jnp.asarray(eta)[..., 0] > -1.0, jnp.asarray(eta)[..., 1] < 0
+    ),
+    parameter_support=lambda k, theta: jnp.logical_and(
+        _f(k) > 0, _f(theta) > 0
+    ),
+)
+
+INVERSE_GAMMA = ExponentialFamily(
+    name="InverseGamma",
+    # InverseGammaDistribution[a, b]: eta = (-a - 1, -b),
+    # T(x) = (log x, 1/x), A = logGamma(-eta1 - 1) - (-eta1 - 1) log(-eta2),
+    # h = 1 (EF:184-189).  As for Gamma, no closed-form conjugate partition.
+    natural_parameters=lambda a, b: jnp.stack(
+        [-_f(a) - 1.0, -_f(b)], axis=-1
+    ),
+    log_partition=lambda eta: jsp.gammaln(-jnp.asarray(eta)[..., 0] - 1.0)
+    - (-jnp.asarray(eta)[..., 0] - 1.0) * jnp.log(-jnp.asarray(eta)[..., 1]),
+    log_base_measure=lambda x: jnp.zeros(jnp.shape(_f(x))),
+    sufficient_statistic=lambda x: jnp.stack(
+        [jnp.log(_f(x)), 1.0 / _f(x)], axis=-1
+    ),
+    natural_parameter_count=2,
+    natural_parameter_support=lambda eta: jnp.logical_and(
+        jnp.asarray(eta)[..., 0] < -1.0, jnp.asarray(eta)[..., 1] < 0
+    ),
+    parameter_support=lambda a, b: jnp.logical_and(_f(a) > 0, _f(b) > 0),
 )
 
 GAMMA_FIXED_SHAPE = ExponentialFamily(

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.stats as st
 from scipy import integrate
 
@@ -190,3 +191,86 @@ def test_parameter_mixture(key):
     np.testing.assert_allclose(got, want, atol=0.1)
     s = np.asarray(pm.sample(key, (100_000,)))
     np.testing.assert_allclose(s.std(), np.sqrt(2), rtol=0.02)
+
+
+def test_expfam_gamma_and_inverse_gamma_canonical_pdfs():
+    """The two remaining reference families (EF:176-189): canonical
+    log-densities in natural coordinates must match scipy's standard
+    parameterizations."""
+    x = np.linspace(0.1, 6, 17)
+    # GammaDistribution[k, theta] (shape/scale)
+    fam = d.GAMMA
+    eta = fam.natural_parameters(2.3, 1.7)
+    np.testing.assert_allclose(
+        np.asarray(fam.log_pdf(jnp.asarray(x), eta)),
+        st.gamma(2.3, scale=1.7).logpdf(x),
+        rtol=1e-8,
+    )
+    assert bool(fam.natural_parameter_support(eta))
+    assert not bool(fam.natural_parameter_support(jnp.asarray([-1.5, -1.0])))
+    # InverseGammaDistribution[a, b]
+    fam = d.INVERSE_GAMMA
+    eta = fam.natural_parameters(3.2, 1.4)
+    np.testing.assert_allclose(
+        np.asarray(fam.log_pdf(jnp.asarray(x), eta)),
+        st.invgamma(3.2, scale=1.4).logpdf(x),
+        rtol=1e-8,
+    )
+    assert bool(fam.natural_parameter_support(eta))
+    assert not bool(fam.natural_parameter_support(jnp.asarray([-0.5, -1.0])))
+
+
+def test_expfam_gamma_conjugate_update_and_quadrature_predictive():
+    """No closed-form conjugate partition exists for the 2-parameter Gamma
+    (the reference defines none, EF:176-181), so the normalized conjugate
+    API must raise; the (chi, nu) update itself is exact, and the
+    predictive built by numeric quadrature of the conjugate kernel over
+    the natural-parameter region must integrate to 1 over x."""
+    fam = d.GAMMA
+    data = jnp.asarray([1.2, 0.7, 2.5])
+    chi0, nu0 = jnp.asarray([0.5, 1.0]), 1.0
+    chi, nu = d.conjugate_update(fam, chi0, nu0, data)
+    np.testing.assert_allclose(
+        np.asarray(chi),
+        [0.5 + np.sum(np.log(np.asarray(data))), 1.0 + float(np.sum(data))],
+        rtol=1e-12,
+    )
+    assert float(nu) == 4.0
+    with pytest.raises(NotImplementedError):
+        fam.log_conjugate_pdf(jnp.asarray([1.0, -1.0]), chi, nu)
+    with pytest.raises(NotImplementedError):
+        fam.log_predictive_pdf(1.0, chi, nu)
+
+    from scipy.special import gammaln as _gammaln
+
+    def kernel_integral(chi_, nu_):
+        # pure-numpy conjugate kernel (same formula as fam.log_partition)
+        # so each quadrature evaluation avoids a JAX dispatch
+        c1, c2 = float(chi_[0]), float(chi_[1])
+
+        def f(e2, e1):
+            a = _gammaln(e1 + 1.0) - (e1 + 1.0) * np.log(-e2)
+            return np.exp(e1 * c1 + e2 * c2 - nu_ * a)
+
+        return integrate.dblquad(f, -0.95, 8.0, -30.0, -1e-3)[0]
+
+    # spot-check the numpy kernel against the framework's
+    np.testing.assert_allclose(
+        float(
+            fam.log_conjugate_kernel(jnp.asarray([1.0, -2.0]), chi, float(nu))
+        ),
+        1.0 * float(chi[0]) + (-2.0) * float(chi[1])
+        - float(nu) * float(fam.log_partition(jnp.asarray([1.0, -2.0]))),
+        rtol=1e-12,
+    )
+
+    denom = kernel_integral(np.asarray(chi), float(nu))
+
+    def predictive(x):
+        t = np.array([np.log(x), x])
+        return kernel_integral(np.asarray(chi) + t, float(nu) + 1.0) / denom
+
+    xs = np.linspace(1e-3, 12, 40)
+    ys = np.asarray([predictive(float(v)) for v in xs])
+    total = np.trapezoid(ys, xs)
+    np.testing.assert_allclose(total, 1.0, rtol=2e-2)
