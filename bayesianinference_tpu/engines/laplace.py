@@ -512,6 +512,10 @@ def laplace_posterior_fit(
     log_likelihood: Optional[Callable] = None,
     log_prior: Optional[Callable] = None,
     problem: Optional[InferenceProblem] = None,
+    model=None,
+    data: Optional[dict] = None,
+    parameters=None,
+    model_inputs: Optional[dict] = None,
     hyper_density_builder: Optional[Callable] = None,
     hyper_prior: Optional[Distribution] = None,
     n_hyper: Optional[int] = None,
@@ -526,12 +530,27 @@ def laplace_posterior_fit(
 ) -> LaplaceFit:
     """High-level Laplace fit (``laplacePosteriorFit``, LA:453-563).
 
-    Either pass ``problem`` (an :class:`InferenceProblem`) or explicit
-    ``log_likelihood`` + ``log_prior`` callables with box bounds.  With
-    ``hyper_density_builder`` (eta -> (loglike, logprior) pair) the MacKay /
-    search hyperparameter machinery is engaged.
+    Model specs, one of:
+    * ``problem`` — an :class:`InferenceProblem`;
+    * ``log_likelihood`` + ``log_prior`` callables with box bounds;
+    * ``model`` (a :class:`~..dists.combinators.ConditionalProduct`
+      generative model) + ``data`` (observed variables) + ``parameters``
+      (free-variable specs) [+ ``model_inputs``] — the reference's
+      ``Distributed[var, dist]`` front-end with the graph dependency /
+      acyclicity validation of LA:485-518.
+
+    With ``hyper_density_builder`` (eta -> (loglike, logprior) pair) the
+    MacKay / search hyperparameter machinery is engaged.
     """
     key = jax.random.PRNGKey(0) if key is None else key
+    if model is not None:
+        if problem is not None:
+            raise ValueError("pass either model=... or problem=..., not both")
+        from ..models.generative import generative_model_problem
+
+        problem = generative_model_problem(
+            model, data or {}, parameters or (), inputs=model_inputs
+        )
     if problem is not None:
         log_likelihood = problem.log_likelihood
         log_prior = problem.log_prior

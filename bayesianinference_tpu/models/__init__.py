@@ -1,3 +1,4 @@
+from .generative import generative_model_problem
 from .problem import (
     InferenceProblem,
     ParamSpec,
@@ -13,6 +14,7 @@ __all__ = [
     "InferenceProblem",
     "ParamSpec",
     "define_inference_problem",
+    "generative_model_problem",
     "ignorance_prior",
     "iid_likelihood",
     "random_domain_points",

@@ -220,3 +220,99 @@ def test_fit_precision_at_max(rng):
             jnp.asarray(line),
             jnp.asarray(3.0 - 0.5 * np.einsum("ni,ij,nj->n", dl, p_true, dl)),
         )
+
+
+def test_laplace_generative_model_front_end(key):
+    """The ConditionalProduct front-end (LA:453-518) must reproduce the
+    plain-callable Iris logistic fit exactly."""
+    from sklearn.datasets import load_iris
+
+    from bayesianinference_tpu.dists.combinators import ConditionalProduct
+    from bayesianinference_tpu.models import generative_model_problem
+
+    iris = load_iris()
+    x = jnp.asarray((iris.data - iris.data.mean(0)) / iris.data.std(0))
+    y = jnp.asarray((iris.target == 0).astype(float))
+
+    model = ConditionalProduct(
+        [
+            ("b0", lambda v: d.Normal(0.0, 10.0)),
+            ("w", lambda v: d.Normal(jnp.zeros(4), 10.0)),
+            (
+                "y",
+                lambda v: d.BernoulliLogits(logits=v["b0"] + v["x"] @ v["w"]),
+            ),
+        ]
+    )
+    problem = generative_model_problem(
+        model,
+        data={"y": y},
+        parameters=[("b0", -50.0, 50.0), ("w", -50.0, 50.0, (4,))],
+        inputs={"x": x},
+    )
+    assert problem.param_names == ("b0", "w[0]", "w[1]", "w[2]", "w[3]")
+
+    # identical densities to the hand-written callables
+    th = jnp.asarray([0.3, -1.0, 0.5, 2.0, -0.7])
+    want_ll = float(
+        jnp.sum(d.BernoulliLogits(logits=th[0] + x @ th[1:]).log_prob(y))
+    )
+    want_lp = float(jnp.sum(d.Normal(0.0, 10.0).log_prob(th)))
+    np.testing.assert_allclose(float(problem.log_likelihood(th)), want_ll, rtol=1e-12)
+    np.testing.assert_allclose(float(problem.log_prior(th)), want_lp, rtol=1e-12)
+
+    # same Laplace fit through the model= front door
+    fit = laplace_posterior_fit(
+        model=model,
+        data={"y": y},
+        parameters=[("b0", -50.0, 50.0), ("w", -50.0, 50.0, (4,))],
+        model_inputs={"x": x},
+        key=key,
+    )
+    fit_ref = laplace_posterior_fit(problem=problem, key=key)
+    np.testing.assert_allclose(
+        np.asarray(fit.mean), np.asarray(fit_ref.mean), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(fit.log_evidence), float(fit_ref.log_evidence), rtol=1e-10
+    )
+
+
+def test_generative_model_validation_errors():
+    """The structural checks of LA:485-504 must reject bad models."""
+    from bayesianinference_tpu.dists.combinators import ConditionalProduct
+    from bayesianinference_tpu.models import generative_model_problem
+
+    # a parameter depending on an observed variable
+    bad = ConditionalProduct(
+        [
+            ("y", lambda v: d.Normal(0.0, 1.0)),
+            ("mu", lambda v: d.Normal(v["y"], 1.0)),
+        ]
+    )
+    with pytest.raises(ValueError, match="cannot depend on dependent"):
+        generative_model_problem(
+            bad, data={"y": jnp.asarray([0.1])}, parameters=["mu"]
+        )
+
+    # an input with a parent
+    bad2 = ConditionalProduct(
+        [
+            ("mu", lambda v: d.Normal(0.0, 1.0)),
+            ("x", lambda v: d.Normal(v["mu"], 1.0)),
+            ("y", lambda v: d.Normal(v["x"], 1.0)),
+        ]
+    )
+    with pytest.raises(ValueError, match="independent variable"):
+        generative_model_problem(
+            bad2,
+            data={"y": jnp.asarray([0.1])},
+            parameters=["mu"],
+            inputs={"x": jnp.asarray([0.0])},
+        )
+
+    # unaccounted (latent) node
+    with pytest.raises(ValueError, match="neither observed"):
+        generative_model_problem(
+            bad2, data={"y": jnp.asarray([0.1])}, parameters=["mu"]
+        )
