@@ -11,7 +11,12 @@ from .conjugate import (
     update_conjugate_model,
 )
 from .direct import DirectPosterior, direct_posterior_distribution, gauss_legendre_grid
-from .gp import GPModel, define_gaussian_process, predict_from_gaussian_process
+from .gp import (
+    GPModel,
+    coordinate_bounds_grid,
+    define_gaussian_process,
+    predict_from_gaussian_process,
+)
 from .evidence import MeanAndError, NestedSamplingResult, combine_runs, evidence_sampling
 from .laplace import (
     LaplaceFit,
@@ -59,6 +64,7 @@ __all__ = [
     "direct_posterior_distribution",
     "gauss_legendre_grid",
     "GPModel",
+    "coordinate_bounds_grid",
     "define_gaussian_process",
     "predict_from_gaussian_process",
     "MeanAndError",

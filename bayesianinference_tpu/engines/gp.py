@@ -29,7 +29,27 @@ from ..ops.gp_kernels import (
     gp_posterior_moments,
 )
 
-__all__ = ["GPModel", "define_gaussian_process", "predict_from_gaussian_process"]
+__all__ = [
+    "GPModel",
+    "coordinate_bounds_grid",
+    "define_gaussian_process",
+    "predict_from_gaussian_process",
+]
+
+
+def coordinate_bounds_grid(x, num: int) -> jnp.ndarray:
+    """Cartesian query grid with ``num`` points per dimension spanning the
+    coordinate bounds of the training inputs — the reference's
+    ``CoordinateBoundsArray[CoordinateBounds[data], Into[num - 1]]``
+    (GP:332-341).  Returns a flattened [num^d, d] matrix."""
+    if num < 2:
+        raise ValueError("need at least 2 grid points per dimension")
+    x = jnp.atleast_2d(jnp.asarray(x))
+    lo = jnp.min(x, axis=0)
+    hi = jnp.max(x, axis=0)
+    axes = [jnp.linspace(lo[j], hi[j], num) for j in range(x.shape[1])]
+    mesh = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack([m.ravel() for m in mesh], axis=-1)
 
 
 def _f(x):
@@ -52,6 +72,9 @@ class GPModel:
     kernel_builder: Optional[Callable]
     nugget_builder: Optional[Callable] = None
     mean_builder: Optional[Callable] = None
+    # "direct" = Cholesky logML (reference default, GP:290-296);
+    # "automatic" = MVN log_prob (covarianceFunction -> Automatic, GP:268-289)
+    logml_method: str = "direct"
 
     def _pieces(self, theta):
         kernel = self.kernel_builder(theta) if self.kernel_builder else None
@@ -64,13 +87,22 @@ class GPModel:
         heteroscedastic Gaussian likelihood (diagonal covariance,
         GP:27, GP:156-159)."""
         kernel, nugget, mean_fn = self._pieces(theta)
-        y = self.y - (mean_fn(self.x) if mean_fn is not None else 0.0)
+        mean = mean_fn(self.x) if mean_fn is not None else 0.0
+        y = self.y - mean
         if kernel is None:
             nug = nugget(self.x) if callable(nugget) else jnp.broadcast_to(
                 _f(nugget), y.shape
             )
             return jnp.sum(Normal(loc=0.0, scale=jnp.sqrt(nug)).log_prob(y))
         k = covariance_matrix(kernel, self.x, nugget)
+        if self.logml_method == "automatic":
+            from ..dists.multivariate import MultivariateNormal
+
+            return jnp.sum(
+                MultivariateNormal(
+                    mean_=jnp.zeros_like(y), cov=k
+                ).log_prob(y)
+            )
         return gp_log_marginal_likelihood(k, y)
 
     def posterior_moments(self, theta, x_query, query_nugget: bool = True):
@@ -108,6 +140,7 @@ def define_gaussian_process(
     normalize: bool = False,
     validate: bool = True,
     key=None,
+    log_likelihood_method: str = "direct",
 ) -> InferenceProblem:
     """Build the inference problem for GP hyperparameter inference
     (``defineGaussianProcess``, GP:201-330).
@@ -115,7 +148,13 @@ def define_gaussian_process(
     ``y`` must be 1-D (the reference's 1-D-output restriction, GP:209-226).
     With ``normalize=True`` the data is standardized and the transforms are
     attached to the problem metadata (GP:214-218).
+    ``log_likelihood_method``: "direct" (Cholesky path, the reference
+    default) or "automatic" (MVN log-density, the reference's
+    ``covarianceFunction -> Automatic`` option, GP:268-289); both must
+    agree to numerical precision.
     """
+    if log_likelihood_method not in ("direct", "automatic"):
+        raise ValueError(f"bad log_likelihood_method {log_likelihood_method!r}")
     x = jnp.atleast_2d(_f(x))
     y = _f(y)
     if y.ndim == 2:
@@ -137,6 +176,7 @@ def define_gaussian_process(
         kernel_builder=kernel_builder,
         nugget_builder=nugget_builder,
         mean_builder=mean_builder,
+        logml_method=log_likelihood_method,
     )
     problem = define_inference_problem(
         parameters=parameters,
@@ -172,6 +212,10 @@ def predict_from_gaussian_process(
     model: GPModel = (problem.metadata or {}).get("gaussian_process")
     if model is None:
         raise ValueError("problem has no attached GPModel metadata")
+    if isinstance(points, int):
+        # integer argument: grid over the training-data coordinate bounds
+        # (GP:332-341)
+        points = coordinate_bounds_grid(model.x, points)
     points = jnp.atleast_2d(_f(points))
 
     if isinstance(result, NestedSamplingResult):

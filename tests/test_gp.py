@@ -247,3 +247,67 @@ def test_blocked_triangular_inverse_matches_dense():
     zb = np.asarray(jax.vmap(_tri_inv_lower)(jnp.asarray(chols)))
     for i in range(3):
         np.testing.assert_allclose(zb[i], np.linalg.inv(chols[i]), atol=1e-8)
+
+
+def test_gp_automatic_logml_matches_direct():
+    """covarianceFunction -> Automatic (MVN log-density, GP:268-289) must
+    agree with the direct Cholesky logML path to numerical precision."""
+    from bayesianinference_tpu.engines.gp import define_gaussian_process
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-2, 2, (40, 2)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) + 0.1 * rng.standard_normal(40))
+    kb = lambda th: se_kernel(jnp.exp(th[0]), jnp.exp(th[1]))
+    common = dict(
+        kernel_builder=kb,
+        parameters=[("lv", -3.0, 3.0), ("ll", -3.0, 3.0)],
+        nugget_builder=lambda th: 0.05,
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+    p_direct = define_gaussian_process(x, y, **common)
+    p_auto = define_gaussian_process(
+        x, y, log_likelihood_method="automatic", **common
+    )
+    for th in ([0.0, 0.0], [0.7, -0.4], [-1.2, 0.9]):
+        th = jnp.asarray(th)
+        np.testing.assert_allclose(
+            float(p_auto.log_likelihood(th)),
+            float(p_direct.log_likelihood(th)),
+            rtol=1e-9,
+        )
+
+
+def test_gp_integer_grid_prediction(key):
+    """An integer query argument builds the CoordinateBoundsArray grid over
+    the training bounds (GP:332-341)."""
+    from bayesianinference_tpu.engines.gp import (
+        coordinate_bounds_grid,
+        define_gaussian_process,
+        predict_from_gaussian_process,
+    )
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.uniform(-1, 3, (25, 2)))
+    y = jnp.asarray(np.asarray(x).sum(1))
+    problem = define_gaussian_process(
+        x,
+        y,
+        kernel_builder=lambda th: se_kernel(jnp.exp(th[0]), 1.0),
+        parameters=[("lv", -2.0, 2.0)],
+        nugget_builder=lambda th: 0.1,
+        prior_distribution=["location"],
+        validate=False,
+    )
+    grid = coordinate_bounds_grid(x, 4)
+    assert grid.shape == (16, 2)
+    np.testing.assert_allclose(np.asarray(grid).min(0), np.asarray(x).min(0))
+    np.testing.assert_allclose(np.asarray(grid).max(0), np.asarray(x).max(0))
+
+    thetas = jnp.asarray([[0.0], [0.3]])
+    mix_int = predict_from_gaussian_process(thetas, problem, 4)
+    mix_pts = predict_from_gaussian_process(thetas, problem, grid)
+    np.testing.assert_allclose(
+        np.asarray(mix_int.mean()), np.asarray(mix_pts.mean()), rtol=1e-12
+    )
+    assert np.asarray(mix_int.mean()).shape == (16,)
