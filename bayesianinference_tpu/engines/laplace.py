@@ -72,45 +72,87 @@ def find_mode(
     """Jitted L-BFGS maximization of a log density from one or more starting
     points (rows of ``x0``); the best final point wins.  Replaces
     ``NMaximize``/``FindMaximum`` (LA:197-211) with a vmapped multi-start.
-    Returns (mode [d], max_value)."""
-    x0 = jnp.atleast_2d(_f(x0))
 
-    def neg(x):
-        if lower is not None:
-            x = jnp.clip(x, _f(lower), _f(upper))
-        return -log_density(x)
+    Box constraints are handled by a smooth bijection to unconstrained
+    coordinates (sigmoid for two-sided, softplus for one-sided bounds)
+    rather than clipping inside the objective — a clip zeroes the gradient
+    beyond the box, so L-BFGS would stall at the boundary instead of
+    sliding along it.  Returns (mode [d], max_value)."""
+    x0 = jnp.atleast_2d(_f(x0))
+    dtype = x0.dtype
+    d = x0.shape[-1]
+
+    if lower is None and upper is None:
+        to_x = to_z = lambda v: v
+    else:
+        lo = jnp.broadcast_to(
+            _f(-jnp.inf if lower is None else lower), (d,)
+        ).astype(dtype)
+        hi = jnp.broadcast_to(
+            _f(jnp.inf if upper is None else upper), (d,)
+        ).astype(dtype)
+        f_lo, f_hi = jnp.isfinite(lo), jnp.isfinite(hi)
+        both = f_lo & f_hi
+        # sanitized operands so no branch produces nan (grad hygiene)
+        lo_s = jnp.where(f_lo, lo, 0.0)
+        hi_s = jnp.where(f_hi, hi, 1.0)
+        width = jnp.where(both, hi_s - lo_s, 1.0)
+
+        def to_x(z):
+            x_both = lo_s + width * jax.nn.sigmoid(z)
+            x_lo = lo_s + jax.nn.softplus(z)
+            x_hi = hi_s - jax.nn.softplus(z)
+            return jnp.where(
+                both, x_both, jnp.where(f_lo, x_lo, jnp.where(f_hi, x_hi, z))
+            )
+
+        def _sp_inv(y):
+            y = jnp.maximum(y, jnp.asarray(1e-12, dtype))
+            return y + jnp.log1p(-jnp.exp(-y))
+
+        def to_z(x):
+            frac = jnp.clip((x - lo_s) / width, 1e-9, 1.0 - 1e-9)
+            z_both = jnp.log(frac) - jnp.log1p(-frac)
+            z_lo = _sp_inv(jnp.maximum(x - lo_s, 1e-9))
+            z_hi = _sp_inv(jnp.maximum(hi_s - x, 1e-9))
+            return jnp.where(
+                both, z_both, jnp.where(f_lo, z_lo, jnp.where(f_hi, z_hi, x))
+            )
+
+    def neg(z):
+        return -log_density(to_x(z))
 
     opt = optax.lbfgs()
     value_and_grad = optax.value_and_grad_from_state(neg)
 
     def solve_one(x_init):
-        state0 = opt.init(x_init)
+        z_init = to_z(x_init)
+        state0 = opt.init(z_init)
 
         def cond(carry):
-            x, state, i, gnorm = carry
+            z, state, i, gnorm = carry
             return jnp.logical_and(i < maxiter, gnorm > tol)
 
         def body(carry):
-            x, state, i, _ = carry
-            v, g = value_and_grad(x, state=state)
+            z, state, i, _ = carry
+            v, g = value_and_grad(z, state=state)
             updates, state = opt.update(
-                g, state, x, value=v, grad=g, value_fn=neg
+                g, state, z, value=v, grad=g, value_fn=neg
             )
-            x = optax.apply_updates(x, updates)
-            return x, state, i + 1, jnp.linalg.norm(g)
+            z = optax.apply_updates(z, updates)
+            return z, state, i + 1, jnp.linalg.norm(g)
 
-        x, state, _, _ = jax.lax.while_loop(
-            cond, body, (x_init, state0, 0, jnp.asarray(jnp.inf, x_init.dtype))
+        z, state, _, _ = jax.lax.while_loop(
+            cond, body, (z_init, state0, 0, jnp.asarray(jnp.inf, dtype))
         )
-        return x, -neg(x)
+        x = to_x(z)
+        return x, log_density(x)
 
     xs, vals = jax.vmap(solve_one)(x0)
     vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
     best = jnp.argmax(vals)
-    x_best = xs[best]
-    if lower is not None:
-        x_best = jnp.clip(x_best, _f(lower), _f(upper))
-    return x_best, vals[best]
+    # to_x keeps iterates strictly inside the box; no final clip needed
+    return xs[best], vals[best]
 
 
 @dataclasses.dataclass(frozen=True)

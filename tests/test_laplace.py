@@ -316,3 +316,27 @@ def test_generative_model_validation_errors():
         generative_model_problem(
             bad2, data={"y": jnp.asarray([0.1])}, parameters=["mu"]
         )
+
+
+def test_find_mode_slides_along_boundary():
+    """With the old clip-inside-objective, the gradient vanished beyond the
+    box and L-BFGS stalled wherever it first crossed; the bijective
+    reparameterization must keep sliding to the constrained optimum."""
+    from bayesianinference_tpu.engines.laplace import find_mode
+
+    # unconstrained max at (3, 3); box caps x0 at 1 -> optimum (1, 3)
+    f = lambda x: -((x[0] - 3.0) ** 2) - (x[1] - 3.0) ** 2
+    mode, val = find_mode(
+        f,
+        jnp.asarray([[0.0, 0.0], [-1.5, 0.5]]),
+        lower=jnp.asarray([-5.0, -5.0]),
+        upper=jnp.asarray([1.0, 5.0]),
+    )
+    np.testing.assert_allclose(np.asarray(mode), [1.0, 3.0], atol=1e-4)
+    np.testing.assert_allclose(float(val), -4.0, atol=1e-3)
+
+    # one-sided bounds
+    mode, val = find_mode(
+        f, jnp.asarray([[0.0, 0.0]]), lower=jnp.asarray([4.0, -jnp.inf])
+    )
+    np.testing.assert_allclose(np.asarray(mode), [4.0, 3.0], atol=1e-4)
