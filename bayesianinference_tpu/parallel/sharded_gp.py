@@ -6,11 +6,11 @@ the covariance matrix K dominates memory (n^2 * 4 bytes — 1 GB at 16k,
 GSPMD: each device computes and holds only its row block of K (one
 [n_local, d] x [d, n] matmul + fused elementwise kernel evaluation).
 
-The Cholesky factorization itself is left to XLA's SPMD partitioner —
-today it gathers K for the factorization (a distributed blocked Cholesky
-via Pallas ring collectives is the planned upgrade), but the O(n^2 d)
-assembly FLOPs, the O(n^2) assembly bandwidth, and K's residency are
-distributed, which is what caps single-chip GP size in practice.
+Here the Cholesky factorization is left to XLA's SPMD partitioner (which
+gathers K); :mod:`.sharded_chol` provides the fully distributed blocked
+factorization — row-sharded K end to end, one panel ``all_gather`` per
+step — and is the path to use when K must never materialize on one
+device.
 """
 
 from __future__ import annotations
