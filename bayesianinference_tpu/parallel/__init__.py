@@ -1,5 +1,6 @@
 from .parallel_ns import parallel_nested_sampling
 from .sharded_chol import sharded_cholesky, sharded_gp_logml_blocked
+from .sharded_pool_ns import sharded_pool_nested_sampling
 from .sharded_gp import sharded_covariance_matrix, sharded_gp_log_marginal_likelihood
 from .sharding import Mesh, NamedSharding, P, make_mesh, replicated, shard_data
 
@@ -9,6 +10,7 @@ __all__ = [
     "sharded_gp_logml_blocked",
     "sharded_gp_log_marginal_likelihood",
     "parallel_nested_sampling",
+    "sharded_pool_nested_sampling",
     "Mesh",
     "NamedSharding",
     "P",

@@ -162,3 +162,53 @@ def test_sharded_blocked_gp_logml_matches_single_device(rng):
         gp_log_marginal_likelihood(covariance_matrix(kern, x, nugget=0.1), y)
     )
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_sharded_pool_nested_sampling(key):
+    """One NS program with the live-point axis sharded over the mesh
+    (global worst-k via all_gather, balanced k/P chains per device) must
+    agree with the analytic evidence and with the single-device
+    batched-deletion run within combined error bars."""
+    from bayesianinference_tpu.engines.nested_sampling import nested_sampling
+    from bayesianinference_tpu.parallel.sharded_pool_ns import (
+        sharded_pool_nested_sampling,
+    )
+
+    a = 5.0
+    problem = define_inference_problem(
+        parameters=[("x", -a, a), ("y", -a, a)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+    analytic = -2 * np.log(2 * a)
+    r = sharded_pool_nested_sampling(
+        problem,
+        key,
+        sample_pool_size=256,
+        num_delete=8,
+        max_iterations=1500,
+        min_iterations=50,
+        monte_carlo_steps=50,
+    )
+    z = (float(r.log_evidence.mean) - analytic) / float(
+        r.log_evidence.standard_error
+    )
+    assert abs(z) < 4.0, (float(r.log_evidence.mean), analytic, z)
+    assert r.num_likelihood_evals > 0 and r.iterations > 50
+
+    r1 = nested_sampling(
+        problem,
+        jax.random.fold_in(key, 7),
+        sample_pool_size=256,
+        num_delete=8,
+        max_iterations=1500,
+        min_iterations=50,
+        monte_carlo_steps=50,
+    )
+    err = np.hypot(
+        float(r.log_evidence.standard_error),
+        float(r1.log_evidence.standard_error),
+    )
+    diff = float(r.log_evidence.mean) - float(r1.log_evidence.mean)
+    assert abs(diff) < 4.0 * err, (diff, err)
