@@ -83,8 +83,14 @@ class DirectPosterior:
         return jnp.diagonal(self.covariance())
 
     def sample(self, key, shape=()):
-        """Grid-cell categorical sampling (adequate at quadrature order)."""
-        idx = jax.random.categorical(key, self._node_log_mass(), shape=shape)
+        """Grid-cell sampling by inverse CDF (adequate at quadrature
+        order).  searchsorted on the weight cumsum is O((n+m) log n);
+        ``jax.random.categorical`` would materialize an [m, n] Gumbel
+        array (1.6 GB for 5k draws on a 200x200 grid)."""
+        lw = self._node_log_mass()
+        cdf = jnp.cumsum(jnp.exp(lw))
+        u = jax.random.uniform(key, shape, dtype=cdf.dtype) * cdf[-1]
+        idx = jnp.clip(jnp.searchsorted(cdf, u), 0, cdf.shape[0] - 1)
         return self.nodes[idx]
 
 

@@ -47,14 +47,13 @@ def test_blr_logz_vs_quadrature(rng):
     )
     lam0, v0, nu0 = 1 / 100, 1 / 100, 1 / 100
 
-    def integrand(var, b):
-        like = np.prod(st.norm(b, np.sqrt(var)).pdf(y))
-        prior_b = st.norm(0, np.sqrt(var / lam0)).pdf(b)
-        prior_v = st.invgamma(nu0 / 2, scale=v0 / 2).pdf(var)
-        return like * prior_b * prior_v
+    from oracle_utils import normal_nig_log_evidence_quadrature
 
-    z, err = integrate.dblquad(integrand, -6, 6, 1e-4, 60, epsabs=1e-13, epsrel=1e-10)
-    np.testing.assert_allclose(float(res.log_evidence), np.log(z), rtol=1e-6)
+    log_z = normal_nig_log_evidence_quadrature(
+        y, mu0=0.0, lam=lam0, a_ig=nu0 / 2, scale_ig=v0 / 2,
+        mu_lo=-6, mu_hi=6, v_lo=1e-4, v_hi=60,
+    )
+    np.testing.assert_allclose(float(res.log_evidence), log_z, rtol=1e-6)
 
 
 def test_blr_constant_equals_normal_conjugate(rng):
@@ -175,15 +174,13 @@ def test_normal_conjugate_vs_quadrature(rng):
     prior = d.NormalInverseGamma(mu0=0.5, lam=0.2, beta=0.3, nu=0.4)
     res = normal_conjugate_model(jnp.asarray(y), prior=prior)
 
-    def integrand(var, mu):
-        like = np.prod(st.norm(mu, np.sqrt(var)).pdf(y))
-        pr = st.norm(0.5, np.sqrt(var / 0.2)).pdf(mu) * st.invgamma(
-            0.4, scale=0.3
-        ).pdf(var)
-        return like * pr
+    from oracle_utils import normal_nig_log_evidence_quadrature
 
-    z, _ = integrate.dblquad(integrand, -10, 10, 1e-4, 120, epsabs=1e-13, epsrel=1e-10)
-    np.testing.assert_allclose(float(res.log_evidence), np.log(z), rtol=1e-6)
+    log_z = normal_nig_log_evidence_quadrature(
+        y, mu0=0.5, lam=0.2, a_ig=0.4, scale_ig=0.3,
+        mu_lo=-10, mu_hi=10, v_lo=1e-4, v_hi=120,
+    )
+    np.testing.assert_allclose(float(res.log_evidence), log_z, rtol=1e-6)
     # predictive matches ParameterMixture numerically (CP:132-142)
     t = res.posterior_predictive
     assert isinstance(t, d.StudentT)
