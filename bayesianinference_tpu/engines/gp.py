@@ -94,7 +94,8 @@ class GPModel:
                 _f(nugget), y.shape
             )
             return jnp.sum(Normal(loc=0.0, scale=jnp.sqrt(nug)).log_prob(y))
-        k = covariance_matrix(kernel, self.x, nugget)
+        # Cholesky reads one triangle; skip the symmetrization HBM pass
+        k = covariance_matrix(kernel, self.x, nugget, symmetrize=False)
         if self.logml_method == "automatic":
             from ..dists.multivariate import MultivariateNormal
 

@@ -180,12 +180,21 @@ def white_kernel(variance=1.0) -> Kernel:
     )
 
 
-def covariance_matrix(kernel: Kernel, x, nugget=None) -> jnp.ndarray:
+def covariance_matrix(
+    kernel: Kernel, x, nugget=None, symmetrize: bool = True
+) -> jnp.ndarray:
     """K = k(x_i, x_j) + diag(nugget(x_i)) (``covarianceMatrix``, GP:27-43).
-    ``nugget``: scalar, [n] vector, or callable x -> [n]."""
+    ``nugget``: scalar, [n] vector, or callable x -> [n].
+
+    ``symmetrize=False`` skips the explicit 0.5 (K + K^T) pass — an extra
+    full read+write of K (11 ms of HBM traffic at n=16k).  Safe whenever
+    the consumer only reads one triangle (Cholesky-based logML/solves) or
+    the kernel is exactly symmetric by construction (all built-in kernels:
+    their Gram/distance forms give max |K - K^T| = 0 in f32)."""
     x = _f(x)
     k = kernel.matrix(x, x)
-    k = 0.5 * (k + k.T)
+    if symmetrize:
+        k = 0.5 * (k + k.T)
     if nugget is None:
         return k
     if callable(nugget):
@@ -325,7 +334,7 @@ def gp_posterior_moments(
     where kappa includes the nugget when ``query_nugget`` (GP:110-115).
     Returns (mean [m], std [m])."""
     x_train, y_train, x_query = _f(x_train), _f(y_train), _f(x_query)
-    k_train = covariance_matrix(kernel, x_train, nugget)
+    k_train = covariance_matrix(kernel, x_train, nugget, symmetrize=False)
     k_cross = kernel.matrix(x_train, x_query)  # [n, m]
     kappa = kernel.diag(x_query)
     if query_nugget and nugget is not None:

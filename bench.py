@@ -47,7 +47,10 @@ def bench_gp(n=16384, reps=4):
 
     def f(th):
         k = covariance_matrix(
-            se_kernel(jnp.exp(th[0]), jnp.exp(th[1])), x, nugget=jnp.exp(th[2])
+            se_kernel(jnp.exp(th[0]), jnp.exp(th[1])),
+            x,
+            nugget=jnp.exp(th[2]),
+            symmetrize=False,  # Cholesky reads one triangle
         )
         return gp_log_marginal_likelihood(k, y)
 
@@ -99,10 +102,14 @@ def main():
         validate=False,
     )
 
-    n_live = 32768
-    num_delete = 8192
-    mc_steps = 50
-    iters = 16
+    # 64k live points, half replaced per iteration by vmapped chains of the
+    # reference-default 200 MH steps (BS:869-878) — the throughput config;
+    # larger chains amortize the per-iteration bookkeeping (sort, cov,
+    # masked logZ) across more fused likelihood batches.
+    n_live = 65536
+    num_delete = 32768
+    mc_steps = 200
+    iters = 8
 
     key = jax.random.PRNGKey(0)
     starts = problem.prior_distribution.sample(key, (n_live,))
