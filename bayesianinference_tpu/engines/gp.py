@@ -199,12 +199,18 @@ def predict_from_gaussian_process(
     *,
     query_nugget: bool = True,
     max_samples: Optional[int] = 512,
+    sample_chunk: Optional[int] = None,
 ) -> PointwiseMixture:
     """Posterior-predictive GP at query points (GP:332-394): for each
     posterior hyperparameter sample a Gaussian N(m*, s*), mixed with the
     crude posterior weights.  All samples are processed as ONE vmapped
     batch (batched covariance assembly + batched Cholesky), unlike the
     reference's per-sample refactorization (GP:396-422).
+
+    ``sample_chunk`` bounds peak memory: the vmapped batch materializes a
+    [S, n, n] covariance stack (32 GB at S=512, n=4k), so chunks of
+    ``sample_chunk`` samples are mapped sequentially instead.  Defaults
+    to an automatic choice keeping the stack under ~4 GB.
 
     Returns a :class:`PointwiseMixture` over the query axis: its
     ``mean()``/``variance()``/``log_prob``/``quantile``/``sample`` are all
@@ -248,7 +254,16 @@ def predict_from_gaussian_process(
     def one(theta):
         return model.posterior_moments(theta, points, query_nugget)
 
-    means, stds = jax.vmap(one)(thetas)  # [S, m], [S, m]
+    n_train = model.x.shape[0]
+    n_samp = thetas.shape[0]
+    if sample_chunk is None:
+        # keep the [chunk, n, n] covariance stack under ~4 GB (f32)
+        budget = int(4e9) // max(4 * n_train * n_train, 1)
+        sample_chunk = max(1, min(n_samp, budget))
+    if sample_chunk >= n_samp:
+        means, stds = jax.vmap(one)(thetas)  # [S, m], [S, m]
+    else:
+        means, stds = jax.lax.map(one, thetas, batch_size=sample_chunk)
     return PointwiseMixture(
         log_weights=log_w,
         component=Normal(loc=means, scale=jnp.maximum(stds, 1e-12)),
