@@ -26,10 +26,10 @@ from bayesianinference_tpu.engines.nested_sampling import nested_sampling_loop
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--n-live", type=int, default=65536)
-    ap.add_argument("--num-delete", type=int, default=4096)
-    ap.add_argument("--mc-steps", type=int, default=40)
+    ap.add_argument("--num-delete", type=int, default=49152)
+    ap.add_argument("--mc-steps", type=int, default=400)
     args = ap.parse_args()
 
     # GBM time-series regression likelihood (BASELINE config 5)
