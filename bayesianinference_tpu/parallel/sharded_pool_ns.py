@@ -198,10 +198,13 @@ def sharded_pool_nested_sampling(
         w_dead = prev + jnp.log1p(-jnp.exp(log_xd - prev))
         log_z_dead = logsumexp(jnp.where(active, w_dead + dead_l, lz))
         x_last = log_xd[n_dead - 1]
-        lse_live = jax.lax.psum(jnp.exp(logsumexp(logl) - threshold), axis_name)
-        log_z_live = x_last + threshold + jnp.log(lse_live) - jnp.log(float(n))
-        log_z = jnp.logaddexp(log_z_dead, log_z_live)
+        # global logsumexp of the live logL, shifted by the GLOBAL max —
+        # shifting by the threshold overflows exp() early in a run, when
+        # max(logL) - threshold can be thousands of nats
         lmax = jax.lax.pmax(jnp.max(logl), axis_name)
+        lse_live = jax.lax.psum(jnp.exp(logsumexp(logl) - lmax), axis_name)
+        log_z_live = x_last + lmax + jnp.log(lse_live) - jnp.log(float(n))
+        log_z = jnp.logaddexp(log_z_dead, log_z_live)
         log_missing = x_last + lmax
 
         mean_est = jax.lax.pmean(jnp.mean(means, axis=0), axis_name)
