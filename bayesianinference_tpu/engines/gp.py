@@ -44,7 +44,9 @@ def coordinate_bounds_grid(x, num: int) -> jnp.ndarray:
     (GP:332-341).  Returns a flattened [num^d, d] matrix."""
     if num < 2:
         raise ValueError("need at least 2 grid points per dimension")
-    x = jnp.atleast_2d(jnp.asarray(x))
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]  # n points in 1-D, not one point in n-D
     lo = jnp.min(x, axis=0)
     hi = jnp.max(x, axis=0)
     axes = [jnp.linspace(lo[j], hi[j], num) for j in range(x.shape[1])]
@@ -219,10 +221,12 @@ def predict_from_gaussian_process(
     model: GPModel = (problem.metadata or {}).get("gaussian_process")
     if model is None:
         raise ValueError("problem has no attached GPModel metadata")
-    if isinstance(points, int):
-        # integer argument: grid over the training-data coordinate bounds
-        # (GP:332-341)
-        points = coordinate_bounds_grid(model.x, points)
+    import numbers
+
+    if isinstance(points, numbers.Integral) and not isinstance(points, bool):
+        # integer argument (incl. numpy integer scalars): grid over the
+        # training-data coordinate bounds (GP:332-341)
+        points = coordinate_bounds_grid(model.x, int(points))
     points = jnp.atleast_2d(_f(points))
 
     if isinstance(result, NestedSamplingResult):

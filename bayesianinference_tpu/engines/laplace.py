@@ -96,15 +96,17 @@ def find_mode(
         # sanitized operands so no branch produces nan (grad hygiene)
         lo_s = jnp.where(f_lo, lo, 0.0)
         hi_s = jnp.where(f_hi, hi, 1.0)
-        width = jnp.where(both, hi_s - lo_s, 1.0)
+        pinned = both & (hi_s - lo_s <= 0)  # lo == hi: a fixed parameter
+        width = jnp.where(both & ~pinned, hi_s - lo_s, 1.0)
 
         def to_x(z):
             x_both = lo_s + width * jax.nn.sigmoid(z)
             x_lo = lo_s + jax.nn.softplus(z)
             x_hi = hi_s - jax.nn.softplus(z)
-            return jnp.where(
+            out = jnp.where(
                 both, x_both, jnp.where(f_lo, x_lo, jnp.where(f_hi, x_hi, z))
             )
+            return jnp.where(pinned, lo_s, out)
 
         def _sp_inv(y):
             y = jnp.maximum(y, jnp.asarray(1e-12, dtype))

@@ -138,6 +138,9 @@ def generative_model_problem(
         known = dict(inputs)
         total = jnp.zeros((), jnp.result_type(jnp.asarray(theta).dtype, float))
         for name, builder in model.nodes:
+            if name in inputs:
+                # conditioning-only: value given, density ignored
+                continue
             dist = builder(known) if callable(builder) else builder
             if name in data:
                 total = total + jnp.sum(dist.log_prob(data[name]))
@@ -151,6 +154,8 @@ def generative_model_problem(
         known = dict(inputs)
         total = jnp.zeros((), jnp.result_type(jnp.asarray(theta).dtype, float))
         for name, builder in model.nodes:
+            if name in inputs:
+                continue
             if name in data:
                 known[name] = data[name]
                 continue

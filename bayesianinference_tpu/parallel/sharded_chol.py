@@ -101,16 +101,15 @@ def _factorize_local(a_local, y_rep, *, block, axis_name):
     return l_local, logdet, wsq
 
 
-def sharded_cholesky(k, mesh: Mesh, axis_name: str = "data", block: int = 256):
-    """L = chol(K) with K and L row-sharded over ``axis_name``; K is never
-    gathered.  ``n`` must be divisible by ``block`` and by the axis size,
-    and ``block`` by ``n / P``  (or vice versa) so panels tile the rows."""
-    k = jnp.asarray(k)
-    n = k.shape[0]
-    n_dev = mesh.shape[axis_name]
-    if n % n_dev or n % block:
-        raise ValueError(f"n={n} must be divisible by both the mesh axis "
-                         f"size {n_dev} and block={block}")
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _chol_program(mesh: Mesh, axis_name: str, block: int):
+    """Jitted sharded-Cholesky program, cached per (mesh, axis, block) so
+    repeated calls (e.g. inside an optimization loop) do not re-trace
+    (the engine-jit convention; first compiles through the remote tunnel
+    cost minutes)."""
 
     @partial(
         jax.shard_map,
@@ -125,7 +124,23 @@ def sharded_cholesky(k, mesh: Mesh, axis_name: str = "data", block: int = 256):
         )
         return l_local, logdet
 
-    l, logdet = jax.jit(run)(k, jnp.zeros((n,), k.dtype))
+    return jax.jit(run)
+
+
+def sharded_cholesky(k, mesh: Mesh, axis_name: str = "data", block: int = 256):
+    """L = chol(K) with K and L row-sharded over ``axis_name``; K is never
+    gathered.  ``n`` must be divisible by ``block`` and by the axis size,
+    and ``block`` by ``n / P``  (or vice versa) so panels tile the rows.
+    The compiled program is cached per (mesh, axis, block) + shape."""
+    k = jnp.asarray(k)
+    n = k.shape[0]
+    n_dev = mesh.shape[axis_name]
+    if n % n_dev or n % block:
+        raise ValueError(f"n={n} must be divisible by both the mesh axis "
+                         f"size {n_dev} and block={block}")
+    l, logdet = _chol_program(mesh, axis_name, block)(
+        k, jnp.zeros((n,), k.dtype)
+    )
     return l, logdet
 
 
@@ -144,7 +159,15 @@ def sharded_gp_logml_blocked(
     ``[n/P, n]`` block of K from the replicated inputs and the panels of
     the factorization stream through ``all_gather``.  Value-identical to
     :func:`~..ops.gp_kernels.gp_log_marginal_likelihood`; a failed
-    factorization returns the finite log-zero sentinel (GP:130-148)."""
+    factorization returns the finite log-zero sentinel (GP:130-148).
+
+    NOTE: the kernel closure changes identity per call, so each bare call
+    re-traces.  For repeated evaluation (hyperparameter loops), jit the
+    whole wrapper once so tracing happens per shape, not per theta::
+
+        logml = jax.jit(lambda th: sharded_gp_logml_blocked(
+            kernel_builder(th), x, y, mesh))
+    """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     dtype = jnp.result_type(y.dtype, float)

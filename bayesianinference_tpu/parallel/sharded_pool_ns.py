@@ -84,12 +84,20 @@ def sharded_pool_nested_sampling(
     n_dev = mesh.shape[axis_name]
     n = int(sample_pool_size)
     k = int(num_delete if num_delete is not None else n_dev)
-    if n % n_dev or k % n_dev or n <= k:
+    if n % n_dev or k % n_dev:
         raise ValueError(
             f"pool {n} and num_delete {k} must be multiples of the mesh "
-            f"axis size {n_dev}, with pool > num_delete"
+            f"axis size {n_dev}"
         )
     n_loc, c = n // n_dev, k // n_dev
+    if k >= n_loc:
+        # k <= n_loc is required by the local top_k; k < n_loc guarantees
+        # every device keeps at least one survivor to seed chains from
+        # (local deaths are bounded by k)
+        raise ValueError(
+            f"num_delete {k} must be < pool/devices = {n_loc} so every "
+            "device keeps survivors to seed its chains"
+        )
     if isinstance(monte_carlo_steps, int):
         mc = (monte_carlo_steps, monte_carlo_steps, 5 * monte_carlo_steps)
     else:
@@ -118,13 +126,26 @@ def sharded_pool_nested_sampling(
         key_, k_pick, k_chain = jax.random.split(key_, 3)
         me = jax.lax.axis_index(axis_name)
 
-        # ---- global worst-k threshold (BS:980-981, all-reduce form) ----
+        # ---- global worst-k selection (BS:980-981, all-reduce form) ----
+        # Tie-break by the unique global point index so EXACTLY k points
+        # die even with exact logL ties (which DO occur: guarded
+        # densities map all out-of-support points to the same log_zero
+        # sentinel, and a zero-acceptance chain can duplicate a live
+        # point).  Mirrors the reference's (logL, point) sort (BS:814).
+        g_idx_local = me * n_loc + jnp.arange(n_loc)
         neg_top, top_idx = jax.lax.top_k(-logl, k)  # k smallest local
-        cand_logl = -neg_top  # ascending? top_k gives descending neg -> asc
+        cand_logl = -neg_top
+        cand_gidx = g_idx_local[top_idx]
         all_cand = jax.lax.all_gather(cand_logl, axis_name, tiled=True)
-        global_sorted = jnp.sort(all_cand)
-        threshold = global_sorted[k - 1]
-        dying = logl <= threshold  # exactly k true globally (ties: measure 0)
+        all_gidx = jax.lax.all_gather(cand_gidx, axis_name, tiled=True)
+        order_g = jnp.lexsort((all_gidx, all_cand))  # by (logl, index)
+        kth = order_g[k - 1]
+        t_logl, t_gidx = all_cand[kth], all_gidx[kth]
+        threshold = t_logl
+        dying = jnp.logical_or(
+            logl < t_logl,
+            jnp.logical_and(logl == t_logl, g_idx_local <= t_gidx),
+        )  # exactly k true globally
         count_local = jnp.sum(dying.astype(jnp.int32))
         counts = jax.lax.all_gather(count_local, axis_name)  # [P] scalars
         offset = jnp.concatenate(
@@ -182,12 +203,14 @@ def sharded_pool_nested_sampling(
 
         # ---- route the k gathered new points into local dying slots ----
         g_new = jax.lax.all_gather(xs, axis_name, tiled=True)  # [k, d]
+        # evaluate the k new points once (replicated), not the whole shard
+        g_new_logl = jax.vmap(log_likelihood)(g_new)  # [k]
+        g_new_logp = jax.vmap(log_prior)(g_new)
         rank = jnp.cumsum(dying.astype(jnp.int32)) - 1
         gidx = jnp.clip(offset + rank, 0, k - 1)
-        new_pts = g_new[gidx]
-        live = jnp.where(dying[:, None], new_pts, live)
-        logl = jnp.where(dying, jax.vmap(log_likelihood)(new_pts), logl)
-        logp = jnp.where(dying, jax.vmap(log_prior)(new_pts), logp)
+        live = jnp.where(dying[:, None], g_new[gidx], live)
+        logl = jnp.where(dying, g_new_logl[gidx], logl)
+        logp = jnp.where(dying, g_new_logp[gidx], logp)
 
         # ---- crude evidence + termination quantities ----
         n_dead = n_dead + k

@@ -131,3 +131,75 @@ def test_report_evidence_progression_log_space(key):
     np.testing.assert_allclose(
         rep.evidence_progression[-1], float(res.crude_log_evidence), atol=1e-6
     )
+
+
+def test_find_mode_pinned_bound_dimension():
+    """lo == hi pins a parameter; the bijection must hold it fixed instead
+    of producing NaN (round-2 review finding)."""
+    from bayesianinference_tpu.engines.laplace import find_mode
+
+    f = lambda x: -((x[0] - 3.0) ** 2) - (x[1] - 3.0) ** 2
+    mode, val = find_mode(
+        f,
+        jnp.asarray([[0.5, 0.0]]),
+        lower=jnp.asarray([0.5, -5.0]),
+        upper=jnp.asarray([0.5, 5.0]),
+    )
+    np.testing.assert_allclose(np.asarray(mode), [0.5, 3.0], atol=1e-4)
+    assert np.isfinite(float(val))
+
+
+def test_generative_model_input_as_node():
+    """An input variable that is ALSO a model node (its density ignored,
+    value given) must work — validation permits it (round-2 review)."""
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.dists.combinators import ConditionalProduct
+    from bayesianinference_tpu.models import generative_model_problem
+
+    model = ConditionalProduct(
+        [
+            ("x", lambda v: d.Normal(0.0, 1.0)),
+            ("mu", lambda v: d.Normal(0.0, 2.0)),
+            ("y", lambda v: d.Normal(v["mu"] + v["x"], 1.0)),
+        ]
+    )
+    xval = jnp.asarray([0.3, -0.2])
+    yval = jnp.asarray([1.0, 0.5])
+    problem = generative_model_problem(
+        model, data={"y": yval}, parameters=[("mu", -9.0, 9.0)],
+        inputs={"x": xval},
+    )
+    th = jnp.asarray([0.7])
+    want_ll = float(jnp.sum(d.Normal(0.7 + xval, 1.0).log_prob(yval)))
+    want_lp = float(d.Normal(0.0, 2.0).log_prob(0.7))
+    np.testing.assert_allclose(float(problem.log_likelihood(th)), want_ll, rtol=1e-12)
+    np.testing.assert_allclose(float(problem.log_prior(th)), want_lp, rtol=1e-12)
+
+
+def test_coordinate_bounds_grid_1d_input():
+    """A 1-D x array is n points in one dimension, not one n-D point."""
+    from bayesianinference_tpu.engines.gp import coordinate_bounds_grid
+
+    g = coordinate_bounds_grid(jnp.linspace(0.0, 1.0, 50), 10)
+    assert g.shape == (10, 1)
+    np.testing.assert_allclose(float(g[0, 0]), 0.0)
+    np.testing.assert_allclose(float(g[-1, 0]), 1.0)
+
+
+def test_sharded_pool_ns_rejects_oversized_num_delete(key):
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.models import define_inference_problem
+    from bayesianinference_tpu.parallel.sharded_pool_ns import (
+        sharded_pool_nested_sampling,
+    )
+
+    problem = define_inference_problem(
+        parameters=[("x", -1.0, 1.0)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location"],
+        validate=False,
+    )
+    with pytest.raises(ValueError, match="survivors"):
+        sharded_pool_nested_sampling(
+            problem, key, sample_pool_size=16, num_delete=8
+        )
