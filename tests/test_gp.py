@@ -311,3 +311,18 @@ def test_gp_integer_grid_prediction(key):
         np.asarray(mix_int.mean()), np.asarray(mix_pts.mean()), rtol=1e-12
     )
     assert np.asarray(mix_int.mean()).shape == (16,)
+
+
+def test_cholesky_pallas_interpret(rng):
+    """The fused Pallas blocked SPD Cholesky (SURVEY §7.4) against the
+    dense factor, in interpreter mode (Pallas cannot dispatch through the
+    axon tunnel; see PERFORMANCE.md)."""
+    from bayesianinference_tpu.ops.gp_kernels import cholesky_pallas
+
+    for n, b in ((128, 128), (512, 256)):
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        k = (a @ a.T + n * np.eye(n)).astype(np.float32)
+        l = np.asarray(cholesky_pallas(jnp.asarray(k), block=b, interpret=True))
+        ld = np.linalg.cholesky(k.astype(np.float64))
+        np.testing.assert_allclose(l, ld, atol=5e-4 * np.abs(ld).max())
+        assert np.allclose(np.triu(l, 1), 0.0)
