@@ -38,6 +38,13 @@ __all__ = [
     "Poisson",
     "Bernoulli",
     "Binomial",
+    "Weibull",
+    "Logistic",
+    "ChiSquared",
+    "Gumbel",
+    "Pareto",
+    "NegativeBinomial",
+    "Geometric",
 ]
 
 _LOG2PI = 1.8378770664093453
@@ -596,3 +603,268 @@ class Binomial(Distribution):
 
 
 __all__.append("BernoulliLogits")
+
+
+@dist_dataclass
+class Weibull(Distribution):
+    """Weibull(shape k, scale lam): p(x) = (k/lam)(x/lam)^(k-1) e^-(x/lam)^k
+    (WeibullDistribution[k, lam])."""
+
+    k: jnp.ndarray = 1.0
+    scale: jnp.ndarray = 1.0
+
+    def support(self):
+        return (0.0, jnp.inf)
+
+    def log_prob(self, x):
+        x, k, lam = _f(x), _f(self.k), _f(self.scale)
+        safe = jnp.where(x > 0, x, 1.0)
+        z = safe / lam
+        logp = jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - z**k
+        return self._mask_support(x, logp)
+
+    def sample(self, key, shape=()):
+        shape = jnp.broadcast_shapes(
+            shape, jnp.shape(self.k), jnp.shape(self.scale)
+        )
+        u = jax.random.uniform(key, shape, dtype=jnp.result_type(float))
+        return self.icdf(u)
+
+    def cdf(self, x):
+        z = jnp.maximum(_f(x), 0.0) / _f(self.scale)
+        return -jnp.expm1(-(z ** _f(self.k)))
+
+    def icdf(self, q):
+        return _f(self.scale) * (-jnp.log1p(-_f(q))) ** (1.0 / _f(self.k))
+
+    def mean(self):
+        k = _f(self.k)
+        return _f(self.scale) * jnp.exp(jsp.gammaln(1.0 + 1.0 / k))
+
+    def variance(self):
+        k, lam = _f(self.k), _f(self.scale)
+        g1 = jnp.exp(jsp.gammaln(1.0 + 1.0 / k))
+        g2 = jnp.exp(jsp.gammaln(1.0 + 2.0 / k))
+        return lam**2 * (g2 - g1**2)
+
+
+@dist_dataclass
+class Logistic(Distribution):
+    """LogisticDistribution[mu, s]."""
+
+    loc: jnp.ndarray = 0.0
+    scale: jnp.ndarray = 1.0
+
+    def log_prob(self, x):
+        z = (_f(x) - _f(self.loc)) / _f(self.scale)
+        logp = -z - 2.0 * jax.nn.softplus(-z) - jnp.log(_f(self.scale))
+        return self._mask_support(_f(x), logp)
+
+    def sample(self, key, shape=()):
+        shape = jnp.broadcast_shapes(
+            shape, jnp.shape(self.loc), jnp.shape(self.scale)
+        )
+        u = jax.random.uniform(
+            key, shape, dtype=jnp.result_type(float), minval=1e-12,
+            maxval=1.0 - 1e-12,
+        )
+        return self.icdf(u)
+
+    def cdf(self, x):
+        return jax.nn.sigmoid((_f(x) - _f(self.loc)) / _f(self.scale))
+
+    def icdf(self, q):
+        q = _f(q)
+        return _f(self.loc) + _f(self.scale) * (jnp.log(q) - jnp.log1p(-q))
+
+    def mean(self):
+        return _f(self.loc)
+
+    def variance(self):
+        return (_f(self.scale) * jnp.pi) ** 2 / 3.0
+
+
+@dist_dataclass
+class ChiSquared(Distribution):
+    """ChiSquareDistribution[df] == Gamma(df/2, rate 1/2)."""
+
+    df: jnp.ndarray = 1.0
+
+    def support(self):
+        return (0.0, jnp.inf)
+
+    def log_prob(self, x):
+        x, k = _f(x), _f(self.df)
+        safe = jnp.where(x > 0, x, 1.0)
+        logp = (
+            0.5 * k * jnp.log(0.5)
+            + (0.5 * k - 1.0) * jnp.log(safe)
+            - 0.5 * x
+            - jsp.gammaln(0.5 * k)
+        )
+        return self._mask_support(x, logp)
+
+    def sample(self, key, shape=()):
+        shape = jnp.broadcast_shapes(shape, jnp.shape(self.df))
+        g = jax.random.gamma(
+            key, 0.5 * _f(self.df), shape, dtype=jnp.result_type(float)
+        )
+        return 2.0 * g
+
+    def cdf(self, x):
+        return jsp.gammainc(0.5 * _f(self.df), 0.5 * jnp.maximum(_f(x), 0.0))
+
+    def mean(self):
+        return _f(self.df)
+
+    def variance(self):
+        return 2.0 * _f(self.df)
+
+
+@dist_dataclass
+class Gumbel(Distribution):
+    """Gumbel / ExtremeValueDistribution[mu, beta] (max form)."""
+
+    loc: jnp.ndarray = 0.0
+    scale: jnp.ndarray = 1.0
+
+    def log_prob(self, x):
+        z = (_f(x) - _f(self.loc)) / _f(self.scale)
+        logp = -(z + jnp.exp(-z)) - jnp.log(_f(self.scale))
+        return self._mask_support(_f(x), logp)
+
+    def sample(self, key, shape=()):
+        shape = jnp.broadcast_shapes(
+            shape, jnp.shape(self.loc), jnp.shape(self.scale)
+        )
+        g = jax.random.gumbel(key, shape, dtype=jnp.result_type(float))
+        return _f(self.loc) + _f(self.scale) * g
+
+    def cdf(self, x):
+        z = (_f(x) - _f(self.loc)) / _f(self.scale)
+        return jnp.exp(-jnp.exp(-z))
+
+    def icdf(self, q):
+        return _f(self.loc) - _f(self.scale) * jnp.log(-jnp.log(_f(q)))
+
+    def mean(self):
+        return _f(self.loc) + _f(self.scale) * 0.5772156649015329
+
+    def variance(self):
+        return (jnp.pi * _f(self.scale)) ** 2 / 6.0
+
+
+@dist_dataclass
+class Pareto(Distribution):
+    """ParetoDistribution[xmin, alpha]: p(x) = a xmin^a / x^(a+1), x >= xmin."""
+
+    xmin: jnp.ndarray = 1.0
+    alpha: jnp.ndarray = 1.0
+
+    def support(self):
+        return (_f(self.xmin), jnp.inf)
+
+    def log_prob(self, x):
+        x, m, a = _f(x), _f(self.xmin), _f(self.alpha)
+        safe = jnp.where(x > 0, x, 1.0)
+        logp = jnp.log(a) + a * jnp.log(m) - (a + 1.0) * jnp.log(safe)
+        return self._mask_support(x, logp)
+
+    def sample(self, key, shape=()):
+        shape = jnp.broadcast_shapes(
+            shape, jnp.shape(self.xmin), jnp.shape(self.alpha)
+        )
+        u = jax.random.uniform(key, shape, dtype=jnp.result_type(float))
+        return self.icdf(u)
+
+    def cdf(self, x):
+        r = _f(self.xmin) / jnp.maximum(_f(x), _f(self.xmin))
+        return 1.0 - r ** _f(self.alpha)
+
+    def icdf(self, q):
+        return _f(self.xmin) * (1.0 - _f(q)) ** (-1.0 / _f(self.alpha))
+
+    def mean(self):
+        a = _f(self.alpha)
+        return jnp.where(a > 1, a * _f(self.xmin) / (a - 1.0), jnp.inf)
+
+    def variance(self):
+        a, m = _f(self.alpha), _f(self.xmin)
+        v = m**2 * a / ((a - 1.0) ** 2 * (a - 2.0))
+        return jnp.where(a > 2, v, jnp.inf)
+
+
+@dist_dataclass
+class NegativeBinomial(Distribution):
+    """NegativeBinomialDistribution[r, p]: number of failures before the
+    r-th success; P(x) = C(x+r-1, x) p^r (1-p)^x."""
+
+    r: jnp.ndarray = 1.0
+    p: jnp.ndarray = 0.5
+
+    def support(self):
+        return (0.0, jnp.inf)
+
+    def log_prob(self, x):
+        x, r, p = _f(x), _f(self.r), _f(self.p)
+        logp = (
+            jsp.gammaln(x + r)
+            - jsp.gammaln(r)
+            - jsp.gammaln(x + 1.0)
+            + r * jnp.log(p)
+            + xlogy(x, 1.0 - p)
+        )
+        is_int = x == jnp.floor(x)
+        return jnp.where(
+            is_int, self._mask_support(x, logp), log_zero(logp.dtype)
+        )
+
+    def sample(self, key, shape=()):
+        # Gamma-Poisson mixture: lam ~ Gamma(r, p/(1-p)), x ~ Poisson(lam)
+        shape = jnp.broadcast_shapes(
+            shape, jnp.shape(self.r), jnp.shape(self.p)
+        )
+        k1, k2 = jax.random.split(key)
+        r, p = _f(self.r), _f(self.p)
+        lam = jax.random.gamma(key=k1, a=r, shape=shape) * (1.0 - p) / p
+        return jax.random.poisson(k2, lam, shape).astype(jnp.result_type(float))
+
+    def mean(self):
+        r, p = _f(self.r), _f(self.p)
+        return r * (1.0 - p) / p
+
+    def variance(self):
+        r, p = _f(self.r), _f(self.p)
+        return r * (1.0 - p) / p**2
+
+
+@dist_dataclass
+class Geometric(Distribution):
+    """GeometricDistribution[p]: failures before the first success;
+    P(x) = p (1-p)^x, x = 0, 1, 2, ..."""
+
+    p: jnp.ndarray = 0.5
+
+    def support(self):
+        return (0.0, jnp.inf)
+
+    def log_prob(self, x):
+        x, p = _f(x), _f(self.p)
+        logp = jnp.log(p) + xlogy(x, 1.0 - p)
+        is_int = x == jnp.floor(x)
+        return jnp.where(
+            is_int, self._mask_support(x, logp), log_zero(logp.dtype)
+        )
+
+    def sample(self, key, shape=()):
+        shape = jnp.broadcast_shapes(shape, jnp.shape(self.p))
+        u = jax.random.uniform(
+            key, shape, dtype=jnp.result_type(float), minval=1e-12
+        )
+        return jnp.floor(jnp.log(u) / jnp.log1p(-_f(self.p)))
+
+    def mean(self):
+        return (1.0 - _f(self.p)) / _f(self.p)
+
+    def variance(self):
+        return (1.0 - _f(self.p)) / _f(self.p) ** 2

@@ -19,6 +19,11 @@ CASES = [
     (d.HalfCauchy(scale=2.0), st.halfcauchy(scale=2.0), (0.01, 10)),
     (d.LogNormal(loc=0.3, scale=0.8), st.lognorm(0.8, scale=np.exp(0.3)), (0.05, 8)),
     (d.Laplace(loc=-1.0, scale=2.0), st.laplace(-1.0, 2.0), (-8, 6)),
+    (d.Weibull(k=1.7, scale=2.0), st.weibull_min(1.7, scale=2.0), (0.05, 7)),
+    (d.Logistic(loc=0.5, scale=1.2), st.logistic(0.5, 1.2), (-7, 8)),
+    (d.ChiSquared(df=5.0), st.chi2(5.0), (0.1, 18)),
+    (d.Gumbel(loc=1.0, scale=2.0), st.gumbel_r(1.0, 2.0), (-5, 12)),
+    (d.Pareto(xmin=1.5, alpha=3.0), st.pareto(3.0, scale=1.5), (1.55, 12)),
 ]
 
 
@@ -112,3 +117,31 @@ def test_jit_vmap_compatible(key):
         jnp.arange(4.0)
     )
     assert batched.shape == (4,)
+
+
+DISCRETE_CASES = [
+    (d.NegativeBinomial(r=4.0, p=0.35), st.nbinom(4, 0.35)),
+    (d.Geometric(p=0.3), st.geom(0.3, loc=-1)),  # scipy geom counts trials
+]
+
+
+@pytest.mark.parametrize("ours,ref", DISCRETE_CASES, ids=lambda c: type(c).__name__)
+def test_discrete_logpmf_vs_scipy(ours, ref):
+    x = np.arange(0, 25, dtype=float)
+    np.testing.assert_allclose(
+        np.asarray(ours.log_prob(x)), ref.logpmf(x.astype(int)),
+        rtol=1e-7, atol=1e-9,
+    )
+    # non-integer and negative arguments map to the log-zero sentinel
+    assert bool(is_log_zero(ours.log_prob(2.5)))
+    assert bool(is_log_zero(ours.log_prob(-1.0)))
+
+
+@pytest.mark.parametrize("ours,ref", DISCRETE_CASES, ids=lambda c: type(c).__name__)
+def test_discrete_sampling_moments(ours, ref, key):
+    s = np.asarray(ours.sample(key, (200_000,)))
+    m_ref, v_ref = ref.stats()
+    np.testing.assert_allclose(s.mean(), m_ref, rtol=0.05)
+    np.testing.assert_allclose(s.var(), v_ref, rtol=0.1)
+    np.testing.assert_allclose(float(ours.mean()), m_ref, rtol=1e-9)
+    np.testing.assert_allclose(float(ours.variance()), v_ref, rtol=1e-9)
