@@ -1,4 +1,10 @@
-from .checkpoint import load_ns_run, resume_nested_sampling_loop, save_ns_run
+from .checkpoint import (
+    load_ns_run,
+    load_result,
+    resume_nested_sampling_loop,
+    save_ns_run,
+    save_result,
+)
 from .conjugate import (
     BLRParameters,
     BLRResult,
@@ -58,6 +64,8 @@ __all__ = [
 
     "fit_precision_at_max",
     "load_ns_run",
+    "load_result",
+    "save_result",
     "resume_nested_sampling_loop",
     "save_ns_run",
     "DirectPosterior",

@@ -26,7 +26,13 @@ from ..core.numerics import log_zero
 from ..models.problem import InferenceProblem
 from .nested_sampling import NSRunData, NSState, _LoopConfig, _ns_resume_jit
 
-__all__ = ["save_ns_run", "load_ns_run", "resume_nested_sampling_loop"]
+__all__ = [
+    "save_ns_run",
+    "load_ns_run",
+    "resume_nested_sampling_loop",
+    "save_result",
+    "load_result",
+]
 
 
 def save_ns_run(path, run: NSRunData) -> None:
@@ -114,3 +120,67 @@ def resume_nested_sampling_loop(
     return dataclasses.replace(
         run, state=state, capacity=new_capacity
     )
+
+
+# ---------------------------------------------------------------------------
+# Result-object serialization (posterior artifacts for storage/serving)
+# ---------------------------------------------------------------------------
+
+
+def save_result(path, result) -> None:
+    """Serialize a :class:`~.evidence.NestedSamplingResult` or
+    :class:`~.laplace.LaplaceFit` to a single ``.npz``.
+
+    Arrays and ``MeanAndError`` pairs round-trip exactly; static metadata
+    goes to an embedded JSON header; callables (``predictive_builder``)
+    are dropped — re-attach after loading."""
+    from .evidence import MeanAndError
+
+    arrays = {}
+    meta = {"__class__": type(result).__name__}
+    for f in dataclasses.fields(result):
+        v = getattr(result, f.name)
+        if v is None or callable(v):
+            continue
+        if isinstance(v, MeanAndError):
+            arrays[f.name + ".mean"] = np.asarray(v.mean)
+            arrays[f.name + ".standard_error"] = np.asarray(v.standard_error)
+        elif isinstance(v, (int, float, str, bool)):
+            meta[f.name] = v
+        elif isinstance(v, tuple) and all(isinstance(t, str) for t in v):
+            meta[f.name] = list(v)
+        else:
+            arrays[f.name] = np.asarray(v)
+    np.savez_compressed(
+        path,
+        __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        **arrays,
+    )
+
+
+def load_result(path):
+    """Load a result saved by :func:`save_result` (class chosen from the
+    embedded header)."""
+    from .evidence import MeanAndError, NestedSamplingResult
+    from .laplace import LaplaceFit
+
+    classes = {
+        "NestedSamplingResult": NestedSamplingResult,
+        "LaplaceFit": LaplaceFit,
+    }
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        cls = classes[meta.pop("__class__")]
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name in meta:
+                v = meta[f.name]
+                kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+            elif f.name + ".mean" in z:
+                kwargs[f.name] = MeanAndError(
+                    mean=jnp.asarray(z[f.name + ".mean"]),
+                    standard_error=jnp.asarray(z[f.name + ".standard_error"]),
+                )
+            elif f.name in z:
+                kwargs[f.name] = jnp.asarray(z[f.name])
+    return cls(**kwargs)

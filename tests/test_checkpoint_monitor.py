@@ -130,3 +130,54 @@ def test_progress_and_interrupt(key):
     assert int(run.state.iteration) - 1 < 200  # stopped early
     assert len(seen) >= 1
     assert seen[0][0] % 10 == 0
+
+
+def test_save_load_result_roundtrip(key, tmp_path):
+    """NestedSamplingResult and LaplaceFit serialize to .npz and round-trip
+    exactly (posterior artifacts for storage/serving)."""
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines import (
+        laplace_posterior_fit,
+        load_result,
+        nested_sampling,
+        save_result,
+    )
+    from bayesianinference_tpu.models import define_inference_problem
+
+    problem = define_inference_problem(
+        parameters=[("x", -4.0, 4.0), ("y", -4.0, 4.0)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+    res = nested_sampling(
+        problem, key, sample_pool_size=40, max_iterations=200,
+        min_iterations=20, monte_carlo_steps=30,
+    )
+    p = tmp_path / "ns_result.npz"
+    save_result(p, res)
+    back = load_result(p)
+    np.testing.assert_allclose(
+        np.asarray(back.points), np.asarray(res.points), rtol=0
+    )
+    np.testing.assert_allclose(
+        float(back.log_evidence.mean), float(res.log_evidence.mean), rtol=0
+    )
+    assert back.param_names == res.param_names
+    assert back.sample_pool_size == res.sample_pool_size
+    assert back.num_likelihood_evals == res.num_likelihood_evals
+    # loaded object is fully functional
+    assert np.isfinite(float(back.empirical_posterior().mean()[0]))
+
+    fit = laplace_posterior_fit(problem=problem, key=key)
+    p2 = tmp_path / "laplace.npz"
+    save_result(p2, fit)
+    back2 = load_result(p2)
+    np.testing.assert_allclose(
+        np.asarray(back2.mean), np.asarray(fit.mean), rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(back2.precision_matrix), np.asarray(fit.precision_matrix), rtol=0
+    )
+    s = back2.posterior_distribution.sample(key, (10,))
+    assert s.shape == (10, 2)
