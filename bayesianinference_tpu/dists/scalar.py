@@ -627,7 +627,10 @@ class Weibull(Distribution):
         shape = jnp.broadcast_shapes(
             shape, jnp.shape(self.k), jnp.shape(self.scale)
         )
-        u = jax.random.uniform(key, shape, dtype=jnp.result_type(float))
+        u = jax.random.uniform(
+            key, shape, dtype=jnp.result_type(float), minval=1e-12,
+            maxval=1.0 - 1e-12,
+        )
         return self.icdf(u)
 
     def cdf(self, x):
@@ -693,26 +696,17 @@ class ChiSquared(Distribution):
     def support(self):
         return (0.0, jnp.inf)
 
+    def _gamma(self):
+        return Gamma(a=0.5 * _f(self.df), rate=0.5)
+
     def log_prob(self, x):
-        x, k = _f(x), _f(self.df)
-        safe = jnp.where(x > 0, x, 1.0)
-        logp = (
-            0.5 * k * jnp.log(0.5)
-            + (0.5 * k - 1.0) * jnp.log(safe)
-            - 0.5 * x
-            - jsp.gammaln(0.5 * k)
-        )
-        return self._mask_support(x, logp)
+        return self._gamma().log_prob(x)
 
     def sample(self, key, shape=()):
-        shape = jnp.broadcast_shapes(shape, jnp.shape(self.df))
-        g = jax.random.gamma(
-            key, 0.5 * _f(self.df), shape, dtype=jnp.result_type(float)
-        )
-        return 2.0 * g
+        return self._gamma().sample(key, shape)
 
     def cdf(self, x):
-        return jsp.gammainc(0.5 * _f(self.df), 0.5 * jnp.maximum(_f(x), 0.0))
+        return self._gamma().cdf(x)
 
     def mean(self):
         return _f(self.df)

@@ -133,7 +133,8 @@ def save_result(path, result) -> None:
 
     Arrays and ``MeanAndError`` pairs round-trip exactly; static metadata
     goes to an embedded JSON header; callables (``predictive_builder``)
-    are dropped — re-attach after loading."""
+    and non-array diagnostics (``hyper_path``, a ragged tuple) are
+    dropped — re-attach after loading if needed."""
     from .evidence import MeanAndError
 
     arrays = {}
@@ -150,7 +151,10 @@ def save_result(path, result) -> None:
         elif isinstance(v, tuple) and all(isinstance(t, str) for t in v):
             meta[f.name] = list(v)
         else:
-            arrays[f.name] = np.asarray(v)
+            try:
+                arrays[f.name] = np.asarray(v)
+            except (ValueError, TypeError):
+                continue  # ragged diagnostic (e.g. LaplaceFit.hyper_path)
     np.savez_compressed(
         path,
         __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),

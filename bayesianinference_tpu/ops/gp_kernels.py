@@ -390,7 +390,6 @@ def se_covariance_pallas(
     assembly to 4e-6 and its wall time at n=4k); the XLA path stays the
     default since its fusion already saturates this op.
     """
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     x = jnp.asarray(x, jnp.float32)

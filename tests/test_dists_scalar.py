@@ -23,7 +23,7 @@ CASES = [
     (d.Logistic(loc=0.5, scale=1.2), st.logistic(0.5, 1.2), (-7, 8)),
     (d.ChiSquared(df=5.0), st.chi2(5.0), (0.1, 18)),
     (d.Gumbel(loc=1.0, scale=2.0), st.gumbel_r(1.0, 2.0), (-5, 12)),
-    (d.Pareto(xmin=1.5, alpha=3.0), st.pareto(3.0, scale=1.5), (1.55, 12)),
+    (d.Pareto(xmin=1.5, alpha=5.0), st.pareto(5.0, scale=1.5), (1.55, 12)),
 ]
 
 

@@ -315,8 +315,8 @@ def test_gp_integer_grid_prediction(key):
 
 def test_cholesky_pallas_interpret(rng):
     """The fused Pallas blocked SPD Cholesky (SURVEY §7.4) against the
-    dense factor, in interpreter mode (Pallas cannot dispatch through the
-    axon tunnel; see PERFORMANCE.md)."""
+    dense factor, in interpreter mode (the test suite runs on CPU; the
+    kernel also dispatches on the real chip — see PERFORMANCE.md)."""
     from bayesianinference_tpu.ops.gp_kernels import cholesky_pallas
 
     for n, b in ((128, 128), (512, 256)):
