@@ -12,6 +12,8 @@ MXU; no iteration anywhere.
 from __future__ import annotations
 
 import dataclasses
+import functools
+from functools import partial
 from typing import Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -46,10 +48,36 @@ def _f(x):
     return jnp.asarray(x, jnp.result_type(jnp.asarray(x).dtype, float))
 
 
+@functools.lru_cache(maxsize=64)
 def polynomial_basis(degree: int) -> Tuple[Callable, ...]:
     """Basis functions (x, x^2, ..., x^degree) for 1-D input (the constant
-    term is added by ``include_constant``)."""
+    term is added by ``include_constant``).  Cached per degree so the
+    returned tuple's identity is stable (the jitted fit core is keyed on
+    it)."""
     return tuple((lambda x, p=p: x[..., 0] ** p) for p in range(1, degree + 1))
+
+
+@functools.lru_cache(maxsize=64)
+def _identity_basis(d_in: int) -> Tuple[Callable, ...]:
+    return tuple((lambda xv, j=j: xv[..., j]) for j in range(d_in))
+
+
+@partial(jax.jit, static_argnames=("basis", "include_constant", "univariate"))
+def _blr_core(x, y, prior, basis, include_constant, univariate):
+    """design matrix -> conjugate update -> exact logZ, as ONE compiled
+    program (cached per basis/shape: repeated fits cost device time, not
+    tracing + per-op dispatch round trips)."""
+    dmat = design_matrix(x, basis, include_constant)
+    k = dmat.shape[1]
+    m = 1 if univariate else y.shape[-1]
+    if prior is None:
+        prior = _default_prior(k, m, dmat.dtype)
+    post = _update_parameters(prior, dmat, y)
+    if univariate:
+        log_z = _log_evidence_univariate(prior, post, dmat, y)
+    else:
+        log_z = _log_evidence_multivariate(prior, post, dmat, y)
+    return prior, post, log_z
 
 
 def design_matrix(x, basis: Sequence[Callable], include_constant: bool = True):
@@ -301,30 +329,21 @@ def bayesian_linear_regression(
         if degree is not None:
             basis = polynomial_basis(degree)
         else:
-            d_in = x.shape[1]
-            basis = tuple(
-                (lambda xv, j=j: xv[..., j]) for j in range(d_in)
-            )
+            basis = _identity_basis(x.shape[1])
     univariate = y.ndim == 1 or y.shape[-1] == 1
     if y.ndim == 2 and y.shape[-1] == 1:
         y = y[:, 0]
-    dmat = design_matrix(x, basis, include_constant)
-    k = dmat.shape[1]
-    m = 1 if univariate else y.shape[-1]
-    if prior is None:
-        prior = _default_prior(k, m, dmat.dtype)
-    post = _update_parameters(prior, dmat, y)
-    if univariate:
-        log_z = _log_evidence_univariate(prior, post, dmat, y)
-    else:
-        log_z = _log_evidence_multivariate(prior, post, dmat, y)
+    basis = tuple(basis)
+    prior, post, log_z = _blr_core(
+        x, y, prior, basis, include_constant, univariate
+    )
     return BLRResult(
         log_evidence=log_z,
         prior_parameters=prior,
         posterior_parameters=post,
-        basis=tuple(basis),
+        basis=basis,
         include_constant=include_constant,
-        output_dim=m,
+        output_dim=1 if univariate else y.shape[-1],
     )
 
 

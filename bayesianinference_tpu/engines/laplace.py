@@ -19,6 +19,8 @@ TPU-first departures from the reference:
 from __future__ import annotations
 
 import dataclasses
+import functools
+from functools import partial
 from typing import Callable, Optional, Tuple, Union
 
 import jax
@@ -77,20 +79,30 @@ def find_mode(
     coordinates (sigmoid for two-sided, softplus for one-sided bounds)
     rather than clipping inside the objective — a clip zeroes the gradient
     beyond the box, so L-BFGS would stall at the boundary instead of
-    sliding along it.  Returns (mode [d], max_value)."""
+    sliding along it.  Returns (mode [d], max_value).
+
+    The compiled solver caches on ``log_density``'s identity (the
+    engine-jit convention): repeated fits of the same problem skip the
+    re-trace, so per-fit latency is the device time, not tracing."""
     x0 = jnp.atleast_2d(_f(x0))
     dtype = x0.dtype
     d = x0.shape[-1]
+    lo = jnp.broadcast_to(
+        _f(-jnp.inf if lower is None else lower), (d,)
+    ).astype(dtype)
+    hi = jnp.broadcast_to(
+        _f(jnp.inf if upper is None else upper), (d,)
+    ).astype(dtype)
+    return _find_mode_jit(
+        log_density, x0, lo, hi, jnp.asarray(tol, dtype), maxiter
+    )
 
-    if lower is None and upper is None:
-        to_x = to_z = lambda v: v
-    else:
-        lo = jnp.broadcast_to(
-            _f(-jnp.inf if lower is None else lower), (d,)
-        ).astype(dtype)
-        hi = jnp.broadcast_to(
-            _f(jnp.inf if upper is None else upper), (d,)
-        ).astype(dtype)
+
+@partial(jax.jit, static_argnames=("log_density", "maxiter"))
+def _find_mode_jit(log_density, x0, lower, upper, tol, maxiter):
+    dtype = x0.dtype
+    if True:  # keep the bijection block's indentation stable
+        lo, hi = lower, upper
         f_lo, f_hi = jnp.isfinite(lo), jnp.isfinite(hi)
         both = f_lo & f_hi
         # sanitized operands so no branch produces nan (grad hygiene)
@@ -205,6 +217,18 @@ class LaplaceFit:
         )
 
 
+@functools.lru_cache(maxsize=256)
+def _sum_densities(loglike_fn, logprior_fn):
+    """Stable-identity joint density for a (loglike, logprior) pair, so
+    the jit caches keyed on function identity hit across repeated fits."""
+    return lambda x: loglike_fn(x) + logprior_fn(x)
+
+
+@partial(jax.jit, static_argnames=("f",))
+def _hessian_at(f, x):
+    return jax.hessian(f)(x)
+
+
 def approximate_evidence(
     log_density: Union[Callable, Tuple[Callable, Callable]],
     x0,
@@ -220,7 +244,7 @@ def approximate_evidence(
     or a (log_likelihood, log_prior) pair."""
     if isinstance(log_density, tuple):
         loglike_fn, logprior_fn = log_density
-        dens = lambda x: loglike_fn(x) + logprior_fn(x)
+        dens = _sum_densities(loglike_fn, logprior_fn)
     else:
         loglike_fn = None
         dens = log_density
@@ -228,7 +252,7 @@ def approximate_evidence(
     mode, max_val = find_mode(
         dens, starts, maxiter=maxiter, lower=lower, upper=upper
     )
-    precision = -jax.hessian(dens)(mode)
+    precision = -_hessian_at(dens, mode)
     precision = 0.5 * (precision + precision.T)
     return LaplaceFit(
         log_evidence=laplace_log_evidence(max_val, precision),

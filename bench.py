@@ -87,6 +87,66 @@ def bench_gp(n=16384, reps=4):
     )
 
 
+def bench_blr(n=4096, reps=20):
+    """BASELINE config 1: conjugate BLR on 1-D polynomial data — fits/s
+    (the pure-XLA dense-linear-algebra path, LR:32-128)."""
+    from bayesianinference_tpu.engines import bayesian_linear_regression
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (n, 1), minval=-2.0, maxval=2.0)
+    y = 1.0 - 2.0 * x[:, 0] + 0.5 * x[:, 0] ** 3 + 0.1 * jax.random.normal(
+        jax.random.fold_in(key, 1), (n,)
+    )
+
+    def fit():
+        return float(
+            bayesian_linear_regression(x, y, degree=3).log_evidence
+        )
+
+    fit()  # compile/warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fit()
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return 1.0 / best, fit()
+
+
+def bench_laplace_iris():
+    """BASELINE config 3: Laplace fit of logistic regression on Fisher
+    Iris (multi-start L-BFGS + exact AD Hessian) — wall ms per fit."""
+    from sklearn.datasets import load_iris
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines.laplace import laplace_posterior_fit
+    from bayesianinference_tpu.models import define_inference_problem
+
+    iris = load_iris()
+    x = jnp.asarray((iris.data - iris.data.mean(0)) / iris.data.std(0))
+    y = jnp.asarray((iris.target == 0).astype(float))
+    problem = define_inference_problem(
+        parameters=[(f"b{i}", -50.0, 50.0) for i in range(5)],
+        log_likelihood=lambda th: jnp.sum(
+            d.BernoulliLogits(logits=th[0] + x @ th[1:]).log_prob(y)
+        ),
+        log_prior=lambda th: jnp.sum(d.Normal(0.0, 10.0).log_prob(th)),
+        validate=False,
+    )
+
+    def fit():
+        f = laplace_posterior_fit(problem=problem, key=jax.random.PRNGKey(0))
+        return float(f.log_evidence)
+
+    logz = fit()  # compile/warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fit()
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3, logz
+
+
 def main():
     from bayesianinference_tpu import dists as d
     from bayesianinference_tpu.models import define_inference_problem
@@ -157,6 +217,14 @@ def main():
         file=sys.stderr,
     )
 
+    blr_fps, blr_logz = bench_blr()
+    lap_ms, lap_logz = bench_laplace_iris()
+    print(
+        f"[bench] blr n=4k cubic: {blr_fps:.0f} fits/s (logZ {blr_logz:.1f}); "
+        f"laplace iris: {lap_ms:.0f} ms/fit (logZ {lap_logz:.1f})",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -167,6 +235,8 @@ def main():
                 "gp_logml_fwd_ms_n16k": round(gp_fwd_ms, 2),
                 "gp_logml_grad_ms_n16k": round(gp_grad_ms, 2),
                 "gp_logml_grad_tflops_n16k": round(gp_tflops, 2),
+                "blr_conjugate_fits_per_sec_n4k": round(blr_fps, 1),
+                "laplace_iris_ms_per_fit": round(lap_ms, 1),
             }
         )
     )
