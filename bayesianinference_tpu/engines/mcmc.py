@@ -9,6 +9,7 @@ log-density callable) and iterate it, with thinning, collecting samples.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, Union
 
 import jax
@@ -69,14 +70,28 @@ def create_mcmc_chain(
 
 def iterate_mcmc(chain: MCMCChain, key, num_samples: int, thinning: int = 1):
     """Advance the chain, returning ([num_samples, d] samples, new chain) —
-    ``MarkovChainIterate``'s ``{n, thinning}`` form (BS:703, 1089)."""
+    ``MarkovChainIterate``'s ``{n, thinning}`` form (BS:703, 1089).  The
+    compiled scan caches on the chain's density identity, so repeated
+    iteration of the same chain skips re-tracing."""
+    state, samples = _iterate_jit(
+        chain.log_density,
+        chain.state,
+        key,
+        num_samples,
+        thinning,
+        chain.covariance_learn_delay,
+    )
+    return samples, dataclasses.replace(chain, state=state)
 
-    def step(state, k):
-        state = run_chain(
-            k, state, chain.log_density, thinning, chain.covariance_learn_delay
-        )
-        return state, state.x
+
+@partial(
+    jax.jit,
+    static_argnames=("log_density", "num_samples", "thinning", "learn_delay"),
+)
+def _iterate_jit(log_density, state, key, num_samples, thinning, learn_delay):
+    def step(st, k):
+        st = run_chain(k, st, log_density, thinning, learn_delay)
+        return st, st.x
 
     keys = jax.random.split(key, num_samples)
-    state, samples = jax.lax.scan(step, chain.state, keys)
-    return samples, dataclasses.replace(chain, state=state)
+    return jax.lax.scan(step, state, keys)
