@@ -191,7 +191,7 @@ def main():
     float(r.state.log_z)
 
     best_dt = float("inf")
-    for rep in range(3):
+    for rep in range(5):  # best-of-5: the tunnel adds multi-ms jitter
         t0 = time.perf_counter()
         r = run(jax.random.fold_in(key, rep + 1))
         float(r.state.log_z)
