@@ -1,0 +1,74 @@
+"""Production serving round-trip: fit, persist the posterior artifact,
+reload it in a fresh process, and serve predictions from the loaded copy.
+
+Run:  python examples/10_serving_roundtrip.py
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.getcwd())  # run from the repo root
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.engines import (
+    nested_sampling,
+    save_result,
+)
+from bayesianinference_tpu.models import define_inference_problem
+
+# ---- fit: Gaussian mean/scale inference ----
+rng = np.random.default_rng(0)
+data = jnp.asarray(rng.normal(1.2, 0.7, size=200))
+problem = define_inference_problem(
+    parameters=[("mu", -5.0, 5.0), ("sigma", 0.05, 5.0)],
+    likelihood=lambda th: d.Normal(th[0], th[1]),
+    data=data,
+    prior_distribution=["location", "scale"],
+)
+result = nested_sampling(
+    problem, jax.random.PRNGKey(0), sample_pool_size=100,
+    max_iterations=1500, monte_carlo_steps=80,
+)
+path = os.path.join(tempfile.mkdtemp(), "posterior.npz")
+save_result(path, result)
+print(f"fit: logZ = {result.log_evidence}; artifact -> {path}")
+
+# ---- serve: a FRESH interpreter loads the artifact and predicts ----
+serve_code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp, numpy as np
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.engines import load_result
+from bayesianinference_tpu.results import predictive_distribution
+
+result = load_result({path!r})
+print("loaded: logZ =", result.log_evidence,
+      "| posterior mean =", np.round(np.asarray(
+          result.parameter_expected_values.mean), 3))
+pred = predictive_distribution(result, lambda th: d.Normal(th[0], th[1]))
+s = np.asarray(pred.sample(jax.random.PRNGKey(1), (20000,)))
+q = np.percentile(s, [5, 50, 95])
+print("posterior-predictive quantiles:", np.round(q, 3))
+"""
+out = subprocess.run(
+    [sys.executable, "-c", serve_code],
+    capture_output=True,
+    text=True,
+    cwd=os.getcwd(),
+)
+print(out.stdout.strip())
+if out.returncode != 0:
+    print(out.stderr, file=sys.stderr)
+    raise SystemExit(1)
