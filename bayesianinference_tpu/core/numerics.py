@@ -24,6 +24,8 @@ __all__ = [
     "safe_log",
     "safe_sqrt",
     "guard_log_density",
+    "HashableFn",
+    "as_hashable_fn",
 ]
 
 
@@ -155,3 +157,35 @@ def safe_log(x):
 def safe_sqrt(x):
     x = jnp.asarray(x)
     return jnp.sqrt(jnp.maximum(x, 0))
+
+
+class HashableFn:
+    """Identity-hashable wrapper for callables used as static jit keys.
+
+    jit caching keyed on a callable requires it to be hashable; arbitrary
+    user callables (e.g. instances of non-frozen dataclasses defining
+    ``__call__``) are not.  Wrapping preserves identity semantics: the
+    same callable object hits the same compiled program."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, *a, **k):
+        return self.fn(*a, **k)
+
+    def __hash__(self):
+        return id(self.fn)
+
+    def __eq__(self, other):
+        return isinstance(other, HashableFn) and self.fn is other.fn
+
+
+def as_hashable_fn(fn):
+    """Return ``fn`` if hashable, else an identity-hashable wrapper."""
+    try:
+        hash(fn)
+        return fn
+    except TypeError:
+        return HashableFn(fn)

@@ -62,22 +62,29 @@ def _identity_basis(d_in: int) -> Tuple[Callable, ...]:
     return tuple((lambda xv, j=j: xv[..., j]) for j in range(d_in))
 
 
-@partial(jax.jit, static_argnames=("basis", "include_constant", "univariate"))
-def _blr_core(x, y, prior, basis, include_constant, univariate):
-    """design matrix -> conjugate update -> exact logZ, as ONE compiled
-    program (cached per basis/shape: repeated fits cost device time, not
-    tracing + per-op dispatch round trips)."""
-    dmat = design_matrix(x, basis, include_constant)
-    k = dmat.shape[1]
-    m = 1 if univariate else y.shape[-1]
-    if prior is None:
-        prior = _default_prior(k, m, dmat.dtype)
-    post = _update_parameters(prior, dmat, y)
-    if univariate:
-        log_z = _log_evidence_univariate(prior, post, dmat, y)
-    else:
-        log_z = _log_evidence_multivariate(prior, post, dmat, y)
-    return prior, post, log_z
+@functools.lru_cache(maxsize=32)
+def _blr_program(basis, include_constant, univariate):
+    """Jitted fit core: design matrix -> conjugate update -> exact logZ as
+    ONE compiled program.  Held in a BOUNDED lru keyed on the basis
+    tuple's identity, so repeated fits with a stable basis (the cached
+    ``polynomial_basis``/``_identity_basis``, or a basis tuple the caller
+    keeps around) cost device time only, while ad-hoc per-call bases are
+    evicted instead of accumulating compiled executables."""
+
+    def core(x, y, prior):
+        dmat = design_matrix(x, basis, include_constant)
+        k = dmat.shape[1]
+        m = 1 if univariate else y.shape[-1]
+        if prior is None:
+            prior = _default_prior(k, m, dmat.dtype)
+        post = _update_parameters(prior, dmat, y)
+        if univariate:
+            log_z = _log_evidence_univariate(prior, post, dmat, y)
+        else:
+            log_z = _log_evidence_multivariate(prior, post, dmat, y)
+        return prior, post, log_z
+
+    return jax.jit(core)
 
 
 def design_matrix(x, basis: Sequence[Callable], include_constant: bool = True):
@@ -334,8 +341,8 @@ def bayesian_linear_regression(
     if y.ndim == 2 and y.shape[-1] == 1:
         y = y[:, 0]
     basis = tuple(basis)
-    prior, post, log_z = _blr_core(
-        x, y, prior, basis, include_constant, univariate
+    prior, post, log_z = _blr_program(basis, include_constant, univariate)(
+        x, y, prior
     )
     return BLRResult(
         log_evidence=log_z,

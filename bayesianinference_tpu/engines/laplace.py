@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..core.numerics import HashableFn, as_hashable_fn
 from ..dists.base import Distribution
 from ..dists.empirical import ParameterMixture
 from ..dists.multivariate import MultivariateNormal
@@ -93,45 +94,53 @@ def find_mode(
     hi = jnp.broadcast_to(
         _f(jnp.inf if upper is None else upper), (d,)
     ).astype(dtype)
-    return _find_mode_jit(
-        log_density, x0, lo, hi, jnp.asarray(tol, dtype), maxiter
+    solver = _mode_solver(as_hashable_fn(log_density), maxiter)
+    return solver(x0, lo, hi, jnp.asarray(tol, dtype))
+
+
+@functools.lru_cache(maxsize=32)
+def _mode_solver(log_density, maxiter):
+    """Jitted multi-start solver, held in a BOUNDED lru so ad-hoc
+    closures don't accumulate compiled executables forever (evicting the
+    entry releases the jitted function, its cache, and the closure)."""
+    return jax.jit(
+        partial(_find_mode_impl, log_density, maxiter=maxiter),
+        static_argnames=(),
     )
 
 
-@partial(jax.jit, static_argnames=("log_density", "maxiter"))
-def _find_mode_jit(log_density, x0, lower, upper, tol, maxiter):
+def _find_mode_impl(log_density, x0, lower, upper, tol, *, maxiter):
     dtype = x0.dtype
-    if True:  # keep the bijection block's indentation stable
-        lo, hi = lower, upper
-        f_lo, f_hi = jnp.isfinite(lo), jnp.isfinite(hi)
-        both = f_lo & f_hi
-        # sanitized operands so no branch produces nan (grad hygiene)
-        lo_s = jnp.where(f_lo, lo, 0.0)
-        hi_s = jnp.where(f_hi, hi, 1.0)
-        pinned = both & (hi_s - lo_s <= 0)  # lo == hi: a fixed parameter
-        width = jnp.where(both & ~pinned, hi_s - lo_s, 1.0)
+    lo, hi = lower, upper
+    f_lo, f_hi = jnp.isfinite(lo), jnp.isfinite(hi)
+    both = f_lo & f_hi
+    # sanitized operands so no branch produces nan (grad hygiene)
+    lo_s = jnp.where(f_lo, lo, 0.0)
+    hi_s = jnp.where(f_hi, hi, 1.0)
+    pinned = both & (hi_s - lo_s <= 0)  # lo == hi: a fixed parameter
+    width = jnp.where(both & ~pinned, hi_s - lo_s, 1.0)
 
-        def to_x(z):
-            x_both = lo_s + width * jax.nn.sigmoid(z)
-            x_lo = lo_s + jax.nn.softplus(z)
-            x_hi = hi_s - jax.nn.softplus(z)
-            out = jnp.where(
-                both, x_both, jnp.where(f_lo, x_lo, jnp.where(f_hi, x_hi, z))
-            )
-            return jnp.where(pinned, lo_s, out)
+    def to_x(z):
+        x_both = lo_s + width * jax.nn.sigmoid(z)
+        x_lo = lo_s + jax.nn.softplus(z)
+        x_hi = hi_s - jax.nn.softplus(z)
+        out = jnp.where(
+            both, x_both, jnp.where(f_lo, x_lo, jnp.where(f_hi, x_hi, z))
+        )
+        return jnp.where(pinned, lo_s, out)
 
-        def _sp_inv(y):
-            y = jnp.maximum(y, jnp.asarray(1e-12, dtype))
-            return y + jnp.log1p(-jnp.exp(-y))
+    def _sp_inv(y):
+        y = jnp.maximum(y, jnp.asarray(1e-12, dtype))
+        return y + jnp.log1p(-jnp.exp(-y))
 
-        def to_z(x):
-            frac = jnp.clip((x - lo_s) / width, 1e-9, 1.0 - 1e-9)
-            z_both = jnp.log(frac) - jnp.log1p(-frac)
-            z_lo = _sp_inv(jnp.maximum(x - lo_s, 1e-9))
-            z_hi = _sp_inv(jnp.maximum(hi_s - x, 1e-9))
-            return jnp.where(
-                both, z_both, jnp.where(f_lo, z_lo, jnp.where(f_hi, z_hi, x))
-            )
+    def to_z(x):
+        frac = jnp.clip((x - lo_s) / width, 1e-9, 1.0 - 1e-9)
+        z_both = jnp.log(frac) - jnp.log1p(-frac)
+        z_lo = _sp_inv(jnp.maximum(x - lo_s, 1e-9))
+        z_hi = _sp_inv(jnp.maximum(hi_s - x, 1e-9))
+        return jnp.where(
+            both, z_both, jnp.where(f_lo, z_lo, jnp.where(f_hi, z_hi, x))
+        )
 
     def neg(z):
         return -log_density(to_x(z))
@@ -217,16 +226,22 @@ class LaplaceFit:
         )
 
 
-@functools.lru_cache(maxsize=256)
+@functools.lru_cache(maxsize=64)
 def _sum_densities(loglike_fn, logprior_fn):
     """Stable-identity joint density for a (loglike, logprior) pair, so
-    the jit caches keyed on function identity hit across repeated fits."""
+    the solver caches keyed on function identity hit across repeated
+    fits.  Bounded: evicted pairs release their closures (and any data
+    they captured)."""
     return lambda x: loglike_fn(x) + logprior_fn(x)
 
 
-@partial(jax.jit, static_argnames=("f",))
+@functools.lru_cache(maxsize=32)
+def _hessian_program(f):
+    return jax.jit(jax.hessian(f.fn if isinstance(f, HashableFn) else f))
+
+
 def _hessian_at(f, x):
-    return jax.hessian(f)(x)
+    return _hessian_program(as_hashable_fn(f))(x)
 
 
 def approximate_evidence(
@@ -244,7 +259,9 @@ def approximate_evidence(
     or a (log_likelihood, log_prior) pair."""
     if isinstance(log_density, tuple):
         loglike_fn, logprior_fn = log_density
-        dens = _sum_densities(loglike_fn, logprior_fn)
+        dens = _sum_densities(
+            as_hashable_fn(loglike_fn), as_hashable_fn(logprior_fn)
+        )
     else:
         loglike_fn = None
         dens = log_density

@@ -9,12 +9,13 @@ log-density callable) and iterate it, with thinning, collecting samples.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+import functools
 from typing import Callable, Union
 
 import jax
 import jax.numpy as jnp
 
+from ..core.numerics import as_hashable_fn
 from ..models.problem import InferenceProblem
 from ..ops.metropolis import AMState, am_init, run_chain
 
@@ -73,25 +74,28 @@ def iterate_mcmc(chain: MCMCChain, key, num_samples: int, thinning: int = 1):
     ``MarkovChainIterate``'s ``{n, thinning}`` form (BS:703, 1089).  The
     compiled scan caches on the chain's density identity, so repeated
     iteration of the same chain skips re-tracing."""
-    state, samples = _iterate_jit(
-        chain.log_density,
-        chain.state,
-        key,
+    prog = _iterate_program(
+        as_hashable_fn(chain.log_density),
         num_samples,
         thinning,
         chain.covariance_learn_delay,
     )
+    state, samples = prog(chain.state, key)
     return samples, dataclasses.replace(chain, state=state)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("log_density", "num_samples", "thinning", "learn_delay"),
-)
-def _iterate_jit(log_density, state, key, num_samples, thinning, learn_delay):
-    def step(st, k):
-        st = run_chain(k, st, log_density, thinning, learn_delay)
-        return st, st.x
+@functools.lru_cache(maxsize=32)
+def _iterate_program(log_density, num_samples, thinning, learn_delay):
+    """Jitted scan held in a BOUNDED lru: same-chain iteration skips the
+    re-trace; evicted entries release their compiled executables and
+    closures.  Unhashable density callables are identity-wrapped."""
 
-    keys = jax.random.split(key, num_samples)
-    return jax.lax.scan(step, state, keys)
+    def run(state, key):
+        def step(st, k):
+            st = run_chain(k, st, log_density, thinning, learn_delay)
+            return st, st.x
+
+        keys = jax.random.split(key, num_samples)
+        return jax.lax.scan(step, state, keys)
+
+    return jax.jit(run)

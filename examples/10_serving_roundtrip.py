@@ -39,7 +39,8 @@ result = nested_sampling(
     problem, jax.random.PRNGKey(0), sample_pool_size=100,
     max_iterations=1500, monte_carlo_steps=80,
 )
-path = os.path.join(tempfile.mkdtemp(), "posterior.npz")
+_tmp = tempfile.TemporaryDirectory()
+path = os.path.join(_tmp.name, "posterior.npz")
 save_result(path, result)
 print(f"fit: logZ = {result.log_evidence}; artifact -> {path}")
 
@@ -69,6 +70,7 @@ out = subprocess.run(
     cwd=os.getcwd(),
 )
 print(out.stdout.strip())
+_tmp.cleanup()
 if out.returncode != 0:
     print(out.stderr, file=sys.stderr)
     raise SystemExit(1)
