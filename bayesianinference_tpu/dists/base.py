@@ -81,6 +81,11 @@ class Distribution:
         low, high = self.support()
         return bisect_icdf(self.cdf, q, low, high)
 
+    def quantile(self, q) -> jnp.ndarray:
+        """Alias of :meth:`icdf` (the name PointwiseMixture and the
+        plotting percentile bands use)."""
+        return self.icdf(q)
+
     def mean(self) -> jnp.ndarray:
         raise NotImplementedError
 

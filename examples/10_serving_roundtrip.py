@@ -59,9 +59,8 @@ print("loaded: logZ =", result.log_evidence,
       "| posterior mean =", np.round(np.asarray(
           result.parameter_expected_values.mean), 3))
 pred = predictive_distribution(result, lambda th: d.Normal(th[0], th[1]))
-s = np.asarray(pred.sample(jax.random.PRNGKey(1), (20000,)))
-q = np.percentile(s, [5, 50, 95])
-print("posterior-predictive quantiles:", np.round(q, 3))
+q = pred.quantile(jnp.asarray([0.05, 0.5, 0.95]))
+print("posterior-predictive quantiles:", np.round(np.asarray(q), 3))
 """
 out = subprocess.run(
     [sys.executable, "-c", serve_code],

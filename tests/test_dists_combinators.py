@@ -131,3 +131,18 @@ def test_improper_uniform():
     iu = d.ImproperUniform(dim=3)
     assert float(iu.log_prob(jnp.zeros(3))) == 0.0
     assert iu.log_prob(jnp.zeros((5, 3))).shape == (5,)
+
+
+def test_mixture_quantile_roundtrip():
+    """Mixture quantiles (SURVEY hard-part 6: the plotting percentile
+    bands) round-trip through the mixture CDF."""
+    mix = d.Mixture(
+        log_weights=jnp.log(jnp.asarray([0.3, 0.7])),
+        component=d.Normal(
+            loc=jnp.asarray([-1.0, 2.0]), scale=jnp.asarray([0.5, 1.0])
+        ),
+    )
+    q = jnp.asarray([0.05, 0.5, 0.95])
+    x = mix.quantile(q)
+    np.testing.assert_allclose(np.asarray(mix.cdf(x)), np.asarray(q), atol=1e-9)
+    assert np.all(np.diff(np.asarray(x)) > 0)
