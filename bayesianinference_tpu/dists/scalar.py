@@ -205,7 +205,8 @@ class Gamma(Distribution):
         x, a, b = _f(x), _f(self.a), _f(self.rate)
         safe_x = jnp.where(x > 0, x, 1.0)
         logp = a * jnp.log(b) + (a - 1.0) * jnp.log(safe_x) - b * x - jsp.gammaln(a)
-        return self._mask_support(x, logp)
+        # open support (x = 0 boundary -> sentinel, not the safe-point value)
+        return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
 
     def sample(self, key, shape=()):
         shape = jnp.broadcast_shapes(shape, jnp.shape(self.a), jnp.shape(self.rate))
@@ -245,7 +246,8 @@ class InverseGamma(Distribution):
             - b / safe_x
             - jsp.gammaln(a)
         )
-        return self._mask_support(x, logp)
+        # open support (x = 0 boundary -> sentinel)
+        return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
 
     def sample(self, key, shape=()):
         shape = jnp.broadcast_shapes(shape, jnp.shape(self.a), jnp.shape(self.b))
@@ -283,7 +285,9 @@ class Beta(Distribution):
             + (b - 1.0) * jnp.log1p(-sx)
             - jsp.betaln(a, b)
         )
-        return self._mask_support(x, logp)
+        # open support on both ends (boundary density is 0/inf by a, b)
+        inside = jnp.logical_and(x > 0, x < 1)
+        return jnp.where(inside, self._mask_support(x, logp), log_zero(logp.dtype))
 
     def sample(self, key, shape=()):
         shape = jnp.broadcast_shapes(shape, jnp.shape(self.a), jnp.shape(self.b))
@@ -422,7 +426,8 @@ class LogNormal(Distribution):
         safe_x = jnp.where(x > 0, x, 1.0)
         z = (jnp.log(safe_x) - mu) / s
         logp = -0.5 * (z * z + _LOG2PI) - jnp.log(s) - jnp.log(safe_x)
-        return self._mask_support(x, logp)
+        # open support (the x = 0 boundary density is 0 -> sentinel)
+        return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
 
     def sample(self, key, shape=()):
         shape = jnp.broadcast_shapes(
@@ -621,7 +626,9 @@ class Weibull(Distribution):
         safe = jnp.where(x > 0, x, 1.0)
         z = safe / lam
         logp = jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - z**k
-        return self._mask_support(x, logp)
+        # open support: the x=0 boundary density is 0/inf depending on k;
+        # map it to the sentinel rather than evaluating at the safe point
+        return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
 
     def sample(self, key, shape=()):
         shape = jnp.broadcast_shapes(

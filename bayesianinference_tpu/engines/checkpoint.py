@@ -148,13 +148,16 @@ def save_result(path, result) -> None:
             arrays[f.name + ".standard_error"] = np.asarray(v.standard_error)
         elif isinstance(v, (int, float, str, bool)):
             meta[f.name] = v
-        elif isinstance(v, tuple) and all(isinstance(t, str) for t in v):
-            meta[f.name] = list(v)
+        elif isinstance(v, tuple):
+            if all(isinstance(t, str) for t in v):
+                meta[f.name] = list(v)
+            # non-str tuples (e.g. LaplaceFit.hyper_path) are diagnostics
+            # with no stable array form — dropped per the docstring
         else:
             try:
                 arrays[f.name] = np.asarray(v)
             except (ValueError, TypeError):
-                continue  # ragged diagnostic (e.g. LaplaceFit.hyper_path)
+                continue
     np.savez_compressed(
         path,
         __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),

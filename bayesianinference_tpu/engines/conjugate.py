@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from ..dists.combinators import ConditionalProduct
+from ..core.numerics import as_hashable_fn
 from ..dists.conjugate_structs import NormalInverseGamma, NormalInverseWishart
 from ..dists.multivariate import (
     InverseWishart,
@@ -340,7 +341,7 @@ def bayesian_linear_regression(
     univariate = y.ndim == 1 or y.shape[-1] == 1
     if y.ndim == 2 and y.shape[-1] == 1:
         y = y[:, 0]
-    basis = tuple(basis)
+    basis = tuple(as_hashable_fn(b) for b in basis)
     prior, post, log_z = _blr_program(basis, include_constant, univariate)(
         x, y, prior
     )

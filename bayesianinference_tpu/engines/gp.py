@@ -96,8 +96,11 @@ class GPModel:
                 _f(nugget), y.shape
             )
             return jnp.sum(Normal(loc=0.0, scale=jnp.sqrt(nug)).log_prob(y))
-        # Cholesky reads one triangle; skip the symmetrization HBM pass
-        k = covariance_matrix(kernel, self.x, nugget, symmetrize=False)
+        # Cholesky reads one triangle; built-in (declared-symmetric)
+        # kernels skip the symmetrization HBM pass, user kernels keep it
+        k = covariance_matrix(
+            kernel, self.x, nugget, symmetrize=not kernel.exactly_symmetric
+        )
         if self.logml_method == "automatic":
             from ..dists.multivariate import MultivariateNormal
 

@@ -66,21 +66,32 @@ def squared_distances(x1, x2):
 @dataclasses.dataclass(frozen=True)
 class Kernel:
     """A covariance function: ``matrix(x1, x2) -> [n1, n2]`` and
-    ``diag(x) -> [n]``.  Compose with ``+`` and ``*``."""
+    ``diag(x) -> [n]``.  Compose with ``+`` and ``*``.
+
+    ``exactly_symmetric`` declares that ``matrix(x, x)`` is symmetric to
+    the last bit by construction (true for all built-in kernels: their
+    Gram/distance forms are).  Only then do the hot logML paths skip the
+    defensive 0.5 (K + K^T) pass; user-built kernels default to False and
+    keep the reference's symmetrization guard (GP:27-43)."""
 
     matrix: Callable
     diag: Callable
+    exactly_symmetric: bool = False
 
     def __add__(self, other: "Kernel") -> "Kernel":
         return Kernel(
             matrix=lambda a, b: self.matrix(a, b) + other.matrix(a, b),
             diag=lambda a: self.diag(a) + other.diag(a),
+            exactly_symmetric=self.exactly_symmetric
+            and other.exactly_symmetric,
         )
 
     def __mul__(self, other: "Kernel") -> "Kernel":
         return Kernel(
             matrix=lambda a, b: self.matrix(a, b) * other.matrix(a, b),
             diag=lambda a: self.diag(a) * other.diag(a),
+            exactly_symmetric=self.exactly_symmetric
+            and other.exactly_symmetric,
         )
 
 
@@ -89,6 +100,7 @@ def _stationary(f_of_sqdist: Callable, variance) -> Kernel:
     return Kernel(
         matrix=lambda a, b: variance * f_of_sqdist(squared_distances(a, b)),
         diag=lambda a: variance * jnp.ones(jnp.shape(a)[0], _f(a).dtype),
+        exactly_symmetric=True,
     )
 
 
@@ -154,6 +166,7 @@ def periodic_kernel(variance=1.0, lengthscale=1.0, period=1.0) -> Kernel:
     return Kernel(
         matrix=matrix,
         diag=lambda a: v * jnp.ones(jnp.shape(a)[0], _f(a).dtype),
+        exactly_symmetric=True,
     )
 
 
@@ -162,6 +175,7 @@ def linear_kernel(variance=1.0, offset=0.0) -> Kernel:
     return Kernel(
         matrix=lambda a, b: v * ((_f(a) - c) @ (_f(b) - c).T),
         diag=lambda a: v * jnp.sum((_f(a) - c) ** 2, axis=-1),
+        exactly_symmetric=True,
     )
 
 
@@ -170,6 +184,7 @@ def constant_kernel(variance=1.0) -> Kernel:
     return Kernel(
         matrix=lambda a, b: v * jnp.ones((jnp.shape(a)[0], jnp.shape(b)[0])),
         diag=lambda a: v * jnp.ones(jnp.shape(a)[0]),
+        exactly_symmetric=True,
     )
 
 
@@ -179,6 +194,7 @@ def white_kernel(variance=1.0) -> Kernel:
     return Kernel(
         matrix=lambda a, b: jnp.zeros((jnp.shape(a)[0], jnp.shape(b)[0])),
         diag=lambda a: v * jnp.ones(jnp.shape(a)[0]),
+        exactly_symmetric=True,
     )
 
 
@@ -336,7 +352,9 @@ def gp_posterior_moments(
     where kappa includes the nugget when ``query_nugget`` (GP:110-115).
     Returns (mean [m], std [m])."""
     x_train, y_train, x_query = _f(x_train), _f(y_train), _f(x_query)
-    k_train = covariance_matrix(kernel, x_train, nugget, symmetrize=False)
+    k_train = covariance_matrix(
+        kernel, x_train, nugget, symmetrize=not kernel.exactly_symmetric
+    )
     k_cross = kernel.matrix(x_train, x_query)  # [n, m]
     kappa = kernel.diag(x_query)
     if query_nugget and nugget is not None:

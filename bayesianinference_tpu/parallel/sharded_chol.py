@@ -24,6 +24,7 @@ Reference semantics: ``matrixInverseAndDet`` + ``gaussianProcessLogLikelihood``
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Callable, Optional
 
@@ -99,9 +100,6 @@ def _factorize_local(a_local, y_rep, *, block, axis_name):
     )
     _, l_local, _, logdet, wsq = jax.lax.fori_loop(0, nb, body, init)
     return l_local, logdet, wsq
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=64)
@@ -188,6 +186,20 @@ def sharded_gp_logml_blocked(
     else:
         nug = jnp.broadcast_to(jnp.asarray(nugget, dtype), (n,))
 
+    prog = _gp_logml_program(
+        kernel, mesh, axis_name, block, n, n_loc, jnp.dtype(dtype).name
+    )
+    return prog(x, y, nug)
+
+
+@functools.lru_cache(maxsize=32)
+def _gp_logml_program(kernel, mesh, axis_name, block, n, n_loc, dtype_name):
+    """Compiled sharded-logML program, cached per (kernel identity, mesh,
+    axis, block, n) in a BOUNDED lru — repeated calls with the same kernel
+    object skip the re-trace; per-theta kernels still need the
+    jit-the-wrapper pattern from the docstring above."""
+    dtype = jnp.dtype(dtype_name)
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -216,4 +228,4 @@ def sharded_gp_logml_blocked(
         out = jnp.clip(out, lz, -lz)
         return jnp.where(jnp.isfinite(out), out, lz)
 
-    return jax.jit(run)(x, y, nug)
+    return jax.jit(run)
