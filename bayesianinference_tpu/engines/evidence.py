@@ -40,6 +40,7 @@ __all__ = [
     "evidence_sampling",
     "combine_runs",
     "dedup_by_point",
+    "log_bayes_factor",
 ]
 
 
@@ -339,4 +340,24 @@ def combine_runs(
         num_runs=num_runs,
         empirical_posterior_type=empirical_posterior_type,
         param_names=results[0].param_names,
+    )
+
+
+def log_bayes_factor(result_a, result_b) -> MeanAndError:
+    """log B_ab = logZ_a - logZ_b with Monte-Carlo errors combined in
+    quadrature.  Accepts any results carrying ``log_evidence`` — a
+    :class:`MeanAndError` (nested sampling) or a plain scalar (Laplace,
+    conjugate models, whose evidence is deterministic)."""
+
+    def split(r):
+        le = getattr(r, "log_evidence", r)
+        if isinstance(le, MeanAndError):
+            return jnp.asarray(le.mean), jnp.asarray(le.standard_error)
+        le = jnp.asarray(le)
+        return le, jnp.zeros_like(le)
+
+    ma, ea = split(result_a)
+    mb, eb = split(result_b)
+    return MeanAndError(
+        mean=ma - mb, standard_error=jnp.sqrt(ea**2 + eb**2)
     )

@@ -51,8 +51,9 @@ from ..engines.nested_sampling import (
     generate_starting_points,
 )
 from ..models.problem import InferenceProblem
-from ..ops.metropolis import am_init, run_chain_adaptive
+from ..ops.metropolis import _cholesky as _small_chol, am_init, run_chain_adaptive
 from ..ops.ns_math import crude_log_x_deleted, pool_schedule
+from ..ops.slice import run_slice_chain
 
 __all__ = ["sharded_pool_nested_sampling"]
 
@@ -74,6 +75,7 @@ def sharded_pool_nested_sampling(
     starting_points=None,
     post_process_sampling_runs: Optional[int] = 100,
     empirical_posterior_type: str = "Simple",
+    monte_carlo_method: str = "adaptive_metropolis",
 ) -> NestedSamplingResult:
     """Run one pool-sharded NS program and post-process exactly like the
     single-device pipeline.  ``sample_pool_size`` is the TOTAL pool;
@@ -186,15 +188,31 @@ def sharded_pool_nested_sampling(
             jax.random.fold_in(k_pick, me), surv_logits, shape=(c,)
         )
 
-        def one_chain(ck, x0):
-            st = am_init(x0, density, mean0=mean_est, cov0=cov_est, t0=10)
-            st, acc = run_chain_adaptive(
-                ck, st, density, mc[0], mc[1], mc[2],
-                min_acceptance=min_max_acceptance_rate[0],
-                max_acceptance=min_max_acceptance_rate[1],
-                learn_delay=covariance_learn_delay,
+        if monte_carlo_method == "slice":
+            dim_ = mean_est.shape[0]
+            dir_chol = _small_chol(
+                cov_est + 1e-10 * jnp.eye(dim_, dtype=cov_est.dtype)
             )
-            return st.x, st.mean, st.cov, st.proposed
+            dir_chol = jnp.where(
+                jnp.isfinite(dir_chol).all(),
+                dir_chol,
+                jnp.eye(dim_, dtype=cov_est.dtype),
+            )
+
+            def one_chain(ck, x0):
+                st = run_slice_chain(ck, x0, density, dir_chol, mc[0])
+                return st.x, mean_est, cov_est, st.evals
+        else:
+
+            def one_chain(ck, x0):
+                st = am_init(x0, density, mean0=mean_est, cov0=cov_est, t0=10)
+                st, acc = run_chain_adaptive(
+                    ck, st, density, mc[0], mc[1], mc[2],
+                    min_acceptance=min_max_acceptance_rate[0],
+                    max_acceptance=min_max_acceptance_rate[1],
+                    learn_delay=covariance_learn_delay,
+                )
+                return st.x, st.mean, st.cov, st.proposed
 
         xs, means, covs, proposed = jax.vmap(one_chain)(
             jax.random.split(jax.random.fold_in(k_chain, me), c),

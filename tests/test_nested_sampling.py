@@ -381,3 +381,22 @@ def test_ns_16d_correlated_gaussian_slice(key, rng):
     np.testing.assert_allclose(
         np.asarray(ws.cov()), cov, atol=0.25 * np.abs(cov).max()
     )
+
+
+def test_log_bayes_factor():
+    from bayesianinference_tpu.engines import MeanAndError, log_bayes_factor
+
+    class R:
+        def __init__(self, le):
+            self.log_evidence = le
+
+    bf = log_bayes_factor(
+        R(MeanAndError(jnp.asarray(-3.0), jnp.asarray(0.3))),
+        R(MeanAndError(jnp.asarray(-5.0), jnp.asarray(0.4))),
+    )
+    np.testing.assert_allclose(float(bf.mean), 2.0)
+    np.testing.assert_allclose(float(bf.standard_error), 0.5)
+    # scalar-evidence results (Laplace/conjugate) carry zero error
+    bf2 = log_bayes_factor(R(jnp.asarray(-3.0)), R(jnp.asarray(-5.0)))
+    np.testing.assert_allclose(float(bf2.mean), 2.0)
+    np.testing.assert_allclose(float(bf2.standard_error), 0.0)
