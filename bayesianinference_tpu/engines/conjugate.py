@@ -45,6 +45,9 @@ __all__ = [
 ]
 
 
+_LOG2PI_C = 1.8378770664093453
+
+
 def _f(x):
     return jnp.asarray(x, jnp.result_type(jnp.asarray(x).dtype, float))
 
@@ -168,6 +171,26 @@ def _update_parameters(
     )
 
 
+def _joint_lp_univariate(p: BLRParameters, var_hat, b_hat):
+    """log p(b_hat, var_hat) under the NIG prior/posterior with parameters
+    ``p``: variance ~ InverseGamma(Nu/2, V/2), coefficients | variance ~
+    Multinormal(B, variance Lambda^-1) (LR:234-249)."""
+    return InverseGamma(a=0.5 * p.nu, b=0.5 * p.v).log_prob(
+        var_hat
+    ) + MultivariateNormal(mean_=p.b, cov=var_hat * p.lam_inv).log_prob(b_hat)
+
+
+def _joint_lp_multivariate(p: BLRParameters, cov_hat, b_hat):
+    """log p(b_hat, cov_hat): covariance ~ InverseWishart(Nu, V),
+    coefficients | covariance ~ MatrixNormal(B, Lambda^-1, covariance)
+    (LR:202-218)."""
+    return InverseWishart(df=p.nu, scale=p.v).log_prob(
+        cov_hat
+    ) + MatrixNormal(loc=p.b, row_cov=p.lam_inv, col_cov=cov_hat).log_prob(
+        b_hat
+    )
+
+
 def _log_evidence_univariate(prior, post, dmat, y):
     """Candidate-point identity at (B_n, V_n/Nu_n) (LR:327-364):
     logZ = logL(D | theta-hat) + logprior(theta-hat) - logpost(theta-hat)."""
@@ -176,13 +199,11 @@ def _log_evidence_univariate(prior, post, dmat, y):
     loglike = jnp.sum(
         Normal(loc=dmat @ b_hat, scale=jnp.sqrt(var_hat)).log_prob(y)
     )
-
-    def joint_lp(p: BLRParameters):
-        return InverseGamma(a=0.5 * p.nu, b=0.5 * p.v).log_prob(
-            var_hat
-        ) + MultivariateNormal(mean_=p.b, cov=var_hat * p.lam_inv).log_prob(b_hat)
-
-    return loglike + joint_lp(prior) - joint_lp(post)
+    return (
+        loglike
+        + _joint_lp_univariate(prior, var_hat, b_hat)
+        - _joint_lp_univariate(post, var_hat, b_hat)
+    )
 
 
 def _log_evidence_multivariate(prior, post, dmat, y):
@@ -193,15 +214,78 @@ def _log_evidence_multivariate(prior, post, dmat, y):
     loglike = jnp.sum(
         MultivariateNormal(mean_=dmat @ b_hat, cov=cov_hat).log_prob(y)
     )
+    return (
+        loglike
+        + _joint_lp_multivariate(prior, cov_hat, b_hat)
+        - _joint_lp_multivariate(post, cov_hat, b_hat)
+    )
 
-    def joint_lp(p: BLRParameters):
-        return InverseWishart(df=p.nu, scale=p.v).log_prob(
-            cov_hat
-        ) + MatrixNormal(loc=p.b, row_cov=p.lam_inv, col_cov=cov_hat).log_prob(
-            b_hat
+
+# --- sufficient-statistics forms (the data-sharded path's cores) ---------
+
+
+def _blr_update_from_stats(
+    prior: BLRParameters, xtx, xty, yty, n
+) -> BLRParameters:
+    """The conjugate update of ``_update_parameters`` computed from the
+    sufficient statistics (X^T X [k,k], X^T Y [k,m], Y^T Y [m,m], n) alone
+    — what a data-sharded fit reduces with one ``psum`` per statistic.
+    The residual scatter uses the normal-equation identity
+    R^T R = Y^T Y - B_n^T X^T Y - (X^T Y)^T B_n + B_n^T X^T X B_n, which
+    is exact in f64 and adequate in f32 when Y^T Y does not dominate the
+    residual by more than ~1e6 (else prefer the dense path)."""
+    univariate = prior.b.ndim == 1
+    b0 = prior.b[:, None] if univariate else prior.b
+    lam_n = xtx + prior.lam
+    lam_n = 0.5 * (lam_n + lam_n.T)
+    cf = cho_factor(lam_n)
+    bn = cho_solve(cf, xty + prior.lam @ b0)
+    lam_inv_n = cho_solve(cf, jnp.eye(lam_n.shape[0], dtype=lam_n.dtype))
+    lam_inv_n = 0.5 * (lam_inv_n + lam_inv_n.T)
+    cross = bn.T @ xty
+    rtr = yty - cross - cross.T + bn.T @ (xtx @ bn)
+    bdiff = bn - b0
+    v_inc = rtr + bdiff.T @ prior.lam @ bdiff
+    return BLRParameters(
+        b=bn[:, 0] if univariate else bn,
+        lam=lam_n,
+        lam_inv=lam_inv_n,
+        v=prior.v + (v_inc[0, 0] if univariate else v_inc),
+        nu=prior.nu + n,
+    )
+
+
+def _blr_log_evidence_from_stats(prior, post, xtx, xty, yty, n):
+    """Candidate-point log evidence from sufficient statistics: the data
+    enter the likelihood term only through n and the residual scatter at
+    B_n (LR:289-366)."""
+    univariate = post.b.ndim == 1
+    bn = post.b[:, None] if univariate else post.b
+    cross = bn.T @ xty
+    rtr = yty - cross - cross.T + bn.T @ (xtx @ bn)
+    if univariate:
+        var_hat = post.v / post.nu
+        loglike = -0.5 * (
+            n * (_LOG2PI_C + jnp.log(var_hat)) + rtr[0, 0] / var_hat
         )
-
-    return loglike + joint_lp(prior) - joint_lp(post)
+        return (
+            loglike
+            + _joint_lp_univariate(prior, var_hat, post.b)
+            - _joint_lp_univariate(post, var_hat, post.b)
+        )
+    m = post.b.shape[-1]
+    cov_hat = post.v / post.nu
+    cov_hat = 0.5 * (cov_hat + cov_hat.T)
+    cfh = cho_factor(cov_hat)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cfh[0])))
+    loglike = -0.5 * (
+        n * (m * _LOG2PI_C + logdet) + jnp.trace(cho_solve(cfh, rtr))
+    )
+    return (
+        loglike
+        + _joint_lp_multivariate(prior, cov_hat, post.b)
+        - _joint_lp_multivariate(post, cov_hat, post.b)
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -383,17 +467,15 @@ def _nig_predictive(p: NormalInverseGamma) -> StudentT:
     )
 
 
-def normal_conjugate_model(
-    data, prior: Optional[NormalInverseGamma] = None
+def _normal_model_from_stats(
+    n, mean, var, prior: NormalInverseGamma
 ) -> ConjugateModelResult:
-    """Closed-form NIG update for i.i.d. Normal data (CP:97-151)."""
-    data = _f(jnp.ravel(jnp.asarray(data)))
-    n = data.shape[0]
-    if prior is None:
-        # default non-informative prior (CP:86)
-        prior = NormalInverseGamma(mu0=0.0, lam=1 / 100, beta=1 / 200, nu=1 / 200)
-    mean = jnp.mean(data)
-    var = jnp.var(data, ddof=1) if n > 1 else jnp.asarray(1.0, data.dtype)
+    """NIG update + exact logZ from the sufficient statistics (n, sample
+    mean, ddof=1 sample variance) — the data enter the candidate-point
+    likelihood only through  sum (x_i - mean)^2 = (n - 1) var, so
+    logL(D | mean, var) = -n/2 log(2 pi var) - (n-1)/2 exactly (CP:97-151).
+    Shared by the dense and the data-sharded (psum-reduced) paths."""
+    mean, var = _f(mean), _f(var)
     lam0, mu0, b0, nu0 = _f(prior.lam), _f(prior.mu0), _f(prior.beta), _f(prior.nu)
     post = NormalInverseGamma(
         mu0=(lam0 * mu0 + n * mean) / (lam0 + n),
@@ -404,7 +486,7 @@ def normal_conjugate_model(
         nu=nu0 + 0.5 * n,
     )
     # candidate-point identity at (mean, var) (CP:120-131)
-    loglike = jnp.sum(Normal(loc=mean, scale=jnp.sqrt(var)).log_prob(data))
+    loglike = -0.5 * (n * (_LOG2PI_C + jnp.log(var)) + (n - 1.0))
     log_z = loglike + prior.log_prob(mean, var) - post.log_prob(mean, var)
     return ConjugateModelResult(
         model="Normal",
@@ -416,6 +498,20 @@ def normal_conjugate_model(
     )
 
 
+def normal_conjugate_model(
+    data, prior: Optional[NormalInverseGamma] = None
+) -> ConjugateModelResult:
+    """Closed-form NIG update for i.i.d. Normal data (CP:97-151)."""
+    data = _f(jnp.ravel(jnp.asarray(data)))
+    n = data.shape[0]
+    if prior is None:
+        # default non-informative prior (CP:86)
+        prior = NormalInverseGamma(mu0=0.0, lam=1 / 100, beta=1 / 200, nu=1 / 200)
+    mean = jnp.mean(data)
+    var = jnp.var(data, ddof=1) if n > 1 else jnp.asarray(1.0, data.dtype)
+    return _normal_model_from_stats(n, mean, var, prior)
+
+
 def _niw_predictive(p: NormalInverseWishart) -> MultivariateT:
     """MultivariateT(mu, (lambda+1) psi / (lambda (nu - d + 1)), nu - d + 1)
     (CP:284-286)."""
@@ -425,6 +521,37 @@ def _niw_predictive(p: NormalInverseWishart) -> MultivariateT:
         df=df,
         loc=_f(p.mu0),
         shape_matrix=(_f(p.lam) + 1.0) * _f(p.psi) / (_f(p.lam) * df),
+    )
+
+
+def _multinormal_model_from_stats(
+    n, mean, cov, prior: NormalInverseWishart
+) -> ConjugateModelResult:
+    """NIW update + exact logZ from (n, sample mean, ddof=1 sample
+    covariance):  sum_i (x_i - mean)^T cov^-1 (x_i - mean)
+    = (n-1) tr(cov^-1 S) = (n-1) d  at S = cov, so the candidate-point
+    likelihood is -n/2 (d log 2 pi + log|cov|) - (n-1) d / 2 exactly
+    (CP:240-295).  Shared by the dense and the data-sharded paths."""
+    mean, cov = _f(mean), _f(cov)
+    d = mean.shape[-1]
+    lam0, mu0, psi0, nu0 = _f(prior.lam), _f(prior.mu0), _f(prior.psi), _f(prior.nu)
+    diff = mean - mu0
+    post = NormalInverseWishart(
+        mu0=(lam0 * mu0 + n * mean) / (lam0 + n),
+        lam=lam0 + n,
+        psi=psi0 + (n - 1) * cov + lam0 * n / (lam0 + n) * jnp.outer(diff, diff),
+        nu=nu0 + n,
+    )
+    sign, logdet = jnp.linalg.slogdet(cov)
+    loglike = -0.5 * (n * (d * _LOG2PI_C + logdet) + (n - 1.0) * d)
+    log_z = loglike + prior.log_prob(mean, cov) - post.log_prob(mean, cov)
+    return ConjugateModelResult(
+        model="Multinormal",
+        prior=prior,
+        posterior=post,
+        log_evidence=log_z,
+        prior_predictive=_niw_predictive(prior),
+        posterior_predictive=_niw_predictive(post),
     )
 
 
@@ -449,24 +576,7 @@ def multinormal_conjugate_model(
         if n > 1
         else jnp.eye(d, dtype=data.dtype)
     )
-    lam0, mu0, psi0, nu0 = _f(prior.lam), _f(prior.mu0), _f(prior.psi), _f(prior.nu)
-    diff = mean - mu0
-    post = NormalInverseWishart(
-        mu0=(lam0 * mu0 + n * mean) / (lam0 + n),
-        lam=lam0 + n,
-        psi=psi0 + (n - 1) * cov + lam0 * n / (lam0 + n) * jnp.outer(diff, diff),
-        nu=nu0 + n,
-    )
-    loglike = jnp.sum(MultivariateNormal(mean_=mean, cov=cov).log_prob(data))
-    log_z = loglike + prior.log_prob(mean, cov) - post.log_prob(mean, cov)
-    return ConjugateModelResult(
-        model="Multinormal",
-        prior=prior,
-        posterior=post,
-        log_evidence=log_z,
-        prior_predictive=_niw_predictive(prior),
-        posterior_predictive=_niw_predictive(post),
-    )
+    return _multinormal_model_from_stats(n, mean, cov, prior)
 
 
 def update_conjugate_model(

@@ -1,14 +1,22 @@
 from .parallel_ns import parallel_nested_sampling
 from .sharded_chol import sharded_cholesky, sharded_gp_logml_blocked
+from .sharded_conjugate import (
+    sharded_bayesian_linear_regression,
+    sharded_multinormal_conjugate_model,
+    sharded_normal_conjugate_model,
+)
 from .sharded_pool_ns import sharded_pool_nested_sampling
 from .sharded_gp import sharded_covariance_matrix, sharded_gp_log_marginal_likelihood
 from .sharding import Mesh, NamedSharding, P, make_mesh, replicated, shard_data
 
 __all__ = [
+    "sharded_bayesian_linear_regression",
     "sharded_cholesky",
     "sharded_covariance_matrix",
     "sharded_gp_logml_blocked",
     "sharded_gp_log_marginal_likelihood",
+    "sharded_multinormal_conjugate_model",
+    "sharded_normal_conjugate_model",
     "parallel_nested_sampling",
     "sharded_pool_nested_sampling",
     "Mesh",
