@@ -1,4 +1,10 @@
 from ..core.containers import WeightedSamples, take_posterior_fraction
+from .diagnostics import (
+    autocorrelation,
+    effective_sample_size,
+    gelman_rubin,
+    weighted_effective_sample_size,
+)
 from .posterior import (
     predictive_distribution,
     regression_predictive_distribution,
@@ -8,6 +14,10 @@ from .report import CalculationReport, calculation_report
 __all__ = [
     "WeightedSamples",
     "take_posterior_fraction",
+    "autocorrelation",
+    "effective_sample_size",
+    "gelman_rubin",
+    "weighted_effective_sample_size",
     "predictive_distribution",
     "regression_predictive_distribution",
     "CalculationReport",

@@ -1,0 +1,126 @@
+"""Convergence diagnostics (results/diagnostics.py) against known chains.
+
+Oracles: i.i.d. chains have ESS ~ n and R-hat ~ 1; an AR(1) chain with
+coefficient phi has integrated autocorrelation time (1 + phi) / (1 - phi)
+and lag-k autocorrelation phi^k; Kish ESS has closed forms for uniform
+and degenerate weights.
+"""
+
+import numpy as np
+import pytest
+
+from bayesianinference_tpu.results import (
+    autocorrelation,
+    effective_sample_size,
+    gelman_rubin,
+    weighted_effective_sample_size,
+)
+
+
+def _ar1(rng, phi, n, m=1):
+    x = np.zeros((m, n))
+    innov = rng.normal(size=(m, n)) * np.sqrt(1 - phi**2)
+    for t in range(1, n):
+        x[:, t] = phi * x[:, t - 1] + innov[:, t]
+    return x
+
+
+def test_autocorrelation_iid_and_ar1(rng):
+    iid = rng.normal(size=4096)
+    rho = autocorrelation(iid, max_lag=20)
+    assert rho[0] == 1.0
+    assert np.all(np.abs(rho[1:]) < 0.1)
+
+    phi = 0.8
+    chain = _ar1(rng, phi, 2**15)[0]
+    rho = autocorrelation(chain, max_lag=5)
+    np.testing.assert_allclose(rho[1:], phi ** np.arange(1, 6), atol=0.05)
+
+
+def test_autocorrelation_constant_chain():
+    rho = autocorrelation(np.ones(100), max_lag=3)
+    np.testing.assert_array_equal(rho, [1.0, 0.0, 0.0, 0.0])
+
+
+def test_ess_iid_near_n(rng):
+    chains = rng.normal(size=(4, 4096))
+    ess = effective_sample_size(chains)
+    assert 0.75 * 4 * 4096 < ess < 1.35 * 4 * 4096
+
+
+def test_ess_ar1_matches_theory(rng):
+    phi = 0.9
+    n, m = 2**14, 4
+    chains = _ar1(rng, phi, n, m)
+    ess = effective_sample_size(chains)
+    tau = (1 + phi) / (1 - phi)  # = 19
+    np.testing.assert_allclose(ess, m * n / tau, rtol=0.3)
+
+
+def test_ess_multiparam_shape(rng):
+    chains = rng.normal(size=(2, 512, 3))
+    ess = effective_sample_size(chains)
+    assert ess.shape == (3,)
+    assert np.all(ess > 100)
+
+
+def test_rhat_converged_vs_shifted(rng):
+    good = rng.normal(size=(4, 2048))
+    assert abs(gelman_rubin(good) - 1.0) < 0.02
+
+    bad = good + np.arange(4)[:, None] * 3.0  # chains at different levels
+    assert gelman_rubin(bad) > 1.5
+
+
+def test_rhat_split_catches_drift(rng):
+    # two chains, both drifting identically: non-split R-hat of the two
+    # chains is ~1, split R-hat flags the within-chain drift
+    drift = np.linspace(0, 5, 2048)
+    chains = drift[None, :] + 0.1 * rng.normal(size=(2, 2048))
+    assert gelman_rubin(chains, split=False) < 1.05
+    assert gelman_rubin(chains, split=True) > 1.5
+
+
+def test_rhat_requires_two_chains(rng):
+    with pytest.raises(ValueError):
+        gelman_rubin(rng.normal(size=(1, 100)), split=False)
+
+
+def test_kish_ess_closed_forms():
+    assert weighted_effective_sample_size(np.ones(50)) == pytest.approx(50.0)
+    w = np.zeros(50)
+    w[3] = 7.0
+    assert weighted_effective_sample_size(w) == pytest.approx(1.0)
+    # log form matches the linear form under a huge shift
+    lw = np.log(np.asarray([0.5, 0.25, 0.25])) + 800.0
+    assert weighted_effective_sample_size(lw, log=True) == pytest.approx(
+        weighted_effective_sample_size(np.asarray([0.5, 0.25, 0.25]))
+    )
+
+
+def test_kish_ess_on_ns_result_weights(key):
+    """The NS crude log posterior weights feed straight in (log=True)."""
+    import jax.numpy as jnp
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines.nested_sampling import nested_sampling
+    from bayesianinference_tpu.models import define_inference_problem
+
+    problem = define_inference_problem(
+        parameters=[("x", -5.0, 5.0)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location"],
+        validate=False,
+    )
+    res = nested_sampling(
+        problem,
+        key,
+        sample_pool_size=50,
+        max_iterations=300,
+        post_process_sampling_runs=8,
+    )
+    ess = weighted_effective_sample_size(
+        np.asarray(res.crude_log_posterior_weights), log=True
+    )
+    n_total = len(np.asarray(res.crude_log_posterior_weights))
+    assert 5.0 < ess < n_total
