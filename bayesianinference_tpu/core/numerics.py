@@ -124,6 +124,8 @@ def logsubexp(y, x):
 
 
 def logmeanexp(a, axis=None, keepdims=False):
+    """log(mean(e^a)) = logsumexp(a) - log(n), the in-graph form of the
+    reference's logSumExpLayer mean mode (BayesianNeuralNetworks.wl:197-243)."""
     a = jnp.asarray(a)
     n = a.size if axis is None else a.shape[axis]
     return logsumexp(a, axis=axis, keepdims=keepdims) - jnp.log(
@@ -155,6 +157,7 @@ def safe_log(x):
 
 
 def safe_sqrt(x):
+    """sqrt clamped at 0 so roundoff-negative variances do not NaN."""
     x = jnp.asarray(x)
     return jnp.sqrt(jnp.maximum(x, 0))
 

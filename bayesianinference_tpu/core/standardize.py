@@ -64,6 +64,8 @@ class NormalizedData:
 
 
 def normalize_data(x, y) -> NormalizedData:
+    """Standardize regression data, keeping the forward + inverse
+    transforms with it (``normalizeData``, BayesianUtilities.wl:232-286)."""
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     x = x[:, None] if x.ndim == 1 else x

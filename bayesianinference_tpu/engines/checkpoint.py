@@ -49,6 +49,7 @@ def save_ns_run(path, run: NSRunData) -> None:
 
 
 def load_ns_run(path) -> NSRunData:
+    """Load a nested-sampling checkpoint written by ``save_ns_run``."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
         state = NSState(

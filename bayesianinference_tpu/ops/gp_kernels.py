@@ -116,6 +116,7 @@ def se_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
 
 
 def matern12_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
+    """Matern-1/2 (Ornstein-Uhlenbeck): v * exp(-r / l)."""
     l = _f(lengthscale)
 
     def f(sq):
@@ -126,6 +127,7 @@ def matern12_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
 
 
 def matern32_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
+    """Matern-3/2: v * (1 + sqrt(3) r / l) exp(-sqrt(3) r / l)."""
     l = _f(lengthscale)
 
     def f(sq):
@@ -136,6 +138,7 @@ def matern32_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
 
 
 def matern52_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
+    """Matern-5/2: v * (1 + u + u^2/3) exp(-u), u = sqrt(5) r / l."""
     l = _f(lengthscale)
 
     def f(sq):
@@ -146,6 +149,8 @@ def matern52_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
 
 
 def rational_quadratic_kernel(variance=1.0, lengthscale=1.0, alpha=1.0) -> Kernel:
+    """Rational quadratic: v * (1 + r^2 / (2 a l^2))^-a — a scale mixture
+    of SE kernels over lengthscales."""
     l2, a = _f(lengthscale) ** 2, _f(alpha)
 
     def f(sq):
@@ -171,6 +176,7 @@ def periodic_kernel(variance=1.0, lengthscale=1.0, period=1.0) -> Kernel:
 
 
 def linear_kernel(variance=1.0, offset=0.0) -> Kernel:
+    """Dot-product kernel v * (x - c).(x' - c) (non-stationary)."""
     v, c = _f(variance), _f(offset)
     return Kernel(
         matrix=lambda a, b: v * ((_f(a) - c) @ (_f(b) - c).T),
@@ -180,6 +186,7 @@ def linear_kernel(variance=1.0, offset=0.0) -> Kernel:
 
 
 def constant_kernel(variance=1.0) -> Kernel:
+    """Constant covariance v (a shared random level across all inputs)."""
     v = _f(variance)
     return Kernel(
         matrix=lambda a, b: v * jnp.ones((jnp.shape(a)[0], jnp.shape(b)[0])),

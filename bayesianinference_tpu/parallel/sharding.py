@@ -44,4 +44,5 @@ def shard_data(data, mesh: Mesh, axis_name: str):
 
 
 def replicated(x, mesh: Mesh):
+    """Place ``x`` fully replicated on every device of the mesh."""
     return jax.device_put(x, NamedSharding(mesh, P()))

@@ -55,6 +55,8 @@ class CalculationReport:
 def calculation_report(
     result: NestedSamplingResult, fit_fraction: float = 1 / 3
 ) -> CalculationReport:
+    """Assemble the five diagnostic panels from a nested-sampling result
+    (``calculationReport``, BayesianStatistics.wl:1485-1608)."""
     ll = np.asarray(result.log_likelihoods)
     crude_w = np.exp(np.asarray(result.crude_log_posterior_weights))
     log_x = np.asarray(

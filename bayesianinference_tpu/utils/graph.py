@@ -89,6 +89,8 @@ def model_graph(
     outputs: Sequence[str] = (),
     extra_vertices: Sequence[str] = (),
 ) -> ModelGraph:
+    """Build the model DAG from (parent, child) edges, marking input and
+    output vertices (``modelGraph``, BayesianUtilities.wl:721-751)."""
     verts: List[str] = []
     for p, c in edges:
         for v in (p, c):
