@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.scipy import special as jsp
 from jax.scipy.linalg import solve_triangular
 
-from ..core.numerics import guard_log_density
+from ..core.numerics import guard_log_density, log_zero, xlogy
 from .base import Distribution, dist_dataclass
 
 __all__ = [
@@ -428,3 +428,97 @@ class InverseWishart(Distribution):
         d = jnp.shape(self.scale)[-1]
         v = _f(self.df)
         return _f(self.scale) / (v - d - 1.0)
+
+
+@dist_dataclass
+class Dirichlet(Distribution):
+    """Dirichlet(alpha [k]) on the probability simplex — the conjugate
+    prior of :class:`~.scalar.Categorical` / :class:`Multinomial`
+    (no WL counterpart used by the reference; completes the discrete
+    conjugate family set)."""
+
+    alpha: jnp.ndarray  # [k]
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.alpha)[-1],)
+
+    def support(self):
+        k = self.event_shape[0]
+        return (jnp.zeros((k,)), jnp.ones((k,)))
+
+    def log_prob(self, x):
+        a, x = _f(self.alpha), _f(x)
+        lognorm = jsp.gammaln(jnp.sum(a, axis=-1)) - jnp.sum(
+            jsp.gammaln(a), axis=-1
+        )
+        logp = jnp.sum(xlogy(a - 1.0, x), axis=-1) + lognorm
+        on_simplex = jnp.all(x >= 0.0, axis=-1) & (
+            jnp.abs(jnp.sum(x, axis=-1) - 1.0) <= 1e-6
+        )
+        logp = guard_log_density(logp)
+        return jnp.where(on_simplex, logp, log_zero(logp.dtype))
+
+    def sample(self, key, shape=()):
+        a = _f(self.alpha)
+        return jax.random.dirichlet(key, a, shape=tuple(shape))
+
+    def mean(self):
+        a = _f(self.alpha)
+        return a / jnp.sum(a, axis=-1, keepdims=True)
+
+    def variance(self):
+        a = _f(self.alpha)
+        a0 = jnp.sum(a, axis=-1, keepdims=True)
+        m = a / a0
+        return m * (1.0 - m) / (a0 + 1.0)
+
+
+@dist_dataclass
+class Multinomial(Distribution):
+    """Multinomial(n trials, probabilities p [k]): counts over k
+    categories.  Log-pmf in gammaln form (the ``replaceFactorials``
+    lesson, BayesianUtilities.wl:425-443)."""
+
+    n: jnp.ndarray  # scalar
+    p: jnp.ndarray  # [k]
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.p)[-1],)
+
+    def support(self):
+        k = self.event_shape[0]
+        n = jnp.broadcast_to(_f(self.n), (k,))
+        return (jnp.zeros((k,)), n)
+
+    def log_prob(self, x):
+        x, p, n = _f(x), _f(self.p), _f(self.n)
+        logp = (
+            jsp.gammaln(n + 1.0)
+            - jnp.sum(jsp.gammaln(x + 1.0), axis=-1)
+            + jnp.sum(xlogy(x, p), axis=-1)
+        )
+        valid = (
+            jnp.all(x >= 0.0, axis=-1)
+            & jnp.all(x == jnp.floor(x), axis=-1)
+            & (jnp.sum(x, axis=-1) == n)
+        )
+        return jnp.where(
+            valid & jnp.isfinite(logp), logp, log_zero(logp.dtype)
+        )
+
+    def sample(self, key, shape=()):
+        p, n = _f(self.p), _f(self.n)
+        out = jax.random.multinomial(key, n, p, shape=tuple(shape) + p.shape)
+        return out.astype(p.dtype)
+
+    def mean(self):
+        return _f(self.n) * _f(self.p)
+
+    def variance(self):
+        p = _f(self.p)
+        return _f(self.n) * p * (1.0 - p)
+
+
+__all__ += ["Dirichlet", "Multinomial"]

@@ -869,3 +869,55 @@ class Geometric(Distribution):
 
     def variance(self):
         return (1.0 - _f(self.p)) / _f(self.p) ** 2
+
+
+@dist_dataclass
+class Categorical(Distribution):
+    """Categorical over {0, ..., k-1} parameterized by logits [..., k]
+    (unnormalized log-probabilities) — the multi-class extension of
+    :class:`BernoulliLogits` for softmax regression models.  The
+    reference's classification example is binary only (README.md:48-52);
+    this generalizes it."""
+
+    logits: jnp.ndarray  # [..., k]
+
+    def support(self):
+        return (0.0, jnp.shape(self.logits)[-1] - 1.0)
+
+    def log_prob(self, x):
+        x, l = _f(x), _f(self.logits)
+        k = l.shape[-1]
+        logp_all = jax.nn.log_softmax(l, axis=-1)
+        batch = jnp.broadcast_shapes(jnp.shape(x), logp_all.shape[:-1])
+        logp_all = jnp.broadcast_to(logp_all, batch + (k,))
+        xi = jnp.clip(x.astype(jnp.int32), 0, k - 1)
+        xi = jnp.broadcast_to(xi, batch)
+        logp = jnp.take_along_axis(logp_all, xi[..., None], axis=-1)[..., 0]
+        valid = (x >= 0) & (x <= k - 1) & (x == jnp.floor(x))
+        return jnp.where(
+            valid & jnp.isfinite(logp), logp, log_zero(logp.dtype)
+        )
+
+    def sample(self, key, shape=()):
+        l = _f(self.logits)
+        out_shape = tuple(shape) + l.shape[:-1]
+        return jax.random.categorical(key, l, axis=-1, shape=out_shape).astype(
+            jnp.result_type(float)
+        )
+
+    def _probs(self):
+        return jax.nn.softmax(_f(self.logits), axis=-1)
+
+    def mean(self):
+        p = self._probs()
+        i = jnp.arange(p.shape[-1], dtype=p.dtype)
+        return jnp.sum(p * i, axis=-1)
+
+    def variance(self):
+        p = self._probs()
+        i = jnp.arange(p.shape[-1], dtype=p.dtype)
+        m = jnp.sum(p * i, axis=-1)
+        return jnp.sum(p * i * i, axis=-1) - m * m
+
+
+__all__.append("Categorical")

@@ -135,3 +135,74 @@ def test_mvgammaln():
     for dim in (1, 2, 4):
         got = float(d.mvgammaln(jnp.asarray(5.3), dim))
         np.testing.assert_allclose(got, multigammaln(5.3, dim), rtol=1e-12)
+
+
+def test_dirichlet_logpdf_and_moments(rng, key):
+    alpha = np.asarray([2.0, 3.5, 1.2, 4.0])
+    ours = d.Dirichlet(alpha=jnp.asarray(alpha))
+    ref = st.dirichlet(alpha)
+    x = rng.dirichlet(alpha, size=12)
+    np.testing.assert_allclose(
+        np.asarray(ours.log_prob(x)), ref.logpdf(x.T), rtol=1e-9
+    )
+    s = np.asarray(ours.sample(key, (100_000,)))
+    np.testing.assert_allclose(s.sum(-1), 1.0, atol=1e-6)
+    np.testing.assert_allclose(s.mean(0), alpha / alpha.sum(), atol=0.01)
+    np.testing.assert_allclose(
+        s.var(0), np.asarray(ours.variance()), rtol=0.05
+    )
+    # off-simplex points get the sentinel, not NaN
+    bad = np.asarray([[0.5, 0.5, 0.5, 0.5], [-0.1, 0.4, 0.4, 0.3]])
+    assert np.all(np.asarray(ours.log_prob(bad)) < -1e25)
+
+
+def test_multinomial_logpmf_and_moments(rng, key):
+    n, p = 20.0, np.asarray([0.2, 0.5, 0.3])
+    ours = d.Multinomial(n=jnp.asarray(n), p=jnp.asarray(p))
+    x = rng.multinomial(int(n), p, size=15).astype(float)
+    ref = st.multinomial(int(n), p)
+    np.testing.assert_allclose(
+        np.asarray(ours.log_prob(x)), ref.logpmf(x), rtol=1e-9
+    )
+    s = np.asarray(ours.sample(key, (50_000,)))
+    assert np.all(s.sum(-1) == n)
+    np.testing.assert_allclose(s.mean(0), n * p, rtol=0.02)
+    # wrong total or negative counts get the sentinel
+    bad = np.asarray([[5.0, 5.0, 5.0], [21.0, -1.0, 0.0]])
+    assert np.all(np.asarray(ours.log_prob(bad)) < -1e25)
+
+
+def test_categorical_logpmf_sampling(rng, key):
+    from bayesianinference_tpu.dists.scalar import Categorical
+
+    logits = np.asarray([0.3, -1.2, 2.0, 0.0])
+    p = np.exp(logits) / np.exp(logits).sum()
+    ours = Categorical(logits=jnp.asarray(logits))
+    x = np.arange(4.0)
+    np.testing.assert_allclose(
+        np.asarray(ours.log_prob(x)), np.log(p), rtol=1e-6
+    )
+    # out-of-range and non-integer -> sentinel
+    assert np.all(np.asarray(ours.log_prob(np.asarray([-1.0, 4.0, 1.5]))) < -1e25)
+    s = np.asarray(ours.sample(key, (100_000,)))
+    freq = np.bincount(s.astype(int), minlength=4) / len(s)
+    np.testing.assert_allclose(freq, p, atol=0.01)
+    np.testing.assert_allclose(float(ours.mean()), (np.arange(4) * p).sum(), rtol=1e-6)
+
+
+def test_categorical_batched_logits(rng):
+    from bayesianinference_tpu.dists.scalar import Categorical
+
+    logits = rng.normal(size=(6, 3))
+    ours = Categorical(logits=jnp.asarray(logits))
+    x = rng.integers(0, 3, size=6).astype(float)
+    lp = np.asarray(ours.log_prob(x))
+    expected = np.stack(
+        [
+            st.multinomial(1, np.exp(l) / np.exp(l).sum()).logpmf(
+                np.eye(3)[int(i)]
+            )
+            for l, i in zip(logits, x)
+        ]
+    )
+    np.testing.assert_allclose(lp, expected, rtol=1e-6)
