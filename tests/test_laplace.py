@@ -340,3 +340,72 @@ def test_find_mode_slides_along_boundary():
         f, jnp.asarray([[0.0, 0.0]]), lower=jnp.asarray([4.0, -jnp.inf])
     )
     np.testing.assert_allclose(np.asarray(mode), [4.0, 3.0], atol=1e-4)
+
+
+def test_laplace_softmax_matches_logistic_and_fits_multiclass(key):
+    """Multi-class softmax regression via the new Categorical family.
+
+    Oracle: a 2-class softmax with class-0 logits pinned to zero IS the
+    logistic model, so its Laplace logZ must equal the BernoulliLogits
+    fit's exactly (identical density, identical prior).  Then a real
+    3-class fit on Iris must converge with a positive-definite Hessian
+    and mode-classification accuracy comparable to sklearn's.
+    """
+    from sklearn.datasets import load_iris
+
+    iris = load_iris()
+    x = jnp.asarray((iris.data - iris.data.mean(0)) / iris.data.std(0))
+    y01 = jnp.asarray((iris.target == 0).astype(float))
+
+    def loglike_logistic(th):
+        logits = th[0] + x @ th[1:]
+        return jnp.sum(d.BernoulliLogits(logits=logits).log_prob(y01))
+
+    def loglike_softmax2(th):
+        z1 = th[0] + x @ th[1:]
+        logits = jnp.stack([jnp.zeros_like(z1), z1], axis=-1)  # class 0 pinned
+        return jnp.sum(d.Categorical(logits=logits).log_prob(y01))
+
+    def logprior(th):
+        return jnp.sum(d.Normal(0.0, 10.0).log_prob(th))
+
+    fits = []
+    for ll in (loglike_logistic, loglike_softmax2):
+        problem = define_inference_problem(
+            parameters=[(f"b{i}", -50.0, 50.0) for i in range(5)],
+            log_likelihood=ll,
+            log_prior=logprior,
+            validate=False,
+        )
+        fits.append(laplace_posterior_fit(problem=problem, key=key))
+    np.testing.assert_allclose(
+        float(fits[0].log_evidence), float(fits[1].log_evidence), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(fits[0].mean), np.asarray(fits[1].mean), atol=1e-5
+    )
+
+    # 3-class softmax: 2 free classes x (1 intercept + 4 slopes) = 10 params
+    y3 = jnp.asarray(iris.target.astype(float))
+
+    def loglike3(th):
+        w = th.reshape(2, 5)
+        z = w[:, 0] + x @ w[:, 1:].T  # [n, 2]
+        logits = jnp.concatenate([jnp.zeros((x.shape[0], 1)), z], axis=-1)
+        return jnp.sum(d.Categorical(logits=logits).log_prob(y3))
+
+    problem3 = define_inference_problem(
+        parameters=[(f"w{i}", -50.0, 50.0) for i in range(10)],
+        log_likelihood=loglike3,
+        log_prior=logprior,
+        validate=False,
+    )
+    fit3 = laplace_posterior_fit(problem=problem3, key=key)
+    assert np.isfinite(float(fit3.log_evidence))
+    sign = np.linalg.eigvalsh(np.asarray(fit3.precision_matrix))
+    assert np.all(sign > 0), "Hessian at the 3-class mode not PD"
+    w = np.asarray(fit3.mean).reshape(2, 5)
+    z = w[:, 0] + np.asarray(x) @ w[:, 1:].T
+    pred = np.argmax(np.concatenate([np.zeros((len(z), 1)), z], axis=-1), -1)
+    acc = np.mean(pred == np.asarray(iris.target))
+    assert acc > 0.9, acc
