@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+LOG2PI = 1.8378770664093453
+"""log(2 pi) — the one shared copy (Normal-family normalizers, GP logML,
+conjugate candidate-point likelihoods)."""
+
 __all__ = [
+    "LOG2PI",
     "log_zero",
     "is_log_zero",
     "logsumexp",

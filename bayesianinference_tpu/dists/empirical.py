@@ -15,12 +15,11 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..core.numerics import logsumexp
+from ..core.numerics import LOG2PI, logsumexp
 from .base import Distribution, dist_dataclass
 
 __all__ = ["Empirical", "GaussianKDE", "ParameterMixture"]
 
-_LOG2PI = 1.8378770664093453
 
 
 def _f(x):
@@ -134,7 +133,7 @@ class GaussianKDE(Distribution):
         h = _f(self.bandwidth)
         z = (jnp.expand_dims(x, -2) - p) / h  # [..., n, d]
         d = p.shape[-1]
-        ker = -0.5 * jnp.sum(z * z, axis=-1) - 0.5 * d * _LOG2PI - jnp.sum(
+        ker = -0.5 * jnp.sum(z * z, axis=-1) - 0.5 * d * LOG2PI - jnp.sum(
             jnp.log(h)
         )
         return logsumexp(self._norm_logw() + ker, axis=-1)

@@ -16,6 +16,8 @@ import dataclasses
 from typing import Callable, Optional
 
 import jax.numpy as jnp
+
+from ..core.numerics import LOG2PI
 from jax.scipy import special as jsp
 
 __all__ = [
@@ -30,7 +32,6 @@ __all__ = [
     "conjugate_update",
 ]
 
-_LOG2PI = 1.8378770664093453
 
 
 def _f(x):
@@ -161,7 +162,7 @@ NORMAL = ExponentialFamily(
     name="Normal",
     natural_parameters=lambda mu, var: _normal_nat(mu, var),
     log_partition=_normal_logpart,
-    log_base_measure=lambda x: jnp.full(jnp.shape(_f(x)), -0.5 * _LOG2PI),
+    log_base_measure=lambda x: jnp.full(jnp.shape(_f(x)), -0.5 * LOG2PI),
     sufficient_statistic=lambda x: jnp.stack([_f(x), _f(x) ** 2], axis=-1),
     natural_parameter_count=2,
     log_conjugate_partition=_nig_log_partition,
@@ -191,7 +192,7 @@ LOG_NORMAL = ExponentialFamily(
     # Normal family on log x with extra 1/x base measure (EF:168-173)
     natural_parameters=lambda mu, var: _normal_nat(mu, var),
     log_partition=_normal_logpart,
-    log_base_measure=lambda x: -0.5 * _LOG2PI - jnp.log(_f(x)),
+    log_base_measure=lambda x: -0.5 * LOG2PI - jnp.log(_f(x)),
     sufficient_statistic=lambda x: jnp.stack(
         [jnp.log(_f(x)), jnp.log(_f(x)) ** 2], axis=-1
     ),

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.scipy import special as jsp
 from jax.scipy.linalg import solve_triangular
 
-from ..core.numerics import guard_log_density, log_zero, xlogy
+from ..core.numerics import LOG2PI, guard_log_density, log_zero, xlogy
 from .base import Distribution, dist_dataclass
 
 __all__ = [
@@ -31,7 +31,6 @@ __all__ = [
     "mvgammaln",
 ]
 
-_LOG2PI = 1.8378770664093453
 
 
 def _f(x):
@@ -101,7 +100,7 @@ class MultivariateNormal(Distribution):
         d = x.shape[-1]
         L = self._chol()
         z = _whiten(L, x - _f(self.mean_))
-        logp = -0.5 * (jnp.sum(z * z, axis=-1) + d * _LOG2PI + _chol_logdet(L))
+        logp = -0.5 * (jnp.sum(z * z, axis=-1) + d * LOG2PI + _chol_logdet(L))
         return guard_log_density(logp)
 
     def sample(self, key, shape=()):
@@ -142,7 +141,7 @@ class MultivariateNormalPrecision(Distribution):
         dx = x - _f(self.mean_)
         # z = Lp^T dx  =>  dx^T P dx = |z|^2
         z = jnp.einsum("ji,...j->...i", Lp, dx)
-        logp = 0.5 * (_chol_logdet(Lp) - jnp.sum(z * z, axis=-1) - d * _LOG2PI)
+        logp = 0.5 * (_chol_logdet(Lp) - jnp.sum(z * z, axis=-1) - d * LOG2PI)
         return guard_log_density(logp)
 
     def sample(self, key, shape=()):
@@ -238,7 +237,7 @@ class MatrixNormal(Distribution):
         z = _solve_tri(Lv, jnp.swapaxes(a, -1, -2))
         q = jnp.sum(z * z, axis=(-2, -1))
         logp = -0.5 * (
-            q + n * p * _LOG2PI + p * _chol_logdet(Lu) + n * _chol_logdet(Lv)
+            q + n * p * LOG2PI + p * _chol_logdet(Lu) + n * _chol_logdet(Lv)
         )
         return guard_log_density(logp)
 

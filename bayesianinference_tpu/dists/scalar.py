@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy import special as jsp
 
-from ..core.numerics import log_zero, xlogy
+from ..core.numerics import LOG2PI, log_zero, xlogy
 from .base import Distribution, dist_dataclass
 
 __all__ = [
@@ -47,7 +47,6 @@ __all__ = [
     "Geometric",
 ]
 
-_LOG2PI = 1.8378770664093453
 _LOGPI = 1.1447298858494002
 
 
@@ -63,7 +62,7 @@ class Normal(Distribution):
     def log_prob(self, x):
         x, loc, scale = _f(x), _f(self.loc), _f(self.scale)
         z = (x - loc) / scale
-        logp = -0.5 * (z * z + _LOG2PI) - jnp.log(scale)
+        logp = -0.5 * (z * z + LOG2PI) - jnp.log(scale)
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -86,7 +85,7 @@ class Normal(Distribution):
         return _f(self.scale) ** 2
 
     def entropy(self):
-        return 0.5 * (1.0 + _LOG2PI) + jnp.log(_f(self.scale))
+        return 0.5 * (1.0 + LOG2PI) + jnp.log(_f(self.scale))
 
 
 @dist_dataclass
@@ -425,7 +424,7 @@ class LogNormal(Distribution):
         x, mu, s = _f(x), _f(self.loc), _f(self.scale)
         safe_x = jnp.where(x > 0, x, 1.0)
         z = (jnp.log(safe_x) - mu) / s
-        logp = -0.5 * (z * z + _LOG2PI) - jnp.log(s) - jnp.log(safe_x)
+        logp = -0.5 * (z * z + LOG2PI) - jnp.log(s) - jnp.log(safe_x)
         # open support (the x = 0 boundary density is 0 -> sentinel)
         return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
 

@@ -52,9 +52,16 @@ def load_ns_run(path) -> NSRunData:
     """Load a nested-sampling checkpoint written by ``save_ns_run``."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
-        state = NSState(
-            **{f: jnp.asarray(z[f]) for f in NSState._fields}
-        )
+        fields = {f: np.asarray(z[f]) for f in NSState._fields}
+        # migrate pre-round-2 checkpoints: num_likelihood_evals was a 0-d
+        # integer before the wrap-proof [2] int32 (hi, lo) base-2^30 pair
+        evals = fields["num_likelihood_evals"]
+        if evals.ndim == 0:
+            total = int(evals)
+            fields["num_likelihood_evals"] = np.asarray(
+                [total >> 30, total & ((1 << 30) - 1)], np.int32
+            )
+        state = NSState(**{f: jnp.asarray(v) for f, v in fields.items()})
     return NSRunData(state=state, **meta)
 
 

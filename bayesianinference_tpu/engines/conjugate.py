@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from functools import partial
 from typing import Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -21,7 +20,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from ..dists.combinators import ConditionalProduct
-from ..core.numerics import as_hashable_fn
+from ..core.numerics import LOG2PI, as_hashable_fn
 from ..dists.conjugate_structs import NormalInverseGamma, NormalInverseWishart
 from ..dists.multivariate import (
     InverseWishart,
@@ -45,7 +44,6 @@ __all__ = [
 ]
 
 
-_LOG2PI_C = 1.8378770664093453
 
 
 def _f(x):
@@ -266,7 +264,7 @@ def _blr_log_evidence_from_stats(prior, post, xtx, xty, yty, n):
     if univariate:
         var_hat = post.v / post.nu
         loglike = -0.5 * (
-            n * (_LOG2PI_C + jnp.log(var_hat)) + rtr[0, 0] / var_hat
+            n * (LOG2PI + jnp.log(var_hat)) + rtr[0, 0] / var_hat
         )
         return (
             loglike
@@ -279,7 +277,7 @@ def _blr_log_evidence_from_stats(prior, post, xtx, xty, yty, n):
     cfh = cho_factor(cov_hat)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cfh[0])))
     loglike = -0.5 * (
-        n * (m * _LOG2PI_C + logdet) + jnp.trace(cho_solve(cfh, rtr))
+        n * (m * LOG2PI + logdet) + jnp.trace(cho_solve(cfh, rtr))
     )
     return (
         loglike
@@ -486,7 +484,7 @@ def _normal_model_from_stats(
         nu=nu0 + 0.5 * n,
     )
     # candidate-point identity at (mean, var) (CP:120-131)
-    loglike = -0.5 * (n * (_LOG2PI_C + jnp.log(var)) + (n - 1.0))
+    loglike = -0.5 * (n * (LOG2PI + jnp.log(var)) + (n - 1.0))
     log_z = loglike + prior.log_prob(mean, var) - post.log_prob(mean, var)
     return ConjugateModelResult(
         model="Normal",
@@ -543,7 +541,7 @@ def _multinormal_model_from_stats(
         nu=nu0 + n,
     )
     sign, logdet = jnp.linalg.slogdet(cov)
-    loglike = -0.5 * (n * (d * _LOG2PI_C + logdet) + (n - 1.0) * d)
+    loglike = -0.5 * (n * (d * LOG2PI + logdet) + (n - 1.0) * d)
     log_z = loglike + prior.log_prob(mean, cov) - post.log_prob(mean, cov)
     return ConjugateModelResult(
         model="Multinormal",

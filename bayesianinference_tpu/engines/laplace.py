@@ -248,15 +248,6 @@ def _sum_densities(loglike_fn, logprior_fn):
 
 
 @functools.lru_cache(maxsize=32)
-def _hessian_program(f):
-    return jax.jit(jax.hessian(f.fn if isinstance(f, HashableFn) else f))
-
-
-def _hessian_at(f, x):
-    return _hessian_program(as_hashable_fn(f))(x)
-
-
-@functools.lru_cache(maxsize=32)
 def _evidence_program(dens, loglike, maxiter):
     """The whole fixed-model Laplace fit — multi-start mode search, exact
     AD Hessian, logdet evidence, loglike at the mode — as ONE jitted

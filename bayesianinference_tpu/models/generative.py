@@ -141,11 +141,13 @@ def generative_model_problem(
             if name in inputs:
                 # conditioning-only: value given, density ignored
                 continue
-            dist = builder(known) if callable(builder) else builder
             if name in data:
+                dist = builder(known) if callable(builder) else builder
                 total = total + jnp.sum(dist.log_prob(data[name]))
                 known[name] = data[name]
             else:
+                # parameter node: its density belongs to the prior; the
+                # builder need not run here at all
                 known[name] = params[name]
         return total
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.scipy.linalg import cho_solve, solve_triangular
 
-from ..core.numerics import log_zero
+from ..core.numerics import LOG2PI, log_zero
 
 __all__ = [
     "Kernel",
@@ -44,7 +44,6 @@ __all__ = [
     "cholesky_pallas",
 ]
 
-_LOG2PI = 1.8378770664093453
 
 
 def _f(x):
@@ -236,7 +235,7 @@ def _gp_logml_forward(k_matrix, y):
     L_safe = jnp.where(ok, L, jnp.eye(n, dtype=L.dtype))
     w = solve_triangular(L_safe, y, lower=True)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe)))
-    out = -0.5 * (n * _LOG2PI + logdet + jnp.sum(w * w))
+    out = -0.5 * (n * LOG2PI + logdet + jnp.sum(w * w))
     lz = log_zero(out.dtype)
     out = jnp.clip(out, lz, -lz)
     return jnp.where(ok, out, lz), (L_safe, w, ok)

@@ -33,12 +33,11 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.numerics import log_zero
+from ..core.numerics import LOG2PI, log_zero
 from ..ops.gp_kernels import Kernel
 
 __all__ = ["sharded_cholesky", "sharded_gp_logml_blocked"]
 
-_LOG2PI = 1.8378770664093453
 
 
 def _panel_step(a_local, l_local, y_rep, logdet, wsq, p, *, block, axis_name):
@@ -223,7 +222,7 @@ def _gp_logml_program(kernel, mesh, axis_name, block, n, n_loc, dtype_name):
         _, logdet, wsq = _factorize_local(
             k_local, yy, block=block, axis_name=axis_name
         )
-        out = -0.5 * (n * _LOG2PI + logdet + wsq)
+        out = -0.5 * (n * LOG2PI + logdet + wsq)
         lz = log_zero(dtype)
         out = jnp.clip(out, lz, -lz)
         return jnp.where(jnp.isfinite(out), out, lz)

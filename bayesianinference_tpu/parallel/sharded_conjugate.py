@@ -18,6 +18,7 @@ weight column masks the padding out of every statistic.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Callable, Optional, Sequence
 
@@ -47,6 +48,63 @@ __all__ = [
     "sharded_normal_conjugate_model",
     "sharded_multinormal_conjugate_model",
 ]
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_blr_program(mesh, axis_name, basis, include_constant, m):
+    """Jitted sharded fit (stats shard_map + update + logZ), cached on the
+    (mesh, axis, basis, layout) statics — the engine-jit convention:
+    repeated fits with a stable basis pay device time only, not the
+    remote re-trace/compile."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P(), P()),
+    )
+    def stats(xs, ys, ws):
+        dm = design_matrix(xs, basis, include_constant)
+        dmw = dm * ws[:, None]  # ws in {0, 1} so one factor masks products
+        ysw = ys * ws[:, None]
+        xtx = jax.lax.psum(dmw.T @ dm, axis_name)
+        xty = jax.lax.psum(dmw.T @ ys, axis_name)
+        yty = jax.lax.psum(ysw.T @ ys, axis_name)
+        n = jax.lax.psum(jnp.sum(ws), axis_name)
+        return xtx, xty, yty, n
+
+    @jax.jit
+    def fit(xp, yp, w, prior):
+        xtx, xty, yty, n = stats(xp, yp, w)
+        k = xtx.shape[0]
+        p = prior if prior is not None else _default_prior(k, m, xtx.dtype)
+        if m == 1 and p.b.ndim != 1:
+            raise ValueError("prior.b must be 1-D for univariate outputs")
+        post = _blr_update_from_stats(p, xtx, xty, yty, n)
+        log_z = _blr_log_evidence_from_stats(p, post, xtx, xty, yty, n)
+        return p, post, log_z
+
+    return fit
+
+
+@functools.lru_cache(maxsize=32)
+def _mean_scatter_program(mesh, axis_name):
+    """Jitted psum mean/scatter reduction, cached per (mesh, axis)."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P()),
+    )
+    def stats(xs, ws):
+        n = jax.lax.psum(jnp.sum(ws), axis_name)
+        mean = jax.lax.psum(jnp.sum(xs * ws[:, None], axis=0), axis_name) / n
+        c = (xs - mean) * ws[:, None]
+        scatter = jax.lax.psum(c.T @ c, axis_name)
+        return n, mean, scatter
+
+    return jax.jit(stats)
 
 
 def _pad_shard(arr, n_shards: int):
@@ -102,33 +160,7 @@ def sharded_bayesian_linear_regression(
     xp, w = _pad_shard(x, n_shards)
     yp, _ = _pad_shard(ymat, n_shards)
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(), P(), P(), P()),
-    )
-    def stats(xs, ys, ws):
-        dm = design_matrix(xs, basis, include_constant)
-        dmw = dm * ws[:, None]  # ws in {0, 1} so one factor masks products
-        ysw = ys * ws[:, None]
-        xtx = jax.lax.psum(dmw.T @ dm, axis_name)
-        xty = jax.lax.psum(dmw.T @ ys, axis_name)
-        yty = jax.lax.psum(ysw.T @ ys, axis_name)
-        n = jax.lax.psum(jnp.sum(ws), axis_name)
-        return xtx, xty, yty, n
-
-    @jax.jit
-    def fit(xp, yp, w, prior):
-        xtx, xty, yty, n = stats(xp, yp, w)
-        k = xtx.shape[0]
-        p = prior if prior is not None else _default_prior(k, m, xtx.dtype)
-        if univariate and p.b.ndim != 1:
-            raise ValueError("prior.b must be 1-D for univariate outputs")
-        post = _blr_update_from_stats(p, xtx, xty, yty, n)
-        log_z = _blr_log_evidence_from_stats(p, post, xtx, xty, yty, n)
-        return p, post, log_z
-
+    fit = _sharded_blr_program(mesh, axis_name, basis, include_constant, m)
     p, post, log_z = fit(xp, yp, w, prior)
     return BLRResult(
         log_evidence=log_z,
@@ -141,25 +173,11 @@ def sharded_bayesian_linear_regression(
 
 
 def _sharded_mean_scatter(data, mesh: Mesh, axis_name: str):
-    """(n, mean, ddof=1 scatter/(n-1)) of a row-sharded data matrix via two
-    psum rounds (sum, then centered scatter) inside one shard_map."""
+    """(n, mean, scatter) of a row-sharded data matrix via two psum rounds
+    (sum, then centered scatter) inside one cached shard_map program."""
     n_shards = mesh.shape[axis_name]
     dp, w = _pad_shard(data, n_shards)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name)),
-        out_specs=(P(), P(), P()),
-    )
-    def stats(xs, ws):
-        n = jax.lax.psum(jnp.sum(ws), axis_name)
-        mean = jax.lax.psum(jnp.sum(xs * ws[:, None], axis=0), axis_name) / n
-        c = (xs - mean) * ws[:, None]
-        scatter = jax.lax.psum(c.T @ c, axis_name)
-        return n, mean, scatter
-
-    return jax.jit(stats)(dp, w)
+    return _mean_scatter_program(mesh, axis_name)(dp, w)
 
 
 def sharded_normal_conjugate_model(

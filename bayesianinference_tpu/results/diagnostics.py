@@ -97,10 +97,11 @@ def effective_sample_size(chains, split: bool = True) -> np.ndarray:
     m, n, d = x.shape
     if n < 4:
         raise ValueError("need at least 4 samples per split chain")
-    acov = _autocov_fft(x)  # [m, n, d], biased
+    acov = _autocov_fft(x)  # [m, n, d], biased (normalized by n)
     # within-chain variance (ddof=1) and the pooled posterior variance
+    # var_plus = (n-1)/n W + B/n; the biased acov0 mean IS (n-1)/n W
     w = (acov[:, 0] * n / (n - 1.0)).mean(axis=0)  # [d]
-    var_plus = acov[:, 0].mean(axis=0) * (n - 1.0) / n + (
+    var_plus = acov[:, 0].mean(axis=0) + (
         np.var(x.mean(axis=1), axis=0, ddof=1) if m > 1 else 0.0
     )
     mean_acov = acov.mean(axis=0)  # [d] per lag

@@ -181,3 +181,55 @@ def test_save_load_result_roundtrip(key, tmp_path):
     )
     s = back2.posterior_distribution.sample(key, (10,))
     assert s.shape == (10, 2)
+
+
+def test_load_ns_run_migrates_scalar_eval_counter(tmp_path, key):
+    """Checkpoints written before the wrap-proof (hi, lo) counter stored
+    num_likelihood_evals as a 0-d integer; load_ns_run must migrate them
+    to the base-2^30 pair instead of crashing on resume."""
+    import json
+
+    import numpy as np
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines.checkpoint import (
+        load_ns_run,
+        resume_nested_sampling_loop,
+        save_ns_run,
+    )
+    from bayesianinference_tpu.engines.nested_sampling import (
+        NSState,
+        evals_to_int,
+        nested_sampling_loop,
+    )
+    from bayesianinference_tpu.models import define_inference_problem
+
+    problem = define_inference_problem(
+        parameters=[("x", -4.0, 4.0)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location"],
+        validate=False,
+    )
+    starts = problem.prior_distribution.sample(key, (24,))
+    run = nested_sampling_loop(
+        problem, starts, key, max_iterations=20, min_iterations=20,
+        monte_carlo_steps=8,
+    )
+    path = tmp_path / "old_format.npz"
+    save_ns_run(path, run)
+
+    # rewrite the file in the legacy format: a 0-d total count
+    total = evals_to_int(run.state.num_likelihood_evals)
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    arrays["num_likelihood_evals"] = np.asarray(total)
+    np.savez_compressed(path, **arrays)
+
+    loaded = load_ns_run(path)
+    assert loaded.state.num_likelihood_evals.shape == (2,)
+    assert evals_to_int(loaded.state.num_likelihood_evals) == total
+    # and the migrated run actually resumes
+    more = resume_nested_sampling_loop(
+        problem, loaded, extra_iterations=5, monte_carlo_steps=8
+    )
+    assert evals_to_int(more.state.num_likelihood_evals) > total
