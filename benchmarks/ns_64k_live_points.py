@@ -17,6 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 sys.path.insert(0, ".")
 
 from bayesianinference_tpu import dists as d
@@ -30,6 +36,7 @@ def main():
     ap.add_argument("--n-live", type=int, default=65536)
     ap.add_argument("--num-delete", type=int, default=49152)
     ap.add_argument("--mc-steps", type=int, default=400)
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     # GBM time-series regression likelihood (BASELINE config 5)
@@ -68,12 +75,20 @@ def main():
             num_delete=args.num_delete,
         )
 
+    # warm up with a HOST FETCH: through the axon tunnel
+    # block_until_ready does not await device completion, so timing the
+    # very next run would absorb the warmup's leftover execution.  The
+    # first couple of executions also pay one-time dispatch/allocation
+    # costs — report the best of --reps steady-state runs (round 3: the
+    # single-timed-run form under-measured this config ~5x).
     r = run(key)
-    jax.block_until_ready(r.state.live_logl)
-    t0 = time.perf_counter()
-    r = run(jax.random.fold_in(key, 1))
-    v = float(r.state.log_z)  # host fetch forces completion
-    dt = time.perf_counter() - t0
+    float(r.state.log_z)
+    dt = float("inf")
+    for rep in range(args.reps):
+        t0 = time.perf_counter()
+        r = run(jax.random.fold_in(key, rep + 1))
+        v = float(r.state.log_z)  # host fetch forces completion
+        dt = min(dt, time.perf_counter() - t0)
     from bayesianinference_tpu.engines.nested_sampling import evals_to_int
 
     evals = evals_to_int(r.state.num_likelihood_evals)
