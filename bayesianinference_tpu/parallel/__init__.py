@@ -1,5 +1,9 @@
 from .parallel_ns import parallel_nested_sampling
-from .sharded_chol import sharded_cholesky, sharded_gp_logml_blocked
+from .sharded_chol import (
+    sharded_cholesky,
+    sharded_gp_logml_blocked,
+    sharded_gp_predict,
+)
 from .sharded_conjugate import (
     sharded_bayesian_linear_regression,
     sharded_multinormal_conjugate_model,
@@ -15,6 +19,7 @@ __all__ = [
     "sharded_covariance_matrix",
     "sharded_gp_logml_blocked",
     "sharded_gp_log_marginal_likelihood",
+    "sharded_gp_predict",
     "sharded_multinormal_conjugate_model",
     "sharded_normal_conjugate_model",
     "parallel_nested_sampling",

@@ -36,15 +36,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.numerics import LOG2PI, log_zero
 from ..ops.gp_kernels import Kernel
 
-__all__ = ["sharded_cholesky", "sharded_gp_logml_blocked"]
+__all__ = ["sharded_cholesky", "sharded_gp_logml_blocked", "sharded_gp_predict"]
 
 
 
-def _panel_step(a_local, l_local, y_rep, logdet, wsq, p, *, block, axis_name):
+def _panel_step(a_local, l_local, rhs, w_buf, logdet, p, *, block, axis_name):
     """One right-looking panel: gather panel column, factor diag block,
-    form the panel of L, update local trailing rows + the y carry."""
+    form the panel of L, update local trailing rows + the interleaved
+    forward substitution on the replicated RHS columns ``rhs`` [n, r]
+    (collecting the substituted blocks w = L^-1 rhs into ``w_buf``)."""
     n_loc, n = a_local.shape
     dtype = a_local.dtype
+    r = rhs.shape[-1]
     r0 = jax.lax.axis_index(axis_name) * n_loc
     c0 = p * block
 
@@ -64,11 +67,11 @@ def _panel_step(a_local, l_local, y_rep, logdet, wsq, p, *, block, axis_name):
     keep = jnp.logical_and(rows - c0 >= cols, rows >= c0)
     lcol = jnp.where(keep, sol, jnp.zeros((), dtype))  # [n, b]
 
-    # interleaved forward substitution on the replicated y
-    y_blk = jax.lax.dynamic_slice(y_rep, (c0,), (block,))
-    w_blk = inv_l @ y_blk
-    y_rep = y_rep - lcol @ w_blk
-    wsq = wsq + jnp.sum(w_blk * w_blk)
+    # interleaved forward substitution on the replicated RHS
+    rhs_blk = jax.lax.dynamic_slice(rhs, (c0, 0), (block, r))
+    w_blk = inv_l @ rhs_blk  # [b, r]
+    rhs = rhs - lcol @ w_blk
+    w_buf = jax.lax.dynamic_update_slice(w_buf, w_blk, (c0, 0))
     logdet = logdet + 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_jj)))
 
     # local rows of the panel -> output; full-width trailing update
@@ -78,14 +81,17 @@ def _panel_step(a_local, l_local, y_rep, logdet, wsq, p, *, block, axis_name):
     )
     l_local = jax.lax.dynamic_update_slice(l_local, lrows, (0, c0))
     a_local = a_local - lrows @ lcol.T
-    return a_local, l_local, y_rep, logdet, wsq
+    return a_local, l_local, rhs, w_buf, logdet
 
 
-def _factorize_local(a_local, y_rep, *, block, axis_name):
-    """Run all panels; returns (l_local, logdet, |w|^2)."""
+def _factorize_local(a_local, rhs, *, block, axis_name):
+    """Run all panels; returns (l_local, logdet, w = L^-1 rhs [n, r]).
+    ``rhs`` is replicated [n] or [n, r]."""
     n_loc, n = a_local.shape
     dtype = a_local.dtype
     nb = n // block
+    vector_rhs = rhs.ndim == 1
+    rhs2 = rhs[:, None] if vector_rhs else rhs
 
     def body(p, carry):
         return _panel_step(*carry, p, block=block, axis_name=axis_name)
@@ -93,12 +99,12 @@ def _factorize_local(a_local, y_rep, *, block, axis_name):
     init = (
         a_local,
         jnp.zeros((n_loc, n), dtype),
-        y_rep,
-        jnp.zeros((), dtype),
+        rhs2,
+        jnp.zeros_like(rhs2),
         jnp.zeros((), dtype),
     )
-    _, l_local, _, logdet, wsq = jax.lax.fori_loop(0, nb, body, init)
-    return l_local, logdet, wsq
+    _, l_local, _, w, logdet = jax.lax.fori_loop(0, nb, body, init)
+    return l_local, logdet, (w[:, 0] if vector_rhs else w)
 
 
 @functools.lru_cache(maxsize=64)
@@ -120,6 +126,8 @@ def _chol_program(mesh: Mesh, axis_name: str, block: int):
             k_local, y_dummy, block=block, axis_name=axis_name
         )
         return l_local, logdet
+
+
 
     return jax.jit(run)
 
@@ -219,12 +227,128 @@ def _gp_logml_program(kernel, mesh, axis_name, block, n, n_loc, dtype_name):
         k_local = k_local + jnp.where(
             rows == cols, nn[None, :], jnp.zeros((), dtype)
         )
-        _, logdet, wsq = _factorize_local(
+        _, logdet, w = _factorize_local(
             k_local, yy, block=block, axis_name=axis_name
         )
-        out = -0.5 * (n * LOG2PI + logdet + wsq)
+        out = -0.5 * (n * LOG2PI + logdet + jnp.sum(w * w))
         lz = log_zero(dtype)
         out = jnp.clip(out, lz, -lz)
         return jnp.where(jnp.isfinite(out), out, lz)
 
     return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# Sharded GP posterior prediction (fit + predict without ever gathering K)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _gp_predict_program(
+    kernel, mesh, axis_name, block, n, n_loc, query_nugget, dtype_name
+):
+    dtype = jnp.dtype(dtype_name)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(xx, resid, nn, xq):
+        r0 = jax.lax.axis_index(axis_name) * n_loc
+        x_rows = jax.lax.dynamic_slice(
+            xx,
+            (r0,) + (jnp.zeros_like(r0),) * (xx.ndim - 1),
+            (n_loc,) + xx.shape[1:],
+        )
+        k_local = kernel.matrix(x_rows, xx).astype(dtype)  # [n_loc, n]
+        rows = r0 + jnp.arange(n_loc)[:, None]
+        cols = jnp.arange(n)[None, :]
+        k_local = k_local + jnp.where(
+            rows == cols, nn[None, :], jnp.zeros((), dtype)
+        )
+        # cross-covariance rows computed locally, assembled by ONE gather
+        kc_rows = kernel.matrix(x_rows, xq).astype(dtype)  # [n_loc, m]
+        k_cross = jax.lax.all_gather(kc_rows, axis_name, tiled=True)  # [n, m]
+        rhs = jnp.concatenate([resid[:, None], k_cross], axis=1)
+        _, _, w = _factorize_local(
+            k_local, rhs, block=block, axis_name=axis_name
+        )
+        wy, v = w[:, 0], w[:, 1:]  # L^-1 resid, L^-1 k*
+        # m* = k*^T K^-1 resid = (L^-1 k*)^T (L^-1 resid): no backward
+        # substitution pass is needed for the mean
+        mean_star = v.T @ wy  # [m]
+        kappa = kernel.diag(xq).astype(dtype)
+        if query_nugget:
+            m = kappa.shape[0]
+            qn = jax.lax.dynamic_slice(nn, (0,), (1,))  # scalar nugget only
+            kappa = kappa + jnp.broadcast_to(qn, (m,))
+        var_star = kappa - jnp.sum(v * v, axis=0)
+        return mean_star, jnp.sqrt(jnp.maximum(var_star, 0.0))
+
+    return jax.jit(run)
+
+
+def sharded_gp_predict(
+    kernel: Kernel,
+    x,
+    y,
+    x_query,
+    mesh: Mesh,
+    axis_name: str = "data",
+    nugget=None,
+    mean_fn: Optional[Callable] = None,
+    block: int = 256,
+    query_nugget: bool = True,
+):
+    """GP posterior predictive moments with K row-sharded end to end —
+    the distributed form of :func:`~..ops.gp_kernels.gp_posterior_moments`
+    (``predictFromGaussianProcessInternal``, GP:396-422).
+
+    The factorization's interleaved forward substitution carries
+    [resid | k(X, X*)] as replicated RHS columns, so prediction costs ONE
+    sharded pass: with v = L^-1 k* and w = L^-1 resid,
+    m* = v^T w (no backward substitution) and s*^2 = kappa - |v|^2 columns.
+    Per-device residency: n^2/P + n (m+1).  Chunk large query sets.
+
+    ``query_nugget`` adds the (scalar) nugget to the predictive variance
+    (GP:110-115); callable nuggets apply to training rows only here.
+    Returns (mean [m], std [m]).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    xq = jnp.asarray(x_query)
+    dtype = jnp.result_type(y.dtype, float)
+    resid = y.astype(dtype)
+    if mean_fn is not None:
+        resid = resid - mean_fn(x)
+    n = x.shape[0]
+    n_dev = mesh.shape[axis_name]
+    if n % n_dev or n % block:
+        raise ValueError(f"n={n} must be divisible by both the mesh axis "
+                         f"size {n_dev} and block={block}")
+    if nugget is None:
+        nug = jnp.zeros((n,), dtype)
+        add_query_nugget = False
+    elif callable(nugget):
+        nug = nugget(x).astype(dtype)
+        add_query_nugget = False  # per-point nugget: training rows only
+    else:
+        nug = jnp.broadcast_to(jnp.asarray(nugget, dtype), (n,))
+        add_query_nugget = bool(query_nugget)
+    prog = _gp_predict_program(
+        kernel,
+        mesh,
+        axis_name,
+        block,
+        n,
+        n // n_dev,
+        add_query_nugget,
+        jnp.dtype(dtype).name,
+    )
+    mean_star, std_star = prog(x, resid, nug, xq)
+    if mean_fn is not None:
+        mean_star = mean_star + mean_fn(xq)
+    return mean_star, std_star

@@ -249,3 +249,54 @@ def test_sharded_gp_logml_gradient_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(g_sharded), np.asarray(g_single), rtol=1e-7
     )
+
+
+def test_sharded_gp_predict_matches_single_device(rng):
+    """sharded_gp_predict (row-sharded K, interleaved multi-RHS
+    substitution, mean via v^T w) must match gp_posterior_moments."""
+    from bayesianinference_tpu.ops.gp_kernels import (
+        gp_posterior_moments,
+        se_kernel,
+    )
+    from bayesianinference_tpu.parallel import make_mesh, sharded_gp_predict
+
+    n, m = 1024, 17
+    x = jnp.asarray(rng.normal(size=(n, 2)))
+    y = jnp.sin(x[:, 0]) + 0.3 * x[:, 1] + 0.05 * jnp.asarray(rng.normal(size=n))
+    xq = jnp.asarray(rng.normal(size=(m, 2)))
+    kern = se_kernel(1.3, 0.9)
+    nugget = 0.05
+
+    mean_ref, std_ref = gp_posterior_moments(kern, x, y, xq, nugget=nugget)
+    mesh = make_mesh(("data",))
+    mean_sh, std_sh = sharded_gp_predict(
+        kern, x, y, xq, mesh, nugget=nugget, block=128
+    )
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean_ref), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(std_sh), np.asarray(std_ref), rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_gp_predict_mean_fn_and_no_query_nugget(rng):
+    from bayesianinference_tpu.ops.gp_kernels import (
+        gp_posterior_moments,
+        matern32_kernel,
+    )
+    from bayesianinference_tpu.parallel import make_mesh, sharded_gp_predict
+
+    n, m = 512, 5
+    x = jnp.asarray(rng.normal(size=(n, 1)))
+    y = 2.0 + x[:, 0] ** 2 + 0.1 * jnp.asarray(rng.normal(size=n))
+    xq = jnp.linspace(-1.5, 1.5, m)[:, None]
+    kern = matern32_kernel(0.8, 1.1)
+    mean_fn = lambda z: 2.0 + jnp.zeros(z.shape[0])
+
+    mean_ref, std_ref = gp_posterior_moments(
+        kern, x, y, xq, nugget=0.02, mean_fn=mean_fn, query_nugget=False
+    )
+    mesh = make_mesh(("data",))
+    mean_sh, std_sh = sharded_gp_predict(
+        kern, x, y, xq, mesh, nugget=0.02, mean_fn=mean_fn,
+        block=64, query_nugget=False,
+    )
+    np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean_ref), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(std_sh), np.asarray(std_ref), rtol=1e-9, atol=1e-9)
