@@ -10,6 +10,7 @@ from .posterior import (
     regression_predictive_distribution,
 )
 from .report import CalculationReport, calculation_report
+from .summary import ParameterSummary, SummaryTable, summary
 
 __all__ = [
     "WeightedSamples",
@@ -22,4 +23,7 @@ __all__ = [
     "regression_predictive_distribution",
     "CalculationReport",
     "calculation_report",
+    "ParameterSummary",
+    "SummaryTable",
+    "summary",
 ]

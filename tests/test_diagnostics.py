@@ -124,3 +124,93 @@ def test_kish_ess_on_ns_result_weights(key):
     )
     n_total = len(np.asarray(res.crude_log_posterior_weights))
     assert 5.0 < ess < n_total
+
+
+def test_summary_weighted_matches_closed_forms(key):
+    """summary() on a weighted sample: exact mean/std/median for a
+    hand-built two-atom weighted sample."""
+    import jax.numpy as jnp
+
+    from bayesianinference_tpu.core.containers import WeightedSamples
+    from bayesianinference_tpu.results import summary
+
+    ws = WeightedSamples(
+        points=jnp.asarray([[0.0], [1.0]]),
+        log_weights=jnp.log(jnp.asarray([0.25, 0.75])),
+    )
+    t = summary(ws, param_names=("a",), quantiles=(0.2, 0.5, 0.9))
+    row = t.to_dict()["a"]
+    assert row.mean == pytest.approx(0.75)
+    assert row.std == pytest.approx(np.sqrt(0.25 * 0.75))
+    assert row.quantiles == (0.0, 1.0, 1.0)  # weighted CDF inversion
+    assert row.ess == pytest.approx(1.0 / (0.25**2 + 0.75**2))
+    assert "a" in str(t) and "q50" in str(t)
+
+
+def test_summary_chains_and_laplace(rng, key):
+    import jax
+    import jax.numpy as jnp
+
+    from bayesianinference_tpu.results import summary
+
+    chains = rng.normal(1.0, 2.0, size=(4, 2000, 2))
+    t = summary(chains, param_names=("x", "y"))
+    for r in t.rows:
+        assert abs(r.mean - 1.0) < 0.15
+        assert abs(r.std - 2.0) < 0.15
+        assert r.r_hat < 1.02
+        assert r.ess > 1000
+        assert abs(r.quantiles[1] - 1.0) < 0.2  # median
+
+    # Laplace: Gaussian closed form quantiles
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines.laplace import laplace_posterior_fit
+    from bayesianinference_tpu.models import define_inference_problem
+
+    problem = define_inference_problem(
+        parameters=[("mu", -10.0, 10.0)],
+        log_likelihood=lambda th: jnp.sum(
+            d.Normal(th[0], 1.0).log_prob(jnp.asarray([0.2, 0.4, 0.3]))
+        ),
+        log_prior=lambda th: jnp.sum(d.Normal(0.0, 10.0).log_prob(th)),
+        validate=False,
+    )
+    fit = laplace_posterior_fit(problem=problem, key=key)
+    tl = summary(fit)
+    row = tl.rows[0]
+    import scipy.stats as st
+
+    assert row.name == "mu"
+    np.testing.assert_allclose(
+        row.quantiles[1], row.mean, atol=1e-12
+    )  # Gaussian median = mean
+    np.testing.assert_allclose(
+        row.quantiles[2],
+        st.norm(row.mean, row.std).ppf(0.95),
+        rtol=1e-9,
+    )
+
+
+def test_summary_ns_result(key):
+    import jax.numpy as jnp
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines.nested_sampling import nested_sampling
+    from bayesianinference_tpu.models import define_inference_problem
+    from bayesianinference_tpu.results import summary
+
+    problem = define_inference_problem(
+        parameters=[("x", -5.0, 5.0)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.5, 1.0).log_prob(th)),
+        prior_distribution=["location"],
+        validate=False,
+    )
+    res = nested_sampling(
+        problem, key, sample_pool_size=80, max_iterations=600,
+        post_process_sampling_runs=8,
+    )
+    t = summary(res)
+    row = t.rows[0]
+    assert row.name == "x"
+    assert abs(row.mean - 0.5) < 0.3
+    assert row.ess > 10
