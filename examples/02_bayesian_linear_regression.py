@@ -4,6 +4,12 @@ evidence-based model comparison (the reference README's flagship use).
 Run:  python examples/02_bayesian_linear_regression.py
 """
 
+import os as _os
+import sys as _sys
+
+# make the example runnable from anywhere without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax.numpy as jnp
 import numpy as np
 

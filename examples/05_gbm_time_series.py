@@ -5,6 +5,12 @@ a GBM path treated as LogNormal regression over time.
 Run:  python examples/05_gbm_time_series.py
 """
 
+import os as _os
+import sys as _sys
+
+# make the example runnable from anywhere without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,12 @@ Run (8 virtual devices):
   python examples/06_parallel_checkpoint.py
 """
 
+import os as _os
+import sys as _sys
+
+# make the example runnable from anywhere without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -4,6 +4,12 @@ with the network log-evidence for hyperparameter comparison.
 Run:  python examples/07_bayesian_neural_network.py
 """
 
+import os as _os
+import sys as _sys
+
+# make the example runnable from anywhere without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,6 +9,12 @@ laplacePosteriorFit front-end (LaplaceApproximation.wl:453-518).
 Run:  python examples/08_generative_model_laplace.py
 """
 
+import os as _os
+import sys as _sys
+
+# make the example runnable from anywhere without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
