@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from ..dists.combinators import ConditionalProduct
-from ..core.numerics import LOG2PI, as_hashable_fn
+from ..core.numerics import LOG2PI, as_hashable_fn, log_zero
 from ..dists.conjugate_structs import NormalInverseGamma, NormalInverseWishart
 from ..dists.multivariate import (
     InverseWishart,
@@ -483,9 +483,14 @@ def _normal_model_from_stats(
         + 0.5 * lam0 * n / (lam0 + n) * (mean - mu0) ** 2,
         nu=nu0 + 0.5 * n,
     )
-    # candidate-point identity at (mean, var) (CP:120-131)
-    loglike = -0.5 * (n * (LOG2PI + jnp.log(var)) + (n - 1.0))
+    # candidate-point identity at (mean, var) (CP:120-131).  Degenerate
+    # data (sample variance 0) maps to the finite log-zero sentinel, the
+    # behavior of the guarded Normal.log_prob this closed form replaced.
+    safe_var = jnp.where(var > 0, var, 1.0)
+    loglike = -0.5 * (n * (LOG2PI + jnp.log(safe_var)) + (n - 1.0))
     log_z = loglike + prior.log_prob(mean, var) - post.log_prob(mean, var)
+    lz = log_zero(jnp.result_type(jnp.asarray(log_z).dtype, float))
+    log_z = jnp.where((var > 0) & jnp.isfinite(log_z), log_z, lz)
     return ConjugateModelResult(
         model="Normal",
         prior=prior,
@@ -540,9 +545,14 @@ def _multinormal_model_from_stats(
         psi=psi0 + (n - 1) * cov + lam0 * n / (lam0 + n) * jnp.outer(diff, diff),
         nu=nu0 + n,
     )
+    # a singular / non-PD sample covariance maps to the finite log-zero
+    # sentinel (the guarded MultivariateNormal.log_prob behavior this
+    # closed form replaced)
     sign, logdet = jnp.linalg.slogdet(cov)
     loglike = -0.5 * (n * (d * LOG2PI + logdet) + (n - 1.0) * d)
     log_z = loglike + prior.log_prob(mean, cov) - post.log_prob(mean, cov)
+    lz = log_zero(jnp.result_type(jnp.asarray(log_z).dtype, float))
+    log_z = jnp.where((sign > 0) & jnp.isfinite(log_z), log_z, lz)
     return ConjugateModelResult(
         model="Multinormal",
         prior=prior,

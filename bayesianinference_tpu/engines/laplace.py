@@ -73,6 +73,21 @@ def _default_tol(dtype) -> float:
     return 1e-10 if jnp.finfo(dtype).bits >= 64 else 1e-4
 
 
+def _bounds_and_tol(x0, lower, upper, tol):
+    """Shared solver prologue: broadcast the box bounds to [d] in the
+    start points' dtype (infinite where absent) and default the
+    gradient-norm tolerance per dtype."""
+    dtype = x0.dtype
+    d = x0.shape[-1]
+    lo = jnp.broadcast_to(
+        _f(-jnp.inf if lower is None else lower), (d,)
+    ).astype(dtype)
+    hi = jnp.broadcast_to(
+        _f(jnp.inf if upper is None else upper), (d,)
+    ).astype(dtype)
+    return lo, hi, (_default_tol(dtype) if tol is None else tol)
+
+
 def find_mode(
     log_density: Callable,
     x0,
@@ -96,18 +111,9 @@ def find_mode(
     engine-jit convention): repeated fits of the same problem skip the
     re-trace, so per-fit latency is the device time, not tracing."""
     x0 = jnp.atleast_2d(_f(x0))
-    dtype = x0.dtype
-    d = x0.shape[-1]
-    lo = jnp.broadcast_to(
-        _f(-jnp.inf if lower is None else lower), (d,)
-    ).astype(dtype)
-    hi = jnp.broadcast_to(
-        _f(jnp.inf if upper is None else upper), (d,)
-    ).astype(dtype)
-    if tol is None:
-        tol = _default_tol(dtype)
+    lo, hi, tol = _bounds_and_tol(x0, lower, upper, tol)
     solver = _mode_solver(as_hashable_fn(log_density), maxiter)
-    return solver(x0, lo, hi, jnp.asarray(tol, dtype))
+    return solver(x0, lo, hi, jnp.asarray(tol, x0.dtype))
 
 
 @functools.lru_cache(maxsize=32)
@@ -302,23 +308,14 @@ def approximate_evidence(
         loglike_fn = None
         dens = log_density
     starts = jnp.atleast_2d(_f(initial_guess if initial_guess is not None else x0))
-    dtype = starts.dtype
-    d = starts.shape[-1]
-    lo = jnp.broadcast_to(
-        _f(-jnp.inf if lower is None else lower), (d,)
-    ).astype(dtype)
-    hi = jnp.broadcast_to(
-        _f(jnp.inf if upper is None else upper), (d,)
-    ).astype(dtype)
+    lo, hi, tol = _bounds_and_tol(starts, lower, upper, tol)
     program = _evidence_program(
         as_hashable_fn(dens),
         None if loglike_fn is None else as_hashable_fn(loglike_fn),
         maxiter,
     )
-    if tol is None:
-        tol = _default_tol(dtype)
     mode, max_val, precision, log_ev, ll_at_mode = program(
-        starts, lo, hi, jnp.asarray(tol, dtype)
+        starts, lo, hi, jnp.asarray(tol, starts.dtype)
     )
     return LaplaceFit(
         log_evidence=log_ev,

@@ -65,11 +65,15 @@ def _sharded_blr_program(mesh, axis_name, basis, include_constant, m):
     )
     def stats(xs, ys, ws):
         dm = design_matrix(xs, basis, include_constant)
-        dmw = dm * ws[:, None]  # ws in {0, 1} so one factor masks products
-        ysw = ys * ws[:, None]
-        xtx = jax.lax.psum(dmw.T @ dm, axis_name)
-        xty = jax.lax.psum(dmw.T @ ys, axis_name)
-        yty = jax.lax.psum(ysw.T @ ys, axis_name)
+        # mask padded rows with where, not multiplication: a basis
+        # function that is non-finite at the zero-padded inputs (log,
+        # 1/x) would otherwise poison the sums via 0 * inf = NaN
+        keep = ws[:, None] > 0
+        dm = jnp.where(keep, dm, 0.0)
+        ysm = jnp.where(keep, ys, 0.0)
+        xtx = jax.lax.psum(dm.T @ dm, axis_name)
+        xty = jax.lax.psum(dm.T @ ysm, axis_name)
+        yty = jax.lax.psum(ysm.T @ ysm, axis_name)
         n = jax.lax.psum(jnp.sum(ws), axis_name)
         return xtx, xty, yty, n
 

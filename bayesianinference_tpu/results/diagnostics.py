@@ -147,7 +147,14 @@ def gelman_rubin(chains, split: bool = True) -> np.ndarray:
     b_over_n = means.var(axis=0, ddof=1)  # [d] (= B / n)
     safe_w = np.where(w > 0, w, 1.0)
     var_plus = (n - 1.0) / n * w + b_over_n
-    rhat = np.where(w > 0, np.sqrt(var_plus / safe_w), 1.0)
+    # W = 0 with disagreeing chains (each stuck at its own constant) is
+    # the R-hat -> infinity limit, NOT convergence; only W = B = 0
+    # (identical constant chains) legitimately reports 1.
+    rhat = np.where(
+        w > 0,
+        np.sqrt(var_plus / safe_w),
+        np.where(b_over_n > 0, np.inf, 1.0),
+    )
     return rhat[0] if d == 1 and np.asarray(chains).ndim <= 2 else rhat
 
 

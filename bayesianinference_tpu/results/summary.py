@@ -48,7 +48,7 @@ class SummaryTable:
     quantile_levels: Tuple[float, ...]
 
     def __str__(self):
-        qh = [f"q{int(round(q * 100)):02d}" for q in self.quantile_levels]
+        qh = [f"q{100 * q:g}" for q in self.quantile_levels]
         headers = ["param", "mean", "std", *qh, "ess", "r_hat"]
         table = []
         for r in self.rows:

@@ -203,3 +203,87 @@ def test_sharded_pool_ns_rejects_oversized_num_delete(key):
         sharded_pool_nested_sampling(
             problem, key, sample_pool_size=16, num_delete=8
         )
+
+
+def test_degenerate_conjugate_data_returns_sentinel():
+    """Constant data (sample variance 0) and collinear multivariate data
+    (singular covariance) must map to the finite log-zero sentinel, not
+    inf or a silently wrong finite evidence — the guarded-density
+    contract the stats-form refactor must preserve."""
+    import numpy as np
+
+    from bayesianinference_tpu.engines.conjugate import (
+        multinormal_conjugate_model,
+        normal_conjugate_model,
+    )
+
+    r = normal_conjugate_model(jnp.asarray([3.0, 3.0, 3.0, 3.0]))
+    assert float(r.log_evidence) < -1e250
+
+    t = jnp.linspace(0.0, 1.0, 10)
+    collinear = jnp.stack([t, 2.0 * t], axis=1)
+    r2 = multinormal_conjugate_model(collinear)
+    assert float(r2.log_evidence) < -1e250
+
+    dup = jnp.ones((6, 2))
+    r3 = multinormal_conjugate_model(dup)
+    assert float(r3.log_evidence) < -1e250
+
+    # non-degenerate data still gives finite sensible evidence
+    rng = np.random.default_rng(0)
+    ok = normal_conjugate_model(jnp.asarray(rng.normal(size=20)))
+    assert np.isfinite(float(ok.log_evidence))
+
+
+def test_sharded_blr_nonfinite_basis_on_padding():
+    """Padded rows are masked with where, so a basis function that is
+    non-finite at zero (log) must not poison the psum statistics when n
+    is not divisible by the mesh."""
+    import numpy as np
+
+    from bayesianinference_tpu.engines.conjugate import (
+        bayesian_linear_regression,
+    )
+    from bayesianinference_tpu.parallel import (
+        make_mesh,
+        sharded_bayesian_linear_regression,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 13  # pads to 16 with 3 zero rows
+    x = jnp.asarray(rng.uniform(0.5, 2.0, (n, 1)))
+    y = jnp.asarray(0.3 + 0.7 * np.log(np.asarray(x)[:, 0]) + 0.01 * rng.normal(size=n))
+    basis = (lambda v: jnp.log(v[..., 0]),)
+    mesh = make_mesh(("data",))
+    dense = bayesian_linear_regression(x, y, basis=basis)
+    shard = sharded_bayesian_linear_regression(x, y, mesh, basis=basis)
+    np.testing.assert_allclose(
+        float(shard.log_evidence), float(dense.log_evidence), rtol=1e-9
+    )
+
+
+def test_rhat_stuck_disagreeing_chains_is_inf():
+    import numpy as np
+
+    from bayesianinference_tpu.results import gelman_rubin
+
+    stuck = np.stack([np.zeros(100), np.ones(100)])
+    assert gelman_rubin(stuck) == np.inf
+    # identical constant chains legitimately report 1
+    same = np.zeros((2, 100))
+    assert gelman_rubin(same) == 1.0
+
+
+def test_summary_quantile_headers_distinct():
+    import numpy as np
+
+    from bayesianinference_tpu.core.containers import WeightedSamples
+    from bayesianinference_tpu.results import summary
+
+    ws = WeightedSamples(
+        points=jnp.linspace(0, 1, 50)[:, None],
+        log_weights=jnp.zeros(50),
+    )
+    t = summary(ws, quantiles=(0.975, 0.98))
+    header = str(t).splitlines()[0]
+    assert "q97.5" in header and "q98" in header
