@@ -18,6 +18,7 @@ from typing import Callable, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
+from jax.scipy import special as jsp
 
 from ..dists.combinators import ConditionalProduct
 from ..core.numerics import LOG2PI, as_hashable_fn, log_zero
@@ -40,6 +41,8 @@ __all__ = [
     "ConjugateModelResult",
     "normal_conjugate_model",
     "multinormal_conjugate_model",
+    "categorical_conjugate_model",
+    "categorical_conjugate_model_from_counts",
     "update_conjugate_model",
 ]
 
@@ -594,6 +597,8 @@ def update_conjugate_model(
     evidence accumulates (``conjugatePriorModel`` re-update, CP:67-83)."""
     if result.model == "Normal":
         updated = normal_conjugate_model(new_data, prior=result.posterior)
+    elif result.model == "Categorical":
+        updated = categorical_conjugate_model(new_data, prior=result.posterior)
     else:
         updated = multinormal_conjugate_model(new_data, prior=result.posterior)
     return dataclasses.replace(
@@ -602,3 +607,82 @@ def update_conjugate_model(
         prior_predictive=result.prior_predictive,
         log_evidence=updated.log_evidence + result.log_evidence,
     )
+
+
+def _categorical_model_from_counts(
+    counts, n, prior_alpha
+) -> ConjugateModelResult:
+    """Dirichlet-Categorical update + exact logZ from category counts:
+    posterior alpha = alpha0 + counts, and the marginal likelihood of an
+    i.i.d. categorical sequence is the Dirichlet-multinomial kernel ratio
+    logZ = log B(alpha0 + c) - log B(alpha0) with
+    log B(a) = sum gammaln(a) - gammaln(sum a)."""
+    from ..dists.multivariate import Dirichlet
+    from ..dists.scalar import Categorical
+
+    a0 = _f(prior_alpha)
+    counts = _f(counts)
+    post_a = a0 + counts
+
+    def log_beta(a):
+        return jnp.sum(jsp.gammaln(a)) - jsp.gammaln(jnp.sum(a))
+
+    log_z = log_beta(post_a) - log_beta(a0)
+
+    def predictive(a):
+        return Categorical(logits=jnp.log(a / jnp.sum(a)))
+
+    return ConjugateModelResult(
+        model="Categorical",
+        prior=Dirichlet(alpha=a0),
+        posterior=Dirichlet(alpha=post_a),
+        log_evidence=log_z,
+        prior_predictive=predictive(a0),
+        posterior_predictive=predictive(post_a),
+    )
+
+
+def categorical_conjugate_model(
+    data,
+    num_categories: Optional[int] = None,
+    prior: Optional["object"] = None,
+) -> ConjugateModelResult:
+    """Closed-form Dirichlet update for i.i.d. categorical data in
+    {0, ..., k-1} — the discrete member of the conjugate family set (the
+    reference covers only the Normal/Multinormal models, CP:97-295; this
+    completes the ``conjugatePriorModel`` pattern for classification
+    data).  Default prior: the uniform Dirichlet(1, ..., 1).
+
+    ``data`` is a vector [n] of integer-valued category draws; if you
+    already hold the count vector, use
+    :func:`categorical_conjugate_model_from_counts`.
+    """
+    from ..dists.multivariate import Dirichlet
+
+    data = jnp.ravel(jnp.asarray(data))
+    if num_categories is None:
+        if prior is not None:
+            num_categories = int(jnp.shape(prior.alpha)[-1])
+        else:
+            num_categories = int(jnp.max(data)) + 1
+    k = num_categories
+    idx = jnp.clip(data.astype(jnp.int32), 0, k - 1)
+    counts = jnp.zeros((k,), _f(0.0).dtype).at[idx].add(1.0)
+    alpha0 = (
+        jnp.ones((k,), counts.dtype) if prior is None else _f(prior.alpha)
+    )
+    return _categorical_model_from_counts(counts, data.shape[0], alpha0)
+
+
+def categorical_conjugate_model_from_counts(
+    counts, prior: Optional["object"] = None
+) -> ConjugateModelResult:
+    """Dirichlet update straight from a count vector [k] (the sufficient
+    statistic) — also the reduction target for a data-sharded fit."""
+    counts = _f(jnp.ravel(jnp.asarray(counts)))
+    alpha0 = (
+        jnp.ones(counts.shape, counts.dtype)
+        if prior is None
+        else _f(prior.alpha)
+    )
+    return _categorical_model_from_counts(counts, jnp.sum(counts), alpha0)

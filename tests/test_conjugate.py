@@ -231,3 +231,63 @@ def test_multinormal_conjugate(rng):
     pred = res.posterior_predictive
     cov = np.asarray(pred.covariance())
     np.testing.assert_allclose(cov, [[2.0, 0.5], [0.5, 1.0]], rtol=0.35, atol=0.3)
+
+
+def test_categorical_conjugate_model(key):
+    """Dirichlet-Categorical: exact logZ vs the brute-force sum over the
+    sequence likelihood integrated against the prior (small case), and
+    the sequential-update accumulation identity."""
+    import scipy.special as sps
+
+    from bayesianinference_tpu.engines.conjugate import (
+        categorical_conjugate_model,
+        categorical_conjugate_model_from_counts,
+        update_conjugate_model,
+    )
+
+    data = jnp.asarray([0, 1, 1, 2, 0, 1, 1, 1, 2, 0])
+    r = categorical_conjugate_model(data, num_categories=3)
+
+    # brute force: logZ = log integral prod p_i^{c_i} Dir(p | 1,1,1) dp
+    #            = log B(1+c) - log B(1)
+    c = np.asarray([3.0, 5.0, 2.0])
+    a0 = np.ones(3)
+
+    def log_beta(a):
+        return sps.gammaln(a).sum() - sps.gammaln(a.sum())
+
+    np.testing.assert_allclose(
+        float(r.log_evidence), log_beta(a0 + c) - log_beta(a0), rtol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(r.posterior.alpha), a0 + c)
+
+    # posterior predictive: (alpha + c) / (sum alpha + n)
+    probs = np.exp(
+        np.asarray(
+            r.posterior_predictive.log_prob(jnp.arange(3.0))
+        )
+    )
+    np.testing.assert_allclose(probs, (a0 + c) / (a0 + c).sum(), rtol=1e-6)
+
+    # counts entry point agrees
+    r2 = categorical_conjugate_model_from_counts(jnp.asarray(c))
+    np.testing.assert_allclose(
+        float(r2.log_evidence), float(r.log_evidence), rtol=1e-12
+    )
+
+    # sequential updating accumulates the evidence exactly
+    r_first = categorical_conjugate_model(data[:4], num_categories=3)
+    r_seq = update_conjugate_model(r_first, data[4:])
+    np.testing.assert_allclose(
+        float(r_seq.log_evidence), float(r.log_evidence), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_seq.posterior.alpha), np.asarray(r.posterior.alpha)
+    )
+
+    # Monte-Carlo cross-check of the evidence
+    rng = np.random.default_rng(0)
+    ps = rng.dirichlet(a0, size=200_000)
+    like = np.prod(ps**c, axis=1)
+    mc = np.log(like.mean())
+    np.testing.assert_allclose(float(r.log_evidence), mc, atol=0.05)
