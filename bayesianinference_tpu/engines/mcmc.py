@@ -17,7 +17,15 @@ import jax.numpy as jnp
 
 from ..core.numerics import as_hashable_fn
 from ..models.problem import InferenceProblem
-from ..ops.metropolis import AMState, am_init, run_chain
+from ..ops.metropolis import (
+    AMState,
+    _JITTER,
+    am_init,
+    run_chain,
+    small_cholesky,
+    welford_absorb,
+)
+from ..ops.slice import SliceState, slice_update
 
 __all__ = ["MCMCChain", "create_mcmc_chain", "iterate_mcmc"]
 
@@ -32,6 +40,9 @@ class MCMCChain:
     covariance_learn_delay: int = dataclasses.field(
         default=20, metadata=dict(static=True)
     )
+    method: str = dataclasses.field(
+        default="adaptive_metropolis", metadata=dict(static=True)
+    )
 
     @property
     def acceptance_rate(self):
@@ -45,11 +56,19 @@ def create_mcmc_chain(
     *,
     initial_covariance=1.0,
     covariance_learn_delay: int = 20,
+    method: str = "adaptive_metropolis",
 ) -> MCMCChain:
     """Build a chain (``createMCMCChain``, BS:655-697).
 
     ``initial_covariance`` may be a scalar, a [d] diagonal, or a [d, d]
-    matrix (BS:679-686)."""
+    matrix (BS:679-686).
+
+    ``method``: ``"adaptive_metropolis"`` (the reference's kernel) or
+    ``"slice"`` — random-direction slice sampling whose directions adapt
+    to the same Welford running covariance (no acceptance tuning; the
+    public form of the NS engine's ``monte_carlo_method="slice"``)."""
+    if method not in ("adaptive_metropolis", "slice"):
+        raise ValueError(f"unknown method {method!r}")
     x0 = jnp.asarray(starting_point, jnp.result_type(float))
     d = x0.shape[-1]
     if isinstance(target, InferenceProblem):
@@ -66,6 +85,7 @@ def create_mcmc_chain(
         state=state,
         log_density=log_density,
         covariance_learn_delay=covariance_learn_delay,
+        method=method,
     )
 
 
@@ -79,20 +99,58 @@ def iterate_mcmc(chain: MCMCChain, key, num_samples: int, thinning: int = 1):
         num_samples,
         thinning,
         chain.covariance_learn_delay,
+        chain.method,
     )
     state, samples = prog(chain.state, key)
     return samples, dataclasses.replace(chain, state=state)
 
 
+def _slice_block(key, st: AMState, log_density, num: int, learn_delay: int):
+    """``num`` adaptive-direction slice updates on an AMState carry: the
+    direction Cholesky comes from the running covariance (identity until
+    the learn delay), and every accepted point is absorbed back into the
+    Welford statistics."""
+    d = st.x.shape[-1]
+    eye = jnp.eye(d, dtype=st.x.dtype)
+
+    def one(st, k):
+        learn = st.step >= learn_delay
+        L = small_cholesky(st.cov + _JITTER * eye)
+        L = jnp.where(jnp.isfinite(L).all() & learn, L, eye)
+        ss = SliceState(
+            x=st.x,
+            log_density=st.log_density,
+            evals=jnp.asarray(0, jnp.int32),
+            moved=jnp.asarray(0, jnp.int32),
+        )
+        ss = slice_update(k, ss, log_density, L)
+        mean, cov, t = welford_absorb(st.mean, st.cov, st.step, ss.x)
+        return AMState(
+            x=ss.x,
+            log_density=ss.log_density,
+            mean=mean,
+            cov=cov,
+            step=t,
+            accepted=st.accepted + ss.moved,
+            proposed=st.proposed + 1,
+        ), None
+
+    st, _ = jax.lax.scan(one, st, jax.random.split(key, num))
+    return st
+
+
 @functools.lru_cache(maxsize=32)
-def _iterate_program(log_density, num_samples, thinning, learn_delay):
+def _iterate_program(log_density, num_samples, thinning, learn_delay, method):
     """Jitted scan held in a BOUNDED lru: same-chain iteration skips the
     re-trace; evicted entries release their compiled executables and
     closures.  Unhashable density callables are identity-wrapped."""
 
     def run(state, key):
         def step(st, k):
-            st = run_chain(k, st, log_density, thinning, learn_delay)
+            if method == "slice":
+                st = _slice_block(k, st, log_density, thinning, learn_delay)
+            else:
+                st = run_chain(k, st, log_density, thinning, learn_delay)
             return st, st.x
 
         keys = jax.random.split(key, num_samples)

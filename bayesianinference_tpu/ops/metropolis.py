@@ -121,6 +121,20 @@ def _proposal_chol(cov, d, learn: jnp.ndarray):
     return jnp.where(learn, L, base)
 
 
+def welford_absorb(mean, cov, step, x):
+    """Absorb one point into the running (mean, cov) trajectory statistics
+    (the Welford tail shared by the AM step and the adaptive slice chain).
+    Returns (mean, cov, step + 1)."""
+    t = step + 1
+    tf = t.astype(x.dtype)
+    delta = x - mean
+    mean = mean + delta / tf
+    delta2 = x - mean
+    cov = cov * ((tf - 1.0) / tf) + jnp.outer(delta, delta2) / tf
+    cov = 0.5 * (cov + cov.T)
+    return mean, cov, t
+
+
 def am_step(key, state: AMState, log_density_fn: Callable, learn_delay: int = 20):
     """One Metropolis step + Welford mean/cov update."""
     x, lp = state.x, state.log_density
@@ -143,17 +157,7 @@ def am_step(key, state: AMState, log_density_fn: Callable, learn_delay: int = 20
     x = jnp.where(accept, x_new, x)
     lp = jnp.where(accept, lp_new, lp)
 
-    # Welford running mean/covariance over the *chain trajectory*
-    t = state.step + 1
-    tf = t.astype(x.dtype)
-    delta = x - state.mean
-    mean = state.mean + delta / tf
-    delta2 = x - mean
-    cov = (
-        state.cov * ((tf - 1.0) / tf)
-        + jnp.outer(delta, delta2) / tf
-    )
-    cov = 0.5 * (cov + cov.T)
+    mean, cov, t = welford_absorb(state.mean, state.cov, state.step, x)
 
     return AMState(
         x=x,
