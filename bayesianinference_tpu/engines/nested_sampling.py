@@ -202,9 +202,20 @@ def nested_sampling_loop(
     ``interrupt_check()`` is a host predicate polled each iteration for
     cooperative cancellation (the Finish button, BS:950-969)."""
     starting_points = jnp.asarray(starting_points)
-    n_live, _ = starting_points.shape
+    n_live, _dim = starting_points.shape
     if num_delete < 1 or num_delete >= n_live:
         raise ValueError("need 1 <= num_delete < n_live")
+    if _dim > 16 and monte_carlo_method == "adaptive_metropolis":
+        import warnings
+
+        warnings.warn(
+            f"adaptive-Metropolis refactorizes a {_dim}x{_dim} proposal "
+            "covariance per chain step (O(d^3)); above d=16 "
+            'monte_carlo_method="slice" is typically an order of '
+            "magnitude faster (its direction factorization is once per "
+            "chain block) — see PERFORMANCE.md's dimension sweep",
+            stacklevel=2,
+        )
     if isinstance(monte_carlo_steps, int):
         mc_steps = (monte_carlo_steps, monte_carlo_steps, 5 * monte_carlo_steps)
     else:

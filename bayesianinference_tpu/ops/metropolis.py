@@ -71,7 +71,13 @@ def am_init(
     )
 
 
-_SMALL_CHOL_MAX_DIM = 16
+# Unrolled-Cholesky cutoff.  XLA's batched tiny-matrix cholesky is
+# pathological on TPU (245 ms for [32k, 32, 32] — it serializes); the
+# unrolled Crout is 3.5 ms at the same shape (70x) and its compile time
+# stays a few seconds at d = 32.  Beyond this, prefer the slice kernel,
+# whose direction factorization happens once per chain block, not per
+# step (monte_carlo_method="slice").
+_SMALL_CHOL_MAX_DIM = 32
 
 
 def small_cholesky(a: jnp.ndarray) -> jnp.ndarray:

@@ -46,3 +46,9 @@ print(f"E[x, y] = {np.asarray(result.parameter_expected_values.mean).round(3)}")
 print(f"relative entropy = {result.relative_entropy}")
 print(f"{result.num_likelihood_evals} likelihood evaluations, "
       f"{result.iterations} iterations")
+
+# posterior summary table: weighted quantiles + Kish effective sample size
+from bayesianinference_tpu.results import summary
+
+print()
+print(summary(result))

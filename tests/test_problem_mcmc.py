@@ -138,3 +138,17 @@ def test_invalid_mcmc_method_rejected():
 
     with pytest.raises(ValueError, match="unknown method"):
         create_mcmc_chain(lambda x: 0.0, jnp.zeros(2), method="hmc")
+
+
+def test_small_cholesky_d32_matches_dense(rng):
+    """The unrolled Crout cutoff covers d=32 (XLA's batched tiny-matrix
+    cholesky at that shape is ~70x slower on TPU)."""
+    from bayesianinference_tpu.ops.metropolis import _cholesky, small_cholesky
+
+    a = rng.normal(size=(5, 32, 32))
+    spd = a @ np.swapaxes(a, -1, -2) + 32 * np.eye(32)
+    ours = np.asarray(small_cholesky(jnp.asarray(spd)))
+    ref = np.linalg.cholesky(spd)
+    np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-9)
+    # the dispatcher routes d=32 through the unrolled form
+    assert np.allclose(np.asarray(_cholesky(jnp.asarray(spd))), ref)
