@@ -7,6 +7,7 @@ from .plots import (
     posterior_marginal_pdf_density_plot_2d,
     posterior_marginal_pdf_plot_1d,
     regression_plot_1d,
+    trace_plot,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "posterior_marginal_pdf_density_plot_2d",
     "posterior_marginal_pdf_plot_1d",
     "regression_plot_1d",
+    "trace_plot",
 ]

@@ -284,3 +284,60 @@ def calculation_report_plot(result: NestedSamplingResult):
     axes[1, 2].axis("off")
     fig.tight_layout()
     return fig
+
+
+def trace_plot(chains, param_names: Sequence[str] = (), max_lag: int = 50):
+    """Per-parameter trace + autocorrelation panels for an MCMC chain
+    stack [n_chains, n_samples(, d)] — the visual companion of
+    ``results.effective_sample_size`` / ``gelman_rubin`` (the reference
+    offers only the acceptance-rate panel, BS:1598-1604).
+
+    Left column: overlaid chain traces.  Right column: the chain-mean
+    autocorrelation out to ``max_lag`` with the per-parameter ESS and
+    split R-hat in the title.  Returns the matplotlib figure.
+    """
+    from ..results.diagnostics import (
+        autocorrelation,
+        effective_sample_size,
+        gelman_rubin,
+    )
+
+    x = np.asarray(chains, float)
+    if x.ndim == 2:
+        x = x[:, :, None]
+    m, n, d = x.shape
+    names = (
+        list(param_names)
+        if param_names
+        else [f"theta_{i}" for i in range(d)]
+    )
+    ess = np.atleast_1d(effective_sample_size(x))
+    rhat = np.atleast_1d(gelman_rubin(x))
+
+    plt = _plt()
+    fig, axes = plt.subplots(
+        d, 2, figsize=(10, 2.2 * d), squeeze=False,
+        gridspec_kw={"width_ratios": [2.2, 1.0]},
+    )
+    for i in range(d):
+        ax_t, ax_a = axes[i]
+        for c in range(m):
+            ax_t.plot(x[c, :, i], lw=0.6, alpha=0.8)
+        ax_t.set_ylabel(names[i])
+        rho = np.mean(
+            [autocorrelation(x[c, :, i], max_lag=max_lag) for c in range(m)],
+            axis=0,
+        )
+        ax_a.bar(np.arange(len(rho)), rho, width=1.0)
+        ax_a.axhline(0.0, color="k", lw=0.5)
+        ax_a.set_title(
+            f"ESS {ess[i]:.0f}   R-hat {rhat[i]:.3f}", fontsize=9
+        )
+        if i == d - 1:
+            ax_t.set_xlabel("iteration")
+            ax_a.set_xlabel("lag")
+    fig.tight_layout()
+    return fig
+
+
+__all__.append("trace_plot")

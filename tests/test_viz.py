@@ -59,3 +59,17 @@ def test_all_plots_render(ns_result, tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_trace_plot_renders(rng):
+    from bayesianinference_tpu.viz import trace_plot
+
+    chains = rng.normal(size=(3, 400, 2))
+    fig = trace_plot(chains, param_names=("a", "b"))
+    assert len(fig.axes) == 4  # 2 params x (trace, autocorr)
+    # ESS/R-hat annotations present
+    titles = [ax.get_title() for ax in fig.axes]
+    assert any("ESS" in t and "R-hat" in t for t in titles)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
