@@ -24,6 +24,7 @@ one-point-per-iteration CPU loop, chosen for the hardware:
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -172,6 +173,48 @@ class NSRunData:
         return points, logl, logp, acc, nd
 
 
+@_functools.lru_cache(maxsize=1)
+def _host_callbacks_supported() -> bool:
+    """Probe whether the active backend supports host callbacks.  The
+    axon PJRT plugin (the remote dev chip) rejects io_callback /
+    debug.callback at RUN time with UNIMPLEMENTED — probing once lets
+    progress monitoring degrade to a warning instead of crashing the
+    compiled loop mid-run."""
+    import numpy as _np
+
+    from jax.experimental import io_callback
+
+    try:
+        out = jax.jit(
+            lambda: io_callback(
+                lambda: _np.asarray(True),
+                jax.ShapeDtypeStruct((), jnp.bool_),
+            )
+        )()
+        return bool(out)
+    except Exception:
+        return False
+
+
+def _sanitize_callbacks(progress_callback, progress_interval, interrupt_check):
+    """Drop monitoring callbacks (with a warning) on backends without
+    host-callback support, instead of letting the loop crash."""
+    wants = (
+        progress_callback is not None and progress_interval > 0
+    ) or interrupt_check is not None
+    if wants and not _host_callbacks_supported():
+        import warnings
+
+        warnings.warn(
+            "progress/interrupt monitoring disabled: this backend "
+            f"({jax.default_backend()}) does not support host callbacks "
+            "(io_callback); run on CPU for live monitoring",
+            stacklevel=3,
+        )
+        return None, None
+    return progress_callback, interrupt_check
+
+
 def nested_sampling_loop(
     problem: InferenceProblem,
     starting_points,
@@ -205,6 +248,9 @@ def nested_sampling_loop(
     n_live, _dim = starting_points.shape
     if num_delete < 1 or num_delete >= n_live:
         raise ValueError("need 1 <= num_delete < n_live")
+    progress_callback, interrupt_check = _sanitize_callbacks(
+        progress_callback, progress_interval, interrupt_check
+    )
     if _dim > 16 and monte_carlo_method == "adaptive_metropolis":
         import warnings
 
