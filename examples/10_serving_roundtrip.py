@@ -9,7 +9,9 @@ import subprocess
 import sys
 import tempfile
 
-sys.path.insert(0, os.getcwd())  # run from the repo root
+# make the example runnable from anywhere without installing the package
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 
@@ -46,6 +48,8 @@ print(f"fit: logZ = {result.log_evidence}; artifact -> {path}")
 
 # ---- serve: a FRESH interpreter loads the artifact and predicts ----
 serve_code = f"""
+import sys
+sys.path.insert(0, {_REPO!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
@@ -66,7 +70,6 @@ out = subprocess.run(
     [sys.executable, "-c", serve_code],
     capture_output=True,
     text=True,
-    cwd=os.getcwd(),
 )
 print(out.stdout.strip())
 _tmp.cleanup()
