@@ -6,6 +6,7 @@ from .diagnostics import (
     weighted_effective_sample_size,
 )
 from .posterior import (
+    posterior_predictive_check,
     predictive_distribution,
     regression_predictive_distribution,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "effective_sample_size",
     "gelman_rubin",
     "weighted_effective_sample_size",
+    "posterior_predictive_check",
     "predictive_distribution",
     "regression_predictive_distribution",
     "CalculationReport",

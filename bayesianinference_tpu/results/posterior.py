@@ -20,6 +20,7 @@ from ..engines.evidence import NestedSamplingResult
 __all__ = [
     "predictive_distribution",
     "regression_predictive_distribution",
+    "posterior_predictive_check",
 ]
 
 
@@ -83,3 +84,45 @@ def regression_predictive_distribution(
         component,
     )
     return PointwiseMixture(log_weights=log_w, component=component)
+
+
+def posterior_predictive_check(
+    result,
+    dist_builder: Callable,
+    data,
+    statistic: Callable,
+    key,
+    num_replicates: int = 500,
+    mode: Optional[str] = None,
+):
+    """Posterior predictive check: simulate ``num_replicates`` replicated
+    datasets (theta_s drawn by posterior weight, then one dataset of
+    ``len(data)`` i.i.d. draws from ``dist_builder(theta_s)``), apply
+    ``statistic`` to each, and compare with the observed statistic.
+
+    Returns ``(observed, replicated [R], p_value)`` with
+    p = P(T(y_rep) >= T(y_obs)) — values near 0 or 1 flag model misfit
+    in the direction ``statistic`` measures.  Standard Bayesian workflow
+    beyond the reference's surface (which stops at the predictive
+    mixture, BS:1419-1435); ``statistic`` takes a [n] dataset and returns
+    a scalar, and is vmapped over replicates.
+    """
+    data = jnp.asarray(data)
+    n = data.shape[0]
+    thetas, log_w = _select_samples(result, mode)
+    k_pick, k_sim = jax.random.split(jnp.asarray(key))
+    idx = jax.random.categorical(
+        k_pick, jnp.asarray(log_w), shape=(num_replicates,)
+    )
+    picked = thetas[idx]  # [R, d]
+
+    def simulate(k, th):
+        return dist_builder(th).sample(k, (n,))
+
+    reps = jax.vmap(simulate)(
+        jax.random.split(k_sim, num_replicates), picked
+    )  # [R, n]
+    t_rep = jax.vmap(statistic)(reps)
+    t_obs = statistic(data)
+    p = jnp.mean((t_rep >= t_obs).astype(t_rep.dtype))
+    return t_obs, t_rep, p

@@ -135,3 +135,55 @@ def test_predictive_and_report(key):
     # acceptance rates present for dead points
     acc = rep.acceptance_rates
     assert acc is not None and np.isfinite(acc).sum() > 0
+
+
+def test_posterior_predictive_check(key):
+    """PPC on a well-specified model gives a central p-value; on a
+    misspecified statistic (variance of overdispersed data under a
+    fixed-variance model) it flags misfit with p near 0."""
+    import jax
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines.nested_sampling import nested_sampling
+    from bayesianinference_tpu.models import define_inference_problem
+    from bayesianinference_tpu.results import posterior_predictive_check
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.normal(0.7, 1.0, size=60))
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(th[0], 1.0).log_prob(data)),
+        prior_distribution=["location"],
+        validate=False,
+    )
+    res = nested_sampling(
+        problem, key, sample_pool_size=80, max_iterations=600,
+        post_process_sampling_runs=8,
+    )
+    builder = lambda th: d.Normal(th[0], 1.0)
+
+    t_obs, t_rep, p = posterior_predictive_check(
+        res, builder, data, lambda y: jnp.mean(y), jax.random.PRNGKey(1),
+        num_replicates=400,
+    )
+    assert t_rep.shape == (400,)
+    assert 0.05 < float(p) < 0.95  # mean is well captured
+
+    # overdispersed observed data vs the sigma=1 model: the variance
+    # statistic must reject
+    bad = jnp.asarray(rng.normal(0.7, 2.5, size=60))
+    problem2 = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(th[0], 1.0).log_prob(bad)),
+        prior_distribution=["location"],
+        validate=False,
+    )
+    res2 = nested_sampling(
+        problem2, key, sample_pool_size=80, max_iterations=600,
+        post_process_sampling_runs=8,
+    )
+    _, _, p2 = posterior_predictive_check(
+        res2, builder, bad, lambda y: jnp.var(y), jax.random.PRNGKey(2),
+        num_replicates=400,
+    )
+    assert float(p2) < 0.01, float(p2)
