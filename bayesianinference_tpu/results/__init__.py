@@ -5,6 +5,7 @@ from .diagnostics import (
     gelman_rubin,
     weighted_effective_sample_size,
 )
+from .information import WAICResult, waic
 from .posterior import (
     posterior_predictive_check,
     predictive_distribution,
@@ -20,6 +21,8 @@ __all__ = [
     "effective_sample_size",
     "gelman_rubin",
     "weighted_effective_sample_size",
+    "WAICResult",
+    "waic",
     "posterior_predictive_check",
     "predictive_distribution",
     "regression_predictive_distribution",

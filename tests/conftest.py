@@ -22,6 +22,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# The suite is compile-dominated (~8 min cold on this single-core box);
+# a persistent cache makes repeat runs pay device time only.  Separate
+# dir from the TPU bench cache to avoid any cross-backend confusion.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

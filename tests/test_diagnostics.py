@@ -214,3 +214,47 @@ def test_summary_ns_result(key):
     assert row.name == "x"
     assert abs(row.mean - 0.5) < 0.3
     assert row.ess > 10
+
+
+def test_waic_cross_engine_and_pwaic(key):
+    """WAIC from NS samples agrees with WAIC from the direct-quadrature
+    posterior grid of the same problem, and p_waic is near the parameter
+    count for a well-identified 1-parameter model."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.core.containers import WeightedSamples
+    from bayesianinference_tpu.engines.direct import (
+        direct_posterior_distribution,
+    )
+    from bayesianinference_tpu.engines.nested_sampling import nested_sampling
+    from bayesianinference_tpu.models import define_inference_problem
+    from bayesianinference_tpu.results import waic
+
+    rng = np.random.default_rng(3)
+    data = jnp.asarray(rng.normal(1.2, 1.0, size=40))
+    pointwise = lambda th: d.Normal(th[0], 1.0).log_prob(data)
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        log_likelihood=lambda th: jnp.sum(pointwise(th)),
+        prior_distribution=["location"],
+        validate=False,
+    )
+    res = nested_sampling(
+        problem, key, sample_pool_size=100, max_iterations=800,
+        post_process_sampling_runs=8,
+    )
+    w_ns = waic(res, pointwise)
+
+    dp = direct_posterior_distribution(problem=problem, num_points=512)
+    grid = WeightedSamples(
+        points=dp.nodes,
+        log_weights=dp.log_quad_weights + dp.node_log_density,
+    )
+    w_grid = waic(grid, pointwise)
+
+    assert abs(w_ns.waic - w_grid.waic) < 1.5, (w_ns, w_grid)
+    assert 0.5 < w_grid.p_waic < 2.0  # ~1 effective parameter
+    assert w_ns.pointwise_elpd.shape == (40,)
+    assert "WAIC" in repr(w_ns)

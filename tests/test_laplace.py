@@ -342,6 +342,7 @@ def test_find_mode_slides_along_boundary():
     np.testing.assert_allclose(np.asarray(mode), [4.0, 3.0], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_laplace_softmax_matches_logistic_and_fits_multiclass(key):
     """Multi-class softmax regression via the new Categorical family.
 

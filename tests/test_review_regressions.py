@@ -93,6 +93,7 @@ def test_regression_predictive_1d_inputs(key):
     assert pred.mean().shape == (7,)
 
 
+@pytest.mark.slow
 def test_checkpoint_every_respected(tmp_path, key):
     """checkpoint_every must not be silently extended by min_iterations."""
     problem = define_inference_problem(
