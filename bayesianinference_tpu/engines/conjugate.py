@@ -610,7 +610,7 @@ def update_conjugate_model(
 
 
 def _categorical_model_from_counts(
-    counts, n, prior_alpha
+    counts, prior_alpha
 ) -> ConjugateModelResult:
     """Dirichlet-Categorical update + exact logZ from category counts:
     posterior alpha = alpha0 + counts, and the marginal likelihood of an
@@ -666,12 +666,24 @@ def categorical_conjugate_model(
         else:
             num_categories = int(jnp.max(data)) + 1
     k = num_categories
-    idx = jnp.clip(data.astype(jnp.int32), 0, k - 1)
+    import numpy as _np
+
+    host = _np.asarray(data)
+    if host.size and (
+        _np.any(host < 0)
+        or _np.any(host > k - 1)
+        or _np.any(host != _np.floor(host))
+    ):
+        raise ValueError(
+            f"categorical data must be integers in [0, {k - 1}]; got values "
+            f"outside that range (min {host.min()}, max {host.max()})"
+        )
+    idx = data.astype(jnp.int32)
     counts = jnp.zeros((k,), _f(0.0).dtype).at[idx].add(1.0)
     alpha0 = (
         jnp.ones((k,), counts.dtype) if prior is None else _f(prior.alpha)
     )
-    return _categorical_model_from_counts(counts, data.shape[0], alpha0)
+    return _categorical_model_from_counts(counts, alpha0)
 
 
 def categorical_conjugate_model_from_counts(
@@ -685,4 +697,4 @@ def categorical_conjugate_model_from_counts(
         if prior is None
         else _f(prior.alpha)
     )
-    return _categorical_model_from_counts(counts, jnp.sum(counts), alpha0)
+    return _categorical_model_from_counts(counts, alpha0)

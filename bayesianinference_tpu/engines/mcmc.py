@@ -20,9 +20,9 @@ from ..models.problem import InferenceProblem
 from ..ops.metropolis import (
     AMState,
     _JITTER,
+    _cholesky as _am_cholesky,
     am_init,
     run_chain,
-    small_cholesky,
     welford_absorb,
 )
 from ..ops.slice import SliceState, slice_update
@@ -106,17 +106,20 @@ def iterate_mcmc(chain: MCMCChain, key, num_samples: int, thinning: int = 1):
 
 
 def _slice_block(key, st: AMState, log_density, num: int, learn_delay: int):
-    """``num`` adaptive-direction slice updates on an AMState carry: the
-    direction Cholesky comes from the running covariance (identity until
-    the learn delay), and every accepted point is absorbed back into the
-    Welford statistics."""
+    """``num`` slice updates on an AMState carry.  The direction Cholesky
+    is computed ONCE per block from the entering running covariance
+    (identity until the learn delay) — the same per-block schedule the NS
+    engine uses, and the reason slice stays O(d) per step where
+    adaptive-Metropolis refactorizes per step.  Every accepted point is
+    absorbed back into the Welford statistics, so the NEXT block's
+    directions adapt."""
     d = st.x.shape[-1]
     eye = jnp.eye(d, dtype=st.x.dtype)
+    learn = st.step >= learn_delay
+    L = _am_cholesky(st.cov + _JITTER * eye)
+    L = jnp.where(jnp.isfinite(L).all() & learn, L, eye)
 
     def one(st, k):
-        learn = st.step >= learn_delay
-        L = small_cholesky(st.cov + _JITTER * eye)
-        L = jnp.where(jnp.isfinite(L).all() & learn, L, eye)
         ss = SliceState(
             x=st.x,
             log_density=st.log_density,

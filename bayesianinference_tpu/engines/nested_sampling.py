@@ -173,8 +173,8 @@ class NSRunData:
         return points, logl, logp, acc, nd
 
 
-@_functools.lru_cache(maxsize=1)
-def _host_callbacks_supported() -> bool:
+@_functools.lru_cache(maxsize=4)
+def _host_callbacks_supported(backend: str) -> bool:
     """Probe whether the active backend supports host callbacks.  The
     axon PJRT plugin (the remote dev chip) rejects io_callback /
     debug.callback at RUN time with UNIMPLEMENTED — probing once lets
@@ -202,7 +202,7 @@ def _sanitize_callbacks(progress_callback, progress_interval, interrupt_check):
     wants = (
         progress_callback is not None and progress_interval > 0
     ) or interrupt_check is not None
-    if wants and not _host_callbacks_supported():
+    if wants and not _host_callbacks_supported(jax.default_backend()):
         import warnings
 
         warnings.warn(

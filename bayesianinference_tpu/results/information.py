@@ -16,7 +16,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..core.numerics import logsumexp
+from ..core.numerics import log_zero, logsumexp
 
 __all__ = ["WAICResult", "waic"]
 
@@ -38,7 +38,7 @@ class WAICResult:
         )
 
 
-def waic(result, pointwise_loglike: Callable, mode=None) -> WAICResult:
+def waic(result, pointwise_loglike: Callable) -> WAICResult:
     """WAIC from a weighted posterior sample.
 
     ``result``: a NestedSamplingResult or WeightedSamples (anything with
@@ -64,7 +64,11 @@ def waic(result, pointwise_loglike: Callable, mode=None) -> WAICResult:
             "pointwise_loglike(theta) must return the [n] per-observation "
             f"log-likelihood vector, got shape {ll.shape[1:]}"
         )
-    log_w = jnp.log(jnp.maximum(w, 1e-300))[:, None]
+    # log weights with zero-weight samples mapped to the per-dtype
+    # sentinel (a 1e-300 clamp underflows to 0 in f32 — CLAUDE.md rule)
+    log_w = jnp.where(
+        w > 0, jnp.log(jnp.where(w > 0, w, 1.0)), log_zero(w.dtype)
+    )[:, None]
     lppd = logsumexp(log_w + ll, axis=0)  # [n]
     mu = jnp.sum(w[:, None] * ll, axis=0)
     p_w = jnp.sum(w[:, None] * (ll - mu) ** 2, axis=0)

@@ -32,6 +32,7 @@ __all__ = [
     "posterior_bubble_chart",
     "regression_plot_1d",
     "calculation_report_plot",
+    "trace_plot",
 ]
 
 
@@ -308,7 +309,7 @@ def trace_plot(chains, param_names: Sequence[str] = (), max_lag: int = 50):
     m, n, d = x.shape
     names = (
         list(param_names)
-        if param_names
+        if param_names and len(param_names) == d
         else [f"theta_{i}" for i in range(d)]
     )
     ess = np.atleast_1d(effective_sample_size(x))
@@ -339,5 +340,3 @@ def trace_plot(chains, param_names: Sequence[str] = (), max_lag: int = 50):
     fig.tight_layout()
     return fig
 
-
-__all__.append("trace_plot")

@@ -291,3 +291,24 @@ def test_categorical_conjugate_model(key):
     like = np.prod(ps**c, axis=1)
     mc = np.log(like.mean())
     np.testing.assert_allclose(float(r.log_evidence), mc, atol=0.05)
+
+
+def test_categorical_conjugate_rejects_out_of_range_labels():
+    import pytest
+
+    from bayesianinference_tpu.engines.conjugate import (
+        categorical_conjugate_model,
+    )
+
+    with pytest.raises(ValueError, match="integers in"):
+        categorical_conjugate_model(
+            jnp.asarray([0.0, 1.0, 7.0]), num_categories=3
+        )
+    with pytest.raises(ValueError, match="integers in"):
+        categorical_conjugate_model(
+            jnp.asarray([0.0, -1.0]), num_categories=3
+        )
+    with pytest.raises(ValueError, match="integers in"):
+        categorical_conjugate_model(
+            jnp.asarray([0.5, 1.0]), num_categories=3
+        )

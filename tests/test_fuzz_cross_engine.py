@@ -37,8 +37,7 @@ def _random_problem(seed):
         ),
         log_prior=lambda th: jnp.sum(
             d.Normal(0.0, prior_scale).log_prob(th)
-        )
-        - jnp.log(1.0),  # proper prior; box much wider than the mass
+        ),  # proper prior; box much wider than the mass
         validate=False,
     )
     return problem, data, scale, prior_scale
