@@ -5,7 +5,7 @@ from .diagnostics import (
     gelman_rubin,
     weighted_effective_sample_size,
 )
-from .information import WAICResult, waic
+from .information import LOOResult, WAICResult, psis_loo, waic
 from .posterior import (
     posterior_predictive_check,
     predictive_distribution,
@@ -21,7 +21,9 @@ __all__ = [
     "effective_sample_size",
     "gelman_rubin",
     "weighted_effective_sample_size",
+    "LOOResult",
     "WAICResult",
+    "psis_loo",
     "waic",
     "posterior_predictive_check",
     "predictive_distribution",

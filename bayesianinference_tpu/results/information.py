@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import log_zero, logsumexp
 
-__all__ = ["WAICResult", "waic"]
+__all__ = ["LOOResult", "WAICResult", "psis_loo", "waic"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,3 +83,147 @@ def waic(result, pointwise_loglike: Callable) -> WAICResult:
         se=float(se),
         pointwise_elpd=elpd_i,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class LOOResult:
+    """PSIS-LOO: elpd_loo = sum_i log p(y_i | y_-i) estimated by
+    Pareto-smoothed importance sampling."""
+
+    elpd_loo: float
+    p_loo: float  # effective parameters: lppd - elpd_loo
+    se: float
+    pointwise_elpd: "jnp.ndarray"  # [n]
+    pareto_k: "jnp.ndarray"  # [n] tail-shape diagnostics (flag > 0.7)
+
+    def __repr__(self):
+        import numpy as np
+
+        bad = int(np.sum(np.asarray(self.pareto_k) > 0.7))
+        return (
+            f"LOO elpd {self.elpd_loo:.2f} ± {self.se:.2f} "
+            f"(p_loo {self.p_loo:.2f}; {bad} obs with pareto k > 0.7)"
+        )
+
+
+def _gpd_fit(x):
+    """Generalized-Pareto (k, sigma) fit to sorted exceedances x > 0 by
+    the Zhang & Stephens (2009) quasi-Bayes profile method (the PSIS
+    paper's recommended estimator), with the small-sample shape
+    regularization toward 0.5."""
+    import numpy as np
+
+    n = x.shape[0]
+    m = 30 + int(np.sqrt(n))
+    b = 1.0 - np.sqrt(m / (np.arange(1, m + 1) - 0.5))
+    b = b / (3.0 * x[max(int(n / 4 + 0.5) - 1, 0)]) + 1.0 / x[-1]
+    k = np.mean(np.log1p(-b[:, None] * x[None, :]), axis=1)  # = -khat per b
+    log_lik = n * (np.log(-b / k) - k - 1.0)
+    weights = 1.0 / np.sum(np.exp(log_lik - log_lik[:, None]), axis=1)
+    b_post = np.sum(b * weights)
+    k_post = np.mean(np.log1p(-b_post * x))
+    sigma = -k_post / b_post
+    k_post = k_post * n / (n + 10.0) + 0.25 * 10.0 / (n + 10.0) * 2.0
+    return k_post, sigma
+
+
+def _psis_smooth_tail(log_ratios):
+    """Smooth the upper tail of one observation's log importance ratios
+    in place (numpy); returns (smoothed log ratios, pareto k)."""
+    import numpy as np
+
+    lr = np.asarray(log_ratios, float).copy()
+    s = lr.shape[0]
+    tail_len = min(int(0.2 * s), max(int(3.0 * np.sqrt(s)), 5))
+    if tail_len < 5:
+        return lr, np.inf
+    order = np.argsort(lr)
+    tail_idx = order[-tail_len:]
+    cutoff = lr[order[-tail_len - 1]]
+    max_lr = lr[order[-1]]
+    exceed = np.exp(lr[tail_idx] - cutoff) - 1.0
+    exceed = np.sort(exceed) * np.exp(cutoff)
+    if np.allclose(exceed, 0.0) or not np.all(np.isfinite(exceed)):
+        return lr, np.inf
+    k, sigma = _gpd_fit(exceed)
+    if not np.isfinite(k):
+        return lr, np.inf
+    # replace tail by expected GPD order statistics (inverse CDF at
+    # plotting positions), capped at the raw maximum
+    p = (np.arange(tail_len) + 0.5) / tail_len
+    if abs(k) < 1e-12:
+        q = -sigma * np.log1p(-p)
+    else:
+        q = sigma * np.expm1(-k * np.log1p(-p)) / k
+    # back to log-ratio scale: the exceedances q sit ABOVE exp(cutoff)
+    smoothed = np.log(np.maximum(q + np.exp(cutoff), 1e-300))
+    smoothed = np.minimum(np.sort(smoothed), max_lr)
+    lr[tail_idx[np.argsort(lr[tail_idx])]] = smoothed
+    return lr, k
+
+
+def psis_loo(result, pointwise_loglike: Callable) -> LOOResult:
+    """Pareto-smoothed importance-sampling leave-one-out cross-validation
+    (Vehtari, Gelman & Gabry 2017) from a weighted posterior sample.
+
+    Importance ratios for observation i are w_s / p(y_i | theta_s); each
+    observation's ratio tail is smoothed by a generalized-Pareto fit and
+    the tail shape khat is reported per observation (khat > 0.7 flags an
+    unreliable estimate).  ``pointwise_loglike`` as in :func:`waic`.
+    """
+    import numpy as np
+
+    from ..engines.evidence import NestedSamplingResult
+
+    if isinstance(result, NestedSamplingResult):
+        result = result.posterior_samples()
+    thetas = jnp.asarray(result.points)
+    w = np.asarray(result.normalized_weights(), float)
+
+    ll = np.asarray(jax.vmap(pointwise_loglike)(thetas), float)  # [S, n]
+    if ll.ndim != 2:
+        raise ValueError(
+            "pointwise_loglike(theta) must return the [n] per-observation "
+            f"log-likelihood vector, got shape {ll.shape[1:]}"
+        )
+    s, n = ll.shape
+    log_w = np.where(w > 0, np.log(np.where(w > 0, w, 1.0)), -np.inf)
+
+    elpd_i = np.empty(n)
+    khat = np.empty(n)
+    for i in range(n):
+        lr = log_w - ll[:, i]  # log raw importance ratios
+        finite = np.isfinite(lr)
+        lr = np.where(finite, lr, -np.inf)
+        lr_s, k = _psis_smooth_tail(lr)
+        khat[i] = k
+        # elpd_i = log( sum_s wtilde_s p(y_i|theta_s) / sum_s wtilde_s )
+        a = lr_s + ll[:, i]
+        amax, lmax = a.max(), lr_s.max()
+        elpd_i[i] = (
+            amax
+            + np.log(np.sum(np.exp(a - amax)))
+            - (lmax + np.log(np.sum(np.exp(lr_s - lmax))))
+        )
+    lppd_i = np.asarray(
+        [  # in-sample lppd for p_loo
+            _np_logsumexp(log_w + ll[:, i]) for i in range(n)
+        ]
+    )
+    elpd = float(np.sum(elpd_i))
+    return LOOResult(
+        elpd_loo=elpd,
+        p_loo=float(np.sum(lppd_i) - elpd),
+        se=float(np.sqrt(n * np.var(elpd_i))),
+        pointwise_elpd=jnp.asarray(elpd_i),
+        pareto_k=jnp.asarray(khat),
+    )
+
+
+def _np_logsumexp(a):
+    import numpy as np
+
+    m = np.max(a)
+    if not np.isfinite(m):
+        return m
+    return m + np.log(np.sum(np.exp(a - m)))

@@ -258,3 +258,74 @@ def test_waic_cross_engine_and_pwaic(key):
     assert 0.5 < w_grid.p_waic < 2.0  # ~1 effective parameter
     assert w_ns.pointwise_elpd.shape == (40,)
     assert "WAIC" in repr(w_ns)
+
+
+def test_psis_loo_matches_exact_refit_loo(key):
+    """PSIS-LOO against the EXACT leave-one-out predictive of the
+    conjugate Normal model: p(y_i | y_-i) is the NIG posterior predictive
+    StudentT fit on y_-i — a brute-force n-refit oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.core.containers import WeightedSamples
+    from bayesianinference_tpu.dists.conjugate_structs import (
+        NormalInverseGamma,
+    )
+    from bayesianinference_tpu.engines.conjugate import normal_conjugate_model
+    from bayesianinference_tpu.engines.direct import (
+        direct_posterior_distribution,
+    )
+    from bayesianinference_tpu.models import define_inference_problem
+    from bayesianinference_tpu.results import psis_loo, waic
+
+    rng = np.random.default_rng(7)
+    n = 30
+    y = rng.normal(0.8, 1.3, size=n)
+
+    # model: y ~ N(mu, sigma); NIG prior (so the refit oracle is exact)
+    prior = NormalInverseGamma(mu0=0.0, lam=0.5, beta=1.0, nu=1.0)
+
+    # exact LOO by n refits
+    exact = 0.0
+    for i in range(n):
+        rest = np.delete(y, i)
+        fit = normal_conjugate_model(jnp.asarray(rest), prior=prior)
+        exact += float(fit.posterior_predictive.log_prob(jnp.asarray(y[i])))
+
+    # posterior sample via 2-D quadrature on (mu, log sigma^2)
+    def pointwise(th):
+        return d.Normal(th[0], jnp.sqrt(jnp.exp(th[1]))).log_prob(
+            jnp.asarray(y)
+        )
+
+    def logprior(th):
+        var = jnp.exp(th[1])
+        # NIG density in (mu, log var): includes the Jacobian var
+        return prior.log_prob(th[0], var) + th[1]
+
+    problem = define_inference_problem(
+        parameters=[("mu", -4.0, 5.0), ("logv", -4.0, 4.0)],
+        log_likelihood=lambda th: jnp.sum(pointwise(th)),
+        log_prior=logprior,
+        validate=False,
+    )
+    dp = direct_posterior_distribution(problem=problem, num_points=160)
+    grid = WeightedSamples(
+        points=dp.nodes, log_weights=dp.log_quad_weights + dp.node_log_density
+    )
+    # PSIS assumes draws FROM the posterior: resample the grid to
+    # equal-weight posterior draws
+    draws = grid.resample(jax.random.PRNGKey(0), 4000)
+    ws = WeightedSamples(
+        points=draws, log_weights=jnp.zeros(draws.shape[0])
+    )
+
+    loo = psis_loo(ws, pointwise)
+    assert abs(loo.elpd_loo - exact) < 0.2, (loo.elpd_loo, exact)
+    assert np.all(np.asarray(loo.pareto_k) < 0.7)
+    assert 0.5 < loo.p_loo < 4.0
+    assert "LOO" in repr(loo)
+    # LOO <= lppd, and close to WAIC's elpd for this well-behaved model
+    w = waic(ws, pointwise)
+    assert abs(w.elpd - loo.elpd_loo) < 0.3
