@@ -189,14 +189,22 @@ def psis_loo(result, pointwise_loglike: Callable) -> LOOResult:
     s, n = ll.shape
     log_w = np.where(w > 0, np.log(np.where(w > 0, w, 1.0)), -np.inf)
 
+    # a log-zero-sentinel likelihood (theta that assigns ~zero density to
+    # y_i) makes the raw ratio w/p astronomically large: the LOO estimate
+    # for that observation is genuinely divergent, so flag it (khat=inf)
+    # and exclude those draws from the smoothing/estimate below
+    from ..core.numerics import is_log_zero
+
+    dead = np.asarray(is_log_zero(jnp.asarray(ll)))
+
     elpd_i = np.empty(n)
     khat = np.empty(n)
     for i in range(n):
         lr = log_w - ll[:, i]  # log raw importance ratios
-        finite = np.isfinite(lr)
+        finite = np.isfinite(lr) & ~dead[:, i]
         lr = np.where(finite, lr, -np.inf)
         lr_s, k = _psis_smooth_tail(lr)
-        khat[i] = k
+        khat[i] = np.inf if dead[:, i].any() else k
         # elpd_i = log( sum_s wtilde_s p(y_i|theta_s) / sum_s wtilde_s )
         a = lr_s + ll[:, i]
         amax, lmax = a.max(), lr_s.max()

@@ -329,3 +329,25 @@ def test_psis_loo_matches_exact_refit_loo(key):
     # LOO <= lppd, and close to WAIC's elpd for this well-behaved model
     w = waic(ws, pointwise)
     assert abs(w.elpd - loo.elpd_loo) < 0.3
+
+
+def test_psis_loo_flags_sentinel_likelihoods(key):
+    """A posterior draw assigning (sentinel) zero density to some y_i
+    must flag that observation with khat = inf instead of letting a
+    +1e300 importance ratio poison the estimate."""
+    import jax.numpy as jnp
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.core.containers import WeightedSamples
+    from bayesianinference_tpu.results import psis_loo
+
+    # Uniform(0, theta) likelihood: draws with theta < y_i give the
+    # sentinel for that observation
+    y = jnp.asarray([0.5, 0.9, 2.5])
+    thetas = jnp.asarray([[1.0], [2.0], [3.0], [2.8]])
+    ws = WeightedSamples(points=thetas, log_weights=jnp.zeros(4))
+    pw = lambda th: d.Uniform(0.0, th[0]).log_prob(y)
+    loo = psis_loo(ws, pw)
+    k = np.asarray(loo.pareto_k)
+    assert np.isinf(k[2])  # y=2.5 unsupported under theta in {1, 2}
+    assert np.all(np.isfinite(np.asarray(loo.pointwise_elpd)))
