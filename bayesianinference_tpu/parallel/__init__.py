@@ -6,6 +6,7 @@ from .sharded_chol import (
 )
 from .sharded_conjugate import (
     sharded_bayesian_linear_regression,
+    sharded_categorical_conjugate_model,
     sharded_multinormal_conjugate_model,
     sharded_normal_conjugate_model,
 )
@@ -15,6 +16,7 @@ from .sharding import Mesh, NamedSharding, P, make_mesh, replicated, shard_data
 
 __all__ = [
     "sharded_bayesian_linear_regression",
+    "sharded_categorical_conjugate_model",
     "sharded_cholesky",
     "sharded_covariance_matrix",
     "sharded_gp_logml_blocked",

@@ -45,6 +45,7 @@ from ..core.numerics import as_hashable_fn
 
 __all__ = [
     "sharded_bayesian_linear_regression",
+    "sharded_categorical_conjugate_model",
     "sharded_normal_conjugate_model",
     "sharded_multinormal_conjugate_model",
 ]
@@ -226,3 +227,54 @@ def sharded_multinormal_conjugate_model(
         jnp.eye(d, dtype=data.dtype),
     )
     return _multinormal_model_from_stats(n, mean, cov, prior)
+
+
+def sharded_categorical_conjugate_model(
+    data,
+    num_categories: int,
+    mesh: Mesh,
+    *,
+    axis_name: str = "data",
+    prior=None,
+):
+    """``categorical_conjugate_model`` with the sample axis sharded over
+    the mesh: each device histograms its shard (padding rows carry weight
+    0) and ONE psum of the k-vector of counts reduces the sufficient
+    statistic; the Dirichlet update + exact logZ run replicated."""
+    import numpy as _np
+
+    from ..engines.conjugate import _categorical_model_from_counts
+
+    data = jnp.ravel(jnp.asarray(data))
+    k = int(num_categories)
+    host = _np.asarray(data)
+    if host.size and (
+        _np.any(host < 0)
+        or _np.any(host > k - 1)
+        or _np.any(host != _np.floor(host))
+    ):
+        raise ValueError(
+            f"categorical data must be integers in [0, {k - 1}]; got values "
+            f"outside that range (min {host.min()}, max {host.max()})"
+        )
+    n_shards = mesh.shape[axis_name]
+    dp, w = _pad_shard(_f(data), n_shards)
+
+    counts = _sharded_counts_program(mesh, axis_name, k)(dp, w)
+    alpha0 = jnp.ones((k,), counts.dtype) if prior is None else _f(prior.alpha)
+    return _categorical_model_from_counts(counts, alpha0)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_counts_program(mesh, axis_name, k):
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(),
+    )
+    def counts(xs, ws):
+        local = jnp.zeros((k,), ws.dtype).at[xs.astype(jnp.int32)].add(ws)
+        return jax.lax.psum(local, axis_name)
+
+    return jax.jit(counts)

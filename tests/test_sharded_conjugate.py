@@ -137,3 +137,24 @@ def test_stats_identity_forms_match_data_forms(rng):
     direct = st.norm(mean, np.sqrt(var)).logpdf(x).sum()
     closed = -0.5 * (len(x) * np.log(2 * np.pi * var) + (len(x) - 1))
     np.testing.assert_allclose(closed, direct, rtol=1e-12)
+
+
+def test_sharded_categorical_model_matches_dense(mesh, rng):
+    from bayesianinference_tpu.engines.conjugate import (
+        categorical_conjugate_model,
+    )
+    from bayesianinference_tpu.parallel import (
+        sharded_categorical_conjugate_model,
+    )
+
+    data = jnp.asarray(rng.integers(0, 4, size=91).astype(float))
+    dense = categorical_conjugate_model(data, num_categories=4)
+    shard = sharded_categorical_conjugate_model(data, 4, mesh)
+    np.testing.assert_allclose(
+        float(shard.log_evidence), float(dense.log_evidence), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.posterior.alpha), np.asarray(dense.posterior.alpha)
+    )
+    with pytest.raises(ValueError, match="integers in"):
+        sharded_categorical_conjugate_model(jnp.asarray([5.0]), 3, mesh)
