@@ -663,6 +663,11 @@ def categorical_conjugate_model(
     if num_categories is None:
         if prior is not None:
             num_categories = int(jnp.shape(prior.alpha)[-1])
+        elif data.size == 0:
+            raise ValueError(
+                "cannot infer the number of categories from empty data; "
+                "pass num_categories (or a Dirichlet prior) explicitly"
+            )
         else:
             num_categories = int(jnp.max(data)) + 1
     k = num_categories

@@ -136,9 +136,11 @@ class NestedSamplingResult:
                 points=self.points, log_weights=self.crude_log_posterior_weights
             )
         r = self.posterior_weight_runs.shape[0]
-        lw = logsumexp(
-            jnp.log(self.posterior_weight_runs + 1e-300), axis=0
-        ) - jnp.log(float(r))
+        w = self.posterior_weight_runs
+        # zero weights map to the finite log-zero sentinel, not -inf: a
+        # 1e-300 additive clamp underflows to 0 in f32 (CLAUDE.md rule)
+        log_w = jnp.where(w > 0, jnp.log(w), log_zero(w.dtype))
+        lw = logsumexp(log_w, axis=0) - jnp.log(float(r))
         return Empirical(points=self.points, log_weights=lw)
 
 

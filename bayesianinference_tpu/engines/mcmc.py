@@ -19,11 +19,9 @@ from ..core.numerics import as_hashable_fn
 from ..models.problem import InferenceProblem
 from ..ops.metropolis import (
     AMState,
-    _JITTER,
-    _cholesky as _am_cholesky,
     am_init,
     run_chain,
-    welford_absorb,
+    welford_absorb_chol,
 )
 from ..ops.slice import SliceState, slice_update
 
@@ -107,17 +105,15 @@ def iterate_mcmc(chain: MCMCChain, key, num_samples: int, thinning: int = 1):
 
 def _slice_block(key, st: AMState, log_density, num: int, learn_delay: int):
     """``num`` slice updates on an AMState carry.  The direction Cholesky
-    is computed ONCE per block from the entering running covariance
-    (identity until the learn delay) — the same per-block schedule the NS
-    engine uses, and the reason slice stays O(d) per step where
-    adaptive-Metropolis refactorizes per step.  Every accepted point is
-    absorbed back into the Welford statistics, so the NEXT block's
-    directions adapt."""
+    for the block is the state's maintained running-covariance factor
+    (identity until the learn delay) — no factorization at all, since the
+    AM state carries the factor directly.  Every accepted point is
+    absorbed back into the Welford statistics via a rank-one factor
+    update, so the NEXT block's directions adapt."""
     d = st.x.shape[-1]
     eye = jnp.eye(d, dtype=st.x.dtype)
     learn = st.step >= learn_delay
-    L = _am_cholesky(st.cov + _JITTER * eye)
-    L = jnp.where(jnp.isfinite(L).all() & learn, L, eye)
+    L = jnp.where(jnp.isfinite(st.chol).all() & learn, st.chol, eye)
 
     def one(st, k):
         ss = SliceState(
@@ -127,12 +123,12 @@ def _slice_block(key, st: AMState, log_density, num: int, learn_delay: int):
             moved=jnp.asarray(0, jnp.int32),
         )
         ss = slice_update(k, ss, log_density, L)
-        mean, cov, t = welford_absorb(st.mean, st.cov, st.step, ss.x)
+        mean, chol, t = welford_absorb_chol(st.mean, st.chol, st.step, ss.x)
         return AMState(
             x=ss.x,
             log_density=ss.log_density,
             mean=mean,
-            cov=cov,
+            chol=chol,
             step=t,
             accepted=st.accepted + ss.moved,
             proposed=st.proposed + 1,

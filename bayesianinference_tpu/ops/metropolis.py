@@ -8,9 +8,17 @@ covariance is adapted from the running sample mean/covariance after a learn
 delay (default 20, matching ``"CovarianceLearnDelay"``, BS:667).
 
 Design notes (TPU-first):
-* One chain step is a handful of FMAs + a [d,d] Cholesky; the throughput
-  comes from **vmapping the whole kernel over many chains** (nested-sampling
-  live points), which batches every matrix op.
+* One chain step is a handful of FMAs on [d]-vectors; the throughput comes
+  from **vmapping the whole kernel over many chains** (nested-sampling
+  live points), which batches every op across the chain axis on the VPU.
+* The proposal-covariance **Cholesky factor is maintained directly** by a
+  rank-one update per absorbed point (O(d^2) elementwise ops) instead of
+  refactorizing the Welford covariance every step (O(d^3/6)): the Welford
+  update ``cov <- a*cov + b*dd^T`` with ``a=(t-1)/t, b=(t-1)/t^2`` is a
+  scale plus symmetric rank-1 perturbation, so
+  ``L <- cholupdate(sqrt(a)*L, sqrt(b)*d)`` (LINPACK ``dchud`` rotations).
+  This is what fixed the d>=16 throughput collapse of the
+  refactorize-per-step design (PERFORMANCE.md dimension sweep).
 * The state is a flat pytree (`AMState`) so `lax.scan` / `lax.while_loop`
   can evolve it on device; the "FullState" seeding of the reference
   (chain seeded at iteration ``t0=10`` with a carried-over mean/cov,
@@ -26,24 +34,43 @@ import jax.numpy as jnp
 
 from ..core.numerics import is_log_zero
 
-__all__ = ["AMState", "am_init", "am_step", "run_chain", "run_chain_adaptive"]
+__all__ = [
+    "AMState",
+    "am_init",
+    "am_step",
+    "chol_rank1_update",
+    "run_chain",
+    "run_chain_adaptive",
+    "welford_absorb",
+    "welford_absorb_chol",
+]
 
 # Haario et al. (2001) optimal scaling and regularization
 _SCALING = 2.38**2
 _JITTER = 1e-10
+_JITTER_STD = 1e-5  # sqrt(_JITTER): std of the proposal's jitter floor
 
 
 class AMState(NamedTuple):
     """Adaptive-Metropolis chain state (the reference's "FullState",
-    BS:720-727)."""
+    BS:720-727).  The running covariance is carried as its lower Cholesky
+    factor ``chol`` (see module docstring); block-boundary consumers read
+    the dense matrix back via the ``cov`` property."""
 
     x: jnp.ndarray  # [d] current point
     log_density: jnp.ndarray  # scalar
     mean: jnp.ndarray  # [d] running mean
-    cov: jnp.ndarray  # [d, d] running covariance (symmetrized)
+    chol: jnp.ndarray  # [d, d] lower Cholesky factor of the running cov
     step: jnp.ndarray  # scalar int: number of points absorbed
     accepted: jnp.ndarray  # scalar int: accepted moves since init
     proposed: jnp.ndarray  # scalar int: proposals since init
+
+    @property
+    def cov(self) -> jnp.ndarray:
+        """Dense running covariance, reconstructed from the factor
+        (one [d, d] matmul — intended for once-per-block reads, not the
+        per-step hot path)."""
+        return self.chol @ jnp.swapaxes(self.chol, -1, -2)
 
 
 def am_init(
@@ -54,17 +81,29 @@ def am_init(
     t0: int = 10,
 ) -> AMState:
     """Seed a chain at ``x0`` with optional carried-over (mean, cov),
-    pretending ``t0`` points were already absorbed (BS:720-727)."""
+    pretending ``t0`` points were already absorbed (BS:720-727).
+
+    ``cov0`` is factorized ONCE here (jittered to guarantee positive
+    definiteness); every subsequent step maintains the factor by rank-one
+    updates, which preserve positive definiteness by construction."""
     x0 = jnp.asarray(x0)
     d = x0.shape[-1]
     mean0 = x0 if mean0 is None else jnp.asarray(mean0)
     cov0 = jnp.eye(d, dtype=x0.dtype) if cov0 is None else jnp.asarray(cov0)
     cov0 = 0.5 * (cov0 + jnp.swapaxes(cov0, -1, -2))
+    eye = jnp.eye(d, dtype=x0.dtype)
+    L0 = _cholesky(cov0 + _JITTER * eye)
+    # non-PD carry-over (degenerate live sets) falls back to a diagonal
+    # factor, like the reference's identity fallback on failed adaptation
+    diag_fallback = jnp.sqrt(
+        jnp.abs(jnp.diagonal(cov0, axis1=-2, axis2=-1)) + _JITTER
+    )[..., None] * eye
+    L0 = jnp.where(jnp.isfinite(L0).all(), L0, diag_fallback)
     return AMState(
         x=x0,
         log_density=jnp.asarray(log_density_fn(x0)),
         mean=mean0,
-        cov=cov0,
+        chol=L0,
         step=jnp.asarray(t0, jnp.int32),
         accepted=jnp.asarray(0, jnp.int32),
         proposed=jnp.asarray(0, jnp.int32),
@@ -116,21 +155,44 @@ def _cholesky(a):
     return jnp.linalg.cholesky(a)
 
 
-def _proposal_chol(cov, d, learn: jnp.ndarray):
-    """Cholesky of the scaled proposal covariance; identity until the learn
-    delay has passed."""
-    dtype = cov.dtype
-    scaled = (_SCALING / d) * cov + _JITTER * jnp.eye(d, dtype=dtype)
-    base = jnp.eye(d, dtype=dtype) * jnp.sqrt(_SCALING / d)
-    L = _cholesky(scaled)
-    L = jnp.where(jnp.isfinite(L).all(), L, base)
-    return jnp.where(learn, L, base)
+def chol_rank1_update(L: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rank-one Cholesky update: given lower-triangular ``L`` with
+    ``A = L L^T``, return the factor of ``A + v v^T``.
+
+    LINPACK ``dchud``-style Givens sweep, unrolled over the (static) d
+    columns so that each of the d stages is a handful of [d]-vector
+    elementwise ops — O(d^2) work total, all of it batched across chains
+    under vmap (the same design rationale as :func:`small_cholesky`).
+    Updates (plus sign) preserve positive definiteness, so no jitter is
+    needed to keep the factor usable."""
+    d = L.shape[-1]
+    idx = jnp.arange(d)
+    cols = [L[..., :, k] for k in range(d)]
+    x = v
+    out = []
+    for k in range(d):
+        col = cols[k]
+        Lkk = col[..., k]
+        xk = x[..., k]
+        r = jnp.sqrt(Lkk * Lkk + xk * xk)
+        c = r / Lkk
+        s = xk / Lkk
+        below = idx > k
+        newcol = jnp.where(
+            below,
+            (col + s[..., None] * x) / c[..., None],
+            jnp.zeros_like(col),
+        )
+        newcol = jnp.where(idx == k, r[..., None], newcol)
+        x = jnp.where(below, c[..., None] * x - s[..., None] * newcol, x)
+        out.append(newcol)
+    return jnp.stack(out, axis=-1)
 
 
 def welford_absorb(mean, cov, step, x):
-    """Absorb one point into the running (mean, cov) trajectory statistics
-    (the Welford tail shared by the AM step and the adaptive slice chain).
-    Returns (mean, cov, step + 1)."""
+    """Absorb one point into running (mean, cov) statistics in DENSE form.
+    Returns (mean, cov, step + 1).  Kept for consumers that carry the
+    dense matrix; the chain hot paths use :func:`welford_absorb_chol`."""
     t = step + 1
     tf = t.astype(x.dtype)
     delta = x - mean
@@ -141,16 +203,44 @@ def welford_absorb(mean, cov, step, x):
     return mean, cov, t
 
 
+def welford_absorb_chol(mean, chol, step, x):
+    """Absorb one point into the running (mean, Cholesky-factored cov)
+    statistics: the Welford covariance recursion
+    ``cov <- ((t-1)/t) cov + ((t-1)/t^2) dd^T`` (with ``d = x - mean_old``)
+    is a scale + rank-1 update, applied directly to the factor in O(d^2).
+    Returns (mean, chol, step + 1)."""
+    t = step + 1
+    tf = t.astype(x.dtype)
+    delta = x - mean
+    mean = mean + delta / tf
+    a = (tf - 1.0) / tf
+    b = jnp.sqrt(tf - 1.0) / tf
+    # a == 0 only at t == 1, where the candidate is discarded below; the
+    # floor just keeps the rotations free of 0/0.
+    cand = chol_rank1_update(jnp.sqrt(jnp.maximum(a, 0.25)) * chol, b * delta)
+    ok = jnp.logical_and(t > 1, jnp.isfinite(cand).all())
+    chol = jnp.where(ok, cand, chol)
+    return mean, chol, t
+
+
 def am_step(key, state: AMState, log_density_fn: Callable, learn_delay: int = 20):
-    """One Metropolis step + Welford mean/cov update."""
+    """One Metropolis step + Welford mean/factor update.
+
+    The proposal draw is ``x + sqrt(s) L z1 + sqrt(jitter) z2`` with
+    ``s = 2.38^2/d`` — the sum of independent Gaussians realizes proposal
+    covariance ``s cov + jitter I`` (the Haario-scaled, jitter-floored
+    covariance) with NO factorization of the jittered matrix."""
     x, lp = state.x, state.log_density
     d = x.shape[-1]
-    k_prop, k_acc = jax.random.split(key)
+    k_prop, k_floor, k_acc = jax.random.split(key, 3)
 
     learn = state.step >= learn_delay
-    L = _proposal_chol(state.cov, d, learn)
+    scale = jnp.sqrt(jnp.asarray(_SCALING / d, x.dtype))
     z = jax.random.normal(k_prop, x.shape, x.dtype)
-    x_new = x + L @ z
+    z2 = jax.random.normal(k_floor, x.shape, x.dtype)
+    shaped = state.chol @ z[..., None]
+    step_vec = scale * jnp.where(learn, shaped[..., 0], z) + _JITTER_STD * z2
+    x_new = x + step_vec
 
     lp_new = jnp.asarray(log_density_fn(x_new))
     # log-space accept; proposals into log-zero regions always rejected
@@ -163,13 +253,13 @@ def am_step(key, state: AMState, log_density_fn: Callable, learn_delay: int = 20
     x = jnp.where(accept, x_new, x)
     lp = jnp.where(accept, lp_new, lp)
 
-    mean, cov, t = welford_absorb(state.mean, state.cov, state.step, x)
+    mean, chol, t = welford_absorb_chol(state.mean, state.chol, state.step, x)
 
     return AMState(
         x=x,
         log_density=lp,
         mean=mean,
-        cov=cov,
+        chol=chol,
         step=t,
         accepted=state.accepted + accept.astype(jnp.int32),
         proposed=state.proposed + 1,
@@ -205,11 +295,15 @@ def run_chain_adaptive(
     learn_delay: int = 20,
 ):
     """Run a chain, then keep running blocks of ``extra_steps`` until the
-    acceptance rate lies within bounds or ``max_steps`` is reached — the
-    bounded restatement of the reference's retry loop
-    (``nsMCMC``, BS:729-736; outer ×1.25 retry, BS:990-1004).
+    acceptance rate OF THE MOST RECENT BLOCK lies within bounds or
+    ``max_steps`` is reached — the bounded restatement of the reference's
+    retry loop (``nsMCMC``, BS:729-736; outer ×1.25 retry, BS:990-1004).
+    Testing per-block (not since-init) statistics matches the reference,
+    which re-tests each ``MarkovChainIterate`` segment: a long chain's
+    cumulative rate barely moves per extension, so a cumulative test
+    saturates and stops reacting.
 
-    Returns (final_state, acceptance_rate).
+    Returns (final_state, acceptance_rate) with the cumulative rate.
     """
 
     k_init, k_loop = jax.random.split(key)
@@ -227,17 +321,28 @@ def run_chain_adaptive(
         # statically removes a vmapped while_loop from the hot path
         return state, acc_rate(state)
 
+    zero = jnp.asarray(0, jnp.int32)
+
+    def block_rate(s: AMState, prev_acc, prev_prop):
+        dtype = s.x.dtype
+        return (s.accepted - prev_acc).astype(dtype) / jnp.maximum(
+            (s.proposed - prev_prop).astype(dtype), 1.0
+        )
+
     def cond(carry):
-        s, k = carry
-        r = acc_rate(s)
+        s, k, prev_acc, prev_prop = carry
+        r = block_rate(s, prev_acc, prev_prop)
         bad = jnp.logical_or(r < min_acceptance, r > max_acceptance)
         return jnp.logical_and(bad, s.proposed < max_steps)
 
     def body(carry):
-        s, k = carry
+        s, k, _, _ = carry
+        prev_acc, prev_prop = s.accepted, s.proposed
         k, sub = jax.random.split(k)
         s = run_chain(sub, s, log_density_fn, extra_steps, learn_delay)
-        return (s, k)
+        return (s, k, prev_acc, prev_prop)
 
-    state, _ = jax.lax.while_loop(cond, body, (state, k_loop))
+    state, _, _, _ = jax.lax.while_loop(
+        cond, body, (state, k_loop, zero, zero)
+    )
     return state, acc_rate(state)

@@ -245,18 +245,18 @@ def _gp_logml_program(kernel, mesh, axis_name, block, n, n_loc, dtype_name):
 
 @functools.lru_cache(maxsize=32)
 def _gp_predict_program(
-    kernel, mesh, axis_name, block, n, n_loc, query_nugget, dtype_name
+    kernel, mesh, axis_name, block, n, n_loc, dtype_name
 ):
     dtype = jnp.dtype(dtype_name)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(xx, resid, nn, xq):
+    def run(xx, resid, nn, xq, q_nug):
         r0 = jax.lax.axis_index(axis_name) * n_loc
         x_rows = jax.lax.dynamic_slice(
             xx,
@@ -280,11 +280,7 @@ def _gp_predict_program(
         # m* = k*^T K^-1 resid = (L^-1 k*)^T (L^-1 resid): no backward
         # substitution pass is needed for the mean
         mean_star = v.T @ wy  # [m]
-        kappa = kernel.diag(xq).astype(dtype)
-        if query_nugget:
-            m = kappa.shape[0]
-            qn = jax.lax.dynamic_slice(nn, (0,), (1,))  # scalar nugget only
-            kappa = kappa + jnp.broadcast_to(qn, (m,))
+        kappa = kernel.diag(xq).astype(dtype) + q_nug
         var_star = kappa - jnp.sum(v * v, axis=0)
         return mean_star, jnp.sqrt(jnp.maximum(var_star, 0.0))
 
@@ -313,9 +309,13 @@ def sharded_gp_predict(
     m* = v^T w (no backward substitution) and s*^2 = kappa - |v|^2 columns.
     Per-device residency: n^2/P + n (m+1).  Chunk large query sets.
 
-    ``query_nugget`` adds the (scalar) nugget to the predictive variance
-    (GP:110-115); callable nuggets apply to training rows only here.
-    Returns (mean [m], std [m]).
+    ``query_nugget`` adds the nugget to the predictive variance
+    (GP:110-115), exactly as the dense :func:`gp_posterior_moments` does:
+    callable nuggets are evaluated at ``x_query``; scalar nuggets
+    broadcast.  A non-callable ARRAY nugget (per-training-point values)
+    is rejected when ``query_nugget=True`` — it defines no value at the
+    query points, and silently reusing training values would make the
+    sharded and dense paths disagree.  Returns (mean [m], std [m]).
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -325,19 +325,30 @@ def sharded_gp_predict(
     if mean_fn is not None:
         resid = resid - mean_fn(x)
     n = x.shape[0]
+    m = xq.shape[0]
     n_dev = mesh.shape[axis_name]
     if n % n_dev or n % block:
         raise ValueError(f"n={n} must be divisible by both the mesh axis "
                          f"size {n_dev} and block={block}")
+    q_nug = jnp.zeros((m,), dtype)
     if nugget is None:
         nug = jnp.zeros((n,), dtype)
-        add_query_nugget = False
     elif callable(nugget):
         nug = nugget(x).astype(dtype)
-        add_query_nugget = False  # per-point nugget: training rows only
+        if query_nugget:
+            q_nug = jnp.broadcast_to(
+                jnp.asarray(nugget(xq), dtype), (m,)
+            )
     else:
-        nug = jnp.broadcast_to(jnp.asarray(nugget, dtype), (n,))
-        add_query_nugget = bool(query_nugget)
+        nug_arr = jnp.asarray(nugget, dtype)
+        if nug_arr.ndim > 0 and query_nugget:
+            raise ValueError(
+                "per-training-point array nugget defines no query-point "
+                "value; pass a callable nugget or query_nugget=False"
+            )
+        nug = jnp.broadcast_to(nug_arr, (n,))
+        if query_nugget:
+            q_nug = jnp.broadcast_to(nug_arr, (m,))
     prog = _gp_predict_program(
         kernel,
         mesh,
@@ -345,10 +356,9 @@ def sharded_gp_predict(
         block,
         n,
         n // n_dev,
-        add_query_nugget,
         jnp.dtype(dtype).name,
     )
-    mean_star, std_star = prog(x, resid, nug, xq)
+    mean_star, std_star = prog(x, resid, nug, xq, q_nug)
     if mean_fn is not None:
         mean_star = mean_star + mean_fn(xq)
     return mean_star, std_star

@@ -112,6 +112,14 @@ def _mean_scatter_program(mesh, axis_name):
     return jax.jit(stats)
 
 
+def _require_nonempty(arr, name: str):
+    """Host-side guard: empty data would psum to n = 0 and divide the mean
+    statistics into silent NaN; fail loudly instead (the explicit
+    ValueError style of the categorical range validation)."""
+    if arr.shape[0] == 0:
+        raise ValueError(f"{name}: data must contain at least one row")
+
+
 def _pad_shard(arr, n_shards: int):
     """Zero-pad the leading axis to a multiple of ``n_shards``; returns
     (padded, weights) with weights 1 on real rows, 0 on padding."""
@@ -157,6 +165,7 @@ def sharded_bayesian_linear_regression(
             else _identity_basis(x.shape[1])
         )
     basis = tuple(as_hashable_fn(b) for b in basis)
+    _require_nonempty(y, "sharded_bayesian_linear_regression")
     univariate = y.ndim == 1 or y.shape[-1] == 1
     ymat = y.reshape(y.shape[0], -1)
     m = 1 if univariate else ymat.shape[-1]
@@ -195,6 +204,7 @@ def sharded_normal_conjugate_model(
     """``normal_conjugate_model`` (CP:97-151) with the sample axis sharded
     over the mesh: psum-reduced (n, mean, variance), replicated update."""
     data = _f(jnp.ravel(jnp.asarray(data)))
+    _require_nonempty(data, "sharded_normal_conjugate_model")
     if prior is None:
         prior = NormalInverseGamma(mu0=0.0, lam=1 / 100, beta=1 / 200, nu=1 / 200)
     n, mean, scatter = _sharded_mean_scatter(data[:, None], mesh, axis_name)
@@ -212,6 +222,7 @@ def sharded_multinormal_conjugate_model(
     """``multinormal_conjugate_model`` (CP:240-295) with the sample axis
     sharded over the mesh."""
     data = jnp.atleast_2d(_f(data))
+    _require_nonempty(data, "sharded_multinormal_conjugate_model")
     d = data.shape[1]
     if prior is None:
         prior = NormalInverseWishart(

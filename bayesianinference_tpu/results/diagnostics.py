@@ -108,7 +108,10 @@ def effective_sample_size(chains, split: bool = True) -> np.ndarray:
     out = np.empty(d)
     for j in range(d):
         if var_plus[j] <= 0:
-            out[j] = float(m * n)  # constant chains: no information either way
+            # constant/degenerate chains: a sampler stuck at one point has
+            # no effective samples — flag with NaN (ArviZ convention)
+            # rather than report m*n "perfect mixing"
+            out[j] = np.nan
             continue
         rho = 1.0 - (w[j] - mean_acov[:, j]) / var_plus[j]  # [n]
         # Geyer: sums of adjacent pairs P_t = rho_{2t} + rho_{2t+1} are

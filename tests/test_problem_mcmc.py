@@ -140,6 +140,56 @@ def test_invalid_mcmc_method_rejected():
         create_mcmc_chain(lambda x: 0.0, jnp.zeros(2), method="hmc")
 
 
+def test_chol_rank1_update_matches_dense(rng):
+    """The maintained proposal factor (LINPACK-style rank-1 update) agrees
+    with refactorizing the dense matrix, scalar and batched."""
+    from bayesianinference_tpu.ops.metropolis import chol_rank1_update
+
+    for d in (2, 8, 32):
+        a = rng.normal(size=(3, d, d))
+        spd = a @ np.swapaxes(a, -1, -2) + d * np.eye(d)
+        v = rng.normal(size=(3, d))
+        ours = np.asarray(
+            jax.vmap(chol_rank1_update)(
+                jnp.linalg.cholesky(jnp.asarray(spd)), jnp.asarray(v)
+            )
+        )
+        ref = np.linalg.cholesky(spd + v[:, :, None] * v[:, None, :])
+        np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_retry_loop_tests_per_block_acceptance(key):
+    """min_max_acceptance_rate bounds must test the acceptance of the most
+    recent extension block (the reference re-tests per MarkovChainIterate
+    segment, BS:729-736), not the since-init cumulative rate: a chain whose
+    early blocks are all-reject but whose proposal then adapts must exit the
+    retry loop long before max_steps, while its cumulative rate is still far
+    below the bound."""
+    from bayesianinference_tpu.ops.metropolis import (
+        am_init,
+        run_chain_adaptive,
+    )
+
+    def dens(x):
+        return -0.5 * jnp.sum(x * x)
+
+    # wide initial proposal (sigma=100): acceptance ~4e-4 until the running
+    # covariance adapts — rejected steps shrink it toward the stuck point
+    # as cov0/t, crossing the 0.2 bound around t ~ 2e3 << max_steps
+    st = am_init(jnp.zeros(2), dens, cov0=1e4 * jnp.eye(2), t0=0)
+    st, acc = jax.jit(
+        lambda k, s: run_chain_adaptive(
+            k, s, dens, 200, 100, 100_000,
+            min_acceptance=0.2, max_acceptance=1.0, learn_delay=10,
+        )
+    )(key, st)
+    proposed = int(st.proposed)
+    assert proposed < 100_000, "retry loop ran to max_steps"
+    # the cumulative rate is still out of bounds -> only a per-block test
+    # can have terminated the loop
+    assert float(acc) < 0.2, float(acc)
+
+
 def test_small_cholesky_d32_matches_dense(rng):
     """The unrolled Crout cutoff covers d=32 (XLA's batched tiny-matrix
     cholesky at that shape is ~70x slower on TPU)."""
