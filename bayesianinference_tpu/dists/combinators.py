@@ -22,6 +22,7 @@ __all__ = [
     "Product",
     "Truncated",
     "Mixture",
+    "HeterogeneousMixture",
     "ConditionalProduct",
     "ImproperUniform",
 ]
@@ -199,6 +200,93 @@ class Mixture(Distribution):
             mu = jnp.sum(wr * m, axis=0)
             return jnp.sum(wr * (v + m**2), axis=0) - mu**2
         return jnp.sum(w * (v + m**2), axis=-1) - mu**2
+
+
+@dist_dataclass
+class HeterogeneousMixture(Distribution):
+    """Finite mixture over an arbitrary LIST of component distributions —
+    the reference's ``MixtureDistribution[weights, {dist1, dist2, ...}]``
+    with components from different families (BayesianStatistics.wl:1431-1434,
+    BayesianUtilities.wl:69-88).  :class:`Mixture` is the batched
+    same-family fast path (one stacked component, fully vectorized);
+    this container trades a Python loop over the (static, usually small)
+    component tuple for family freedom — e.g. StudentT + Normal.
+
+    ``log_weights`` has shape [S] matching ``len(components)``; weights
+    are normalized internally.  All components must share an event shape.
+    """
+
+    log_weights: jnp.ndarray  # [S]
+    components: Tuple[Distribution, ...]
+
+    def __post_init__(self):
+        comps = tuple(self.components)
+        object.__setattr__(self, "components", comps)
+        if not comps:
+            raise ValueError("HeterogeneousMixture needs >= 1 component")
+        shapes = {c.event_shape for c in comps}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"components must share an event shape; got {shapes}"
+            )
+
+    @property
+    def num_components(self):
+        return len(self.components)
+
+    @property
+    def event_shape(self):
+        return self.components[0].event_shape
+
+    def _norm_logw(self):
+        lw = _f(self.log_weights)
+        return lw - logsumexp(lw)
+
+    def log_prob(self, x):
+        x = _f(x)
+        lp = jnp.stack([c.log_prob(x) for c in self.components], axis=-1)
+        return logsumexp(self._norm_logw() + lp, axis=-1)
+
+    def sample(self, key, shape=()):
+        k_pick, k_draw = jax.random.split(key)
+        n = int(jnp.prod(jnp.asarray(shape or (1,))))
+        idx = jax.random.categorical(k_pick, self._norm_logw(), shape=(n,))
+        draws = jnp.stack(
+            [
+                c.sample(k, (n,))
+                for c, k in zip(
+                    self.components,
+                    jax.random.split(k_draw, len(self.components)),
+                )
+            ]
+        )  # [S, n] + event
+        out = draws[idx, jnp.arange(n)]
+        return out.reshape(tuple(shape) + self.event_shape) if shape else out[0]
+
+    def cdf(self, x):
+        x = _f(x)
+        w = jnp.exp(self._norm_logw())
+        cdfs = jnp.stack([c.cdf(x) for c in self.components], axis=-1)
+        return jnp.sum(w * cdfs, axis=-1)
+
+    def mean(self):
+        w = jnp.exp(self._norm_logw())
+        means = jnp.stack([_f(c.mean()) for c in self.components])
+        return jnp.tensordot(w, means, axes=(0, 0))
+
+    def variance(self):
+        w = jnp.exp(self._norm_logw())
+        means = jnp.stack([_f(c.mean()) for c in self.components])
+        vars_ = jnp.stack([_f(c.variance()) for c in self.components])
+        mu = jnp.tensordot(w, means, axes=(0, 0))
+        return jnp.tensordot(w, vars_ + means**2, axes=(0, 0)) - mu**2
+
+    def support(self):
+        lows, highs = zip(*(c.support() for c in self.components))
+        return (
+            jnp.min(jnp.stack([_f(l) for l in lows]), axis=0),
+            jnp.max(jnp.stack([_f(h) for h in highs]), axis=0),
+        )
 
 
 class ConditionalProduct:

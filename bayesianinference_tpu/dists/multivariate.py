@@ -106,7 +106,10 @@ class MultivariateNormal(Distribution):
     def sample(self, key, shape=()):
         d = self.event_shape[0]
         L = self._chol()
-        z = jax.random.normal(key, tuple(shape) + (d,), dtype=L.dtype)
+        batch = _param_batch((self.mean_, 1), (self.cov, 2))
+        z = jax.random.normal(
+            key, tuple(shape) + batch + (d,), dtype=L.dtype
+        )
         return _f(self.mean_) + jnp.einsum("...ij,...j->...i", L, z)
 
     def mean(self):
@@ -147,7 +150,10 @@ class MultivariateNormalPrecision(Distribution):
     def sample(self, key, shape=()):
         d = self.event_shape[0]
         Lp = jnp.linalg.cholesky(_f(self.precision))
-        z = jax.random.normal(key, tuple(shape) + (d,), dtype=Lp.dtype)
+        batch = _param_batch((self.mean_, 1), (self.precision, 2))
+        z = jax.random.normal(
+            key, tuple(shape) + batch + (d,), dtype=Lp.dtype
+        )
         # x = mean + Lp^{-T} z
         dx = _solve_tri(Lp, z[..., None], trans=1)[..., 0]
         return _f(self.mean_) + dx
@@ -198,8 +204,13 @@ class MultivariateT(Distribution):
         k1, k2 = jax.random.split(key)
         L = jnp.linalg.cholesky(_f(self.shape_matrix))
         v = _f(self.df)
-        z = jax.random.normal(k1, tuple(shape) + (d,), dtype=L.dtype)
-        g = jax.random.gamma(k2, 0.5 * v, tuple(shape), dtype=L.dtype)
+        batch = _param_batch(
+            (self.df, 0), (self.loc, 1), (self.shape_matrix, 2)
+        )
+        z = jax.random.normal(
+            k1, tuple(shape) + batch + (d,), dtype=L.dtype
+        )
+        g = jax.random.gamma(k2, 0.5 * v, tuple(shape) + batch, dtype=L.dtype)
         chi2 = 2.0 * g
         y = jnp.einsum("...ij,...j->...i", L, z)
         return _f(self.loc) + y * jnp.sqrt(v / chi2)[..., None]
@@ -245,7 +256,12 @@ class MatrixNormal(Distribution):
         n, p = self.event_shape
         Lu = jnp.linalg.cholesky(_f(self.row_cov))
         Lv = jnp.linalg.cholesky(_f(self.col_cov))
-        z = jax.random.normal(key, tuple(shape) + (n, p), dtype=Lu.dtype)
+        batch = _param_batch(
+            (self.loc, 2), (self.row_cov, 2), (self.col_cov, 2)
+        )
+        z = jax.random.normal(
+            key, tuple(shape) + batch + (n, p), dtype=Lu.dtype
+        )
         return _f(self.loc) + jnp.einsum("...ij,...jk,...lk->...il", Lu, z, Lv)
 
     def mean(self):
@@ -305,22 +321,44 @@ class MatrixT(Distribution):
         s = iw.sample(k1, shape)  # [..., p, p]
         Lu = jnp.linalg.cholesky(_f(self.row_cov))
         Ls = jnp.linalg.cholesky(s)
-        z = jax.random.normal(k2, tuple(shape) + (n, p), dtype=Lu.dtype)
-        return _f(self.loc) + jnp.einsum("ij,...jk,...lk->...il", Lu, z, Ls)
+        batch = _param_batch(
+            (self.df, 0), (self.loc, 2), (self.row_cov, 2), (self.col_cov, 2)
+        )
+        z = jax.random.normal(
+            k2, tuple(shape) + batch + (n, p), dtype=Lu.dtype
+        )
+        return _f(self.loc) + jnp.einsum("...ij,...jk,...lk->...il", Lu, z, Ls)
 
     def mean(self):
         return _f(self.loc)
 
 
-def _bartlett(key, df, d, dtype):
-    """Lower-triangular Bartlett factor A with A A^T ~ Wishart(df, I)."""
+def _param_batch(*specs):
+    """Broadcast batch shape of parameter arrays; ``specs`` are
+    (array, n_event_dims) pairs.  Samplers must draw INDEPENDENT noise for
+    every param-batch element — a z of shape ``shape + event`` broadcast
+    against batched params would silently share one draw across the batch
+    (the PointwiseMixture predictive bug fixed in round 3)."""
+    shapes = []
+    for a, k in specs:
+        sh = jnp.shape(a)
+        shapes.append(sh[: len(sh) - k] if k else sh)
+    return jnp.broadcast_shapes(*shapes)
+
+
+def _bartlett(key, df, d, dtype, batch=()):
+    """Lower-triangular Bartlett factor A with A A^T ~ Wishart(df, I),
+    independent per ``batch`` element."""
     k1, k2 = jax.random.split(key)
     # diagonal: sqrt(chi2_{df - i}) for i = 0..d-1
     i = jnp.arange(d, dtype=dtype)
-    g = jax.random.gamma(k1, 0.5 * (df - i), (d,), dtype=dtype)
+    g = jax.random.gamma(
+        k1, 0.5 * (jnp.asarray(df, dtype)[..., None] - i),
+        batch + (d,), dtype=dtype,
+    )
     diag = jnp.sqrt(2.0 * g)
-    z = jax.random.normal(k2, (d, d), dtype=dtype)
-    a = jnp.tril(z, -1) + jnp.diag(diag)
+    z = jax.random.normal(k2, batch + (d, d), dtype=dtype)
+    a = jnp.tril(z, -1) + diag[..., None] * jnp.eye(d, dtype=dtype)
     return a
 
 
@@ -359,15 +397,17 @@ class Wishart(Distribution):
         d = jnp.shape(self.scale)[-1]
         Ls = jnp.linalg.cholesky(_f(self.scale))
         dtype = Ls.dtype
+        batch = _param_batch((self.df, 0), (self.scale, 2))
 
         def one(k):
-            a = _bartlett(k, _f(self.df), d, dtype)
+            a = _bartlett(k, _f(self.df), d, dtype, batch)
             la = Ls @ a
-            return la @ la.T
+            return la @ jnp.swapaxes(la, -1, -2)
 
         keys = jax.random.split(key, int(jnp.prod(jnp.asarray(shape or (1,)))))
         out = jax.vmap(one)(keys)
-        return out.reshape(tuple(shape) + (d, d)) if shape else out[0]
+        out = out.reshape(tuple(shape) + batch + (d, d)) if shape else out[0]
+        return out
 
     def mean(self):
         return _f(self.df) * _f(self.scale)
@@ -411,17 +451,22 @@ class InverseWishart(Distribution):
         d = jnp.shape(self.scale)[-1]
         Lp = jnp.linalg.cholesky(_f(self.scale))
         dtype = Lp.dtype
+        batch = _param_batch((self.df, 0), (self.scale, 2))
 
         def one(k):
-            a = _bartlett(k, _f(self.df), d, dtype)
+            a = _bartlett(k, _f(self.df), d, dtype, batch)
             # X^-1 = Lp^{-T} A A^T Lp^{-1}  =>  X = Lp A^{-T} A^{-1} Lp^T
-            ainv = solve_triangular(a, jnp.eye(d, dtype=dtype), lower=True)
-            m = Lp @ ainv.T
-            return m @ m.T
+            ainv = solve_triangular(
+                a, jnp.broadcast_to(jnp.eye(d, dtype=dtype), a.shape),
+                lower=True,
+            )
+            m = Lp @ jnp.swapaxes(ainv, -1, -2)
+            return m @ jnp.swapaxes(m, -1, -2)
 
         keys = jax.random.split(key, int(jnp.prod(jnp.asarray(shape or (1,)))))
         out = jax.vmap(one)(keys)
-        return out.reshape(tuple(shape) + (d, d)) if shape else out[0]
+        out = out.reshape(tuple(shape) + batch + (d, d)) if shape else out[0]
+        return out
 
     def mean(self):
         d = jnp.shape(self.scale)[-1]

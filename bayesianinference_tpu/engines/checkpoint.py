@@ -79,7 +79,7 @@ def resume_nested_sampling_loop(
     progress_callback=None,
     progress_interval: int = 0,
     interrupt_check=None,
-    monte_carlo_method: str = "adaptive_metropolis",
+    monte_carlo_method: str = "auto",
 ) -> NSRunData:
     """Continue a (possibly loaded) run for up to ``extra_iterations`` more
     iterations; the dead buffers are padded to the new capacity and the

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..core.numerics import log_zero, logaddexp, logsubexp, logsumexp
 from ..models.problem import InferenceProblem
-from ..ops.metropolis import _cholesky, am_init, run_chain_adaptive
+from ..ops.metropolis import _cholesky, am_init, proposal_chol, run_chain_adaptive
 from ..ops.slice import run_slice_chain
 from ..ops.ns_math import (
     crude_log_x_deleted,
@@ -68,6 +68,26 @@ class NSState(NamedTuple):
 
 
 _EVAL_BASE = 1 << 30  # counter radix: int32-safe per-iteration accumulation
+
+# measured crossover of the round-3 TPU dimension sweep (PERFORMANCE.md):
+# the single-block adaptive-Metropolis kernel wins on wall clock per NS
+# iteration up to d ~ 16; above it random-direction slice sampling is both
+# faster per wall second and mixes better per update.
+_AUTO_SLICE_DIM = 16
+
+
+def resolve_monte_carlo_method(method: str, dim: int) -> str:
+    """Resolve ``"auto"`` to the measured-best chain kernel for ``dim``
+    (adaptive-Metropolis at low d, slice above ``_AUTO_SLICE_DIM``);
+    explicit method names pass through unchanged."""
+    if method == "auto":
+        return "adaptive_metropolis" if dim <= _AUTO_SLICE_DIM else "slice"
+    if method not in ("adaptive_metropolis", "slice"):
+        raise ValueError(
+            f"unknown monte_carlo_method {method!r}; expected 'auto', "
+            "'adaptive_metropolis' or 'slice'"
+        )
+    return method
 
 
 def _accumulate_evals(counter: jnp.ndarray, inc: jnp.ndarray) -> jnp.ndarray:
@@ -231,7 +251,7 @@ def nested_sampling_loop(
     progress_callback: Optional[Callable] = None,
     progress_interval: int = 0,
     interrupt_check: Optional[Callable] = None,
-    monte_carlo_method: str = "adaptive_metropolis",
+    monte_carlo_method: str = "auto",
 ) -> NSRunData:
     """Run the main loop (semantics of ``nestedSamplingInternal``,
     BS:859-1040) fully on device as ONE cached-jit program — repeated runs
@@ -251,17 +271,7 @@ def nested_sampling_loop(
     progress_callback, interrupt_check = _sanitize_callbacks(
         progress_callback, progress_interval, interrupt_check
     )
-    if _dim > 16 and monte_carlo_method == "adaptive_metropolis":
-        import warnings
-
-        warnings.warn(
-            f"adaptive-Metropolis refactorizes a {_dim}x{_dim} proposal "
-            "covariance per chain step (O(d^3)); above d=16 "
-            'monte_carlo_method="slice" is typically an order of '
-            "magnitude faster (its direction factorization is once per "
-            "chain block) — see PERFORMANCE.md's dimension sweep",
-            stacklevel=2,
-        )
+    monte_carlo_method = resolve_monte_carlo_method(monte_carlo_method, _dim)
     if isinstance(monte_carlo_steps, int):
         mc_steps = (monte_carlo_steps, monte_carlo_steps, 5 * monte_carlo_steps)
     else:
@@ -373,10 +383,13 @@ def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig)
                 moved_frac = st.moved.astype(x0_i.dtype) / num_steps
                 return st.x, s.mean_est, cov_est, moved_frac, st.evals
         else:
+            # factorize the SHARED seed covariance once, outside the vmap
+            chol0 = proposal_chol(cov_est)
 
             def one_chain(ck, x0_i):
                 st = am_init(
-                    x0_i, density, mean0=s.mean_est, cov0=cov_est, t0=10
+                    x0_i, density, mean0=s.mean_est, cov0=cov_est, t0=10,
+                    chol0=chol0,
                 )
                 st, acc = run_chain_adaptive(
                     ck,

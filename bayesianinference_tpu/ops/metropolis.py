@@ -27,7 +27,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -73,32 +73,46 @@ class AMState(NamedTuple):
         return self.chol @ jnp.swapaxes(self.chol, -1, -2)
 
 
+def proposal_chol(cov0) -> jnp.ndarray:
+    """Jittered Cholesky factor of a carried-over covariance, with a
+    diagonal fallback for non-PD inputs (degenerate live sets) — the
+    once-per-seed factorization of :func:`am_init`, exposed so callers
+    seeding MANY chains with one shared covariance (the NS engine) can
+    factorize once outside the vmap instead of per chain."""
+    cov0 = jnp.asarray(cov0)
+    d = cov0.shape[-1]
+    eye = jnp.eye(d, dtype=cov0.dtype)
+    L0 = _cholesky(cov0 + _JITTER * eye)
+    diag_fallback = jnp.sqrt(
+        jnp.abs(jnp.diagonal(cov0, axis1=-2, axis2=-1)) + _JITTER
+    )[..., None] * eye
+    return jnp.where(jnp.isfinite(L0).all(), L0, diag_fallback)
+
+
 def am_init(
     x0,
     log_density_fn: Callable,
     mean0=None,
     cov0=None,
     t0: int = 10,
+    chol0=None,
 ) -> AMState:
     """Seed a chain at ``x0`` with optional carried-over (mean, cov),
     pretending ``t0`` points were already absorbed (BS:720-727).
 
     ``cov0`` is factorized ONCE here (jittered to guarantee positive
-    definiteness); every subsequent step maintains the factor by rank-one
-    updates, which preserve positive definiteness by construction."""
+    definiteness); pass a precomputed ``chol0`` instead to share one
+    factorization across many chains."""
     x0 = jnp.asarray(x0)
     d = x0.shape[-1]
     mean0 = x0 if mean0 is None else jnp.asarray(mean0)
-    cov0 = jnp.eye(d, dtype=x0.dtype) if cov0 is None else jnp.asarray(cov0)
-    cov0 = 0.5 * (cov0 + jnp.swapaxes(cov0, -1, -2))
-    eye = jnp.eye(d, dtype=x0.dtype)
-    L0 = _cholesky(cov0 + _JITTER * eye)
-    # non-PD carry-over (degenerate live sets) falls back to a diagonal
-    # factor, like the reference's identity fallback on failed adaptation
-    diag_fallback = jnp.sqrt(
-        jnp.abs(jnp.diagonal(cov0, axis1=-2, axis2=-1)) + _JITTER
-    )[..., None] * eye
-    L0 = jnp.where(jnp.isfinite(L0).all(), L0, diag_fallback)
+    if chol0 is not None:
+        L0 = jnp.asarray(chol0)
+    else:
+        cov0 = (
+            jnp.eye(d, dtype=x0.dtype) if cov0 is None else jnp.asarray(cov0)
+        )
+        L0 = proposal_chol(0.5 * (cov0 + jnp.swapaxes(cov0, -1, -2)))
     return AMState(
         x=x0,
         log_density=jnp.asarray(log_density_fn(x0)),
@@ -266,20 +280,131 @@ def am_step(key, state: AMState, log_density_fn: Callable, learn_delay: int = 20
     )
 
 
-def run_chain(
+def am_block(
     key,
     state: AMState,
     log_density_fn: Callable,
     num_steps: int,
     learn_delay: int = 20,
 ):
-    """Run ``num_steps`` adaptive-Metropolis steps under ``lax.scan``."""
+    """``num_steps`` Metropolis steps with BLOCK-DELAYED adaptation — the
+    TPU-shaped form of the chain (used by :func:`run_chain`):
+
+    * All ``num_steps`` proposal step vectors are precomputed with ONE
+      batched matmul ``scale * L @ Z1 + jitter_std * Z2`` (random-walk
+      steps are independent of the chain position, so this is exact);
+      the [d, d] factor is read once per block, not once per step —
+      at d=32 x 32k vmapped chains the factor alone is 128 MB, and
+      per-step factor traffic is what made both the refactorize-per-step
+      and the rank-1-per-step kernels HBM-bound (PERFORMANCE.md).
+    * Each step runs accept/reject and absorbs the visited state into the
+      running mean and a scaled-delta buffer (cheap [d]-vector ops).
+    * At block end the factor is rebuilt once: the Welford recursion
+      telescopes to ``C_Tj = (T0/Tj) C_T0 + (1/Tj) sum_t ((t-1)/t) d_t d_t^T``
+      so ``C_Tj = M M^T`` with ``M = [sqrt(T0/Tj) L | D]`` — one
+      MXU-shaped syrk + one unrolled :func:`small_cholesky`.
+
+    The proposal covariance is thus frozen within a block (diminishing
+    adaptation still holds; the per-step-adapting reference semantics,
+    BS:720-736, are recovered as num_steps -> 1)."""
+    x0 = state.x
+    d = x0.shape[-1]
+    dtype = x0.dtype
+    kz1, kacc = jax.random.split(key)
+    scale = jnp.sqrt(jnp.asarray(_SCALING / d, dtype))
+    z1 = jax.random.normal(kz1, (d, num_steps), dtype)
+    # no separate jitter noise: the maintained factor IS the factor of
+    # (cov + _JITTER I) — both am_init/proposal_chol and the block-end
+    # rebuild below re-inject the jitter floor
+    s_learn = scale * (state.chol @ z1)  # [d, j]
+    s_base = scale * z1
+    log_us = jnp.log(
+        jax.random.uniform(
+            kacc, (num_steps,), dtype, minval=1e-38, maxval=1.0
+        )
+    )
+
+    def step(carry, inp):
+        x, lp, mean, acc, t = carry
+        sl, sb, lu = inp
+        learn = t >= learn_delay
+        x_new = x + jnp.where(learn, sl, sb)
+        lp_new = jnp.asarray(log_density_fn(x_new))
+        accept = jnp.logical_and(
+            jnp.logical_not(is_log_zero(lp_new)), lu < (lp_new - lp)
+        )
+        x = jnp.where(accept, x_new, x)
+        lp = jnp.where(accept, lp_new, lp)
+        t = t + 1
+        tf = t.astype(dtype)
+        delta = x - mean
+        mean = mean + delta / tf
+        dtil = delta * jnp.sqrt((tf - 1.0) / tf)
+        return (x, lp, mean, acc + accept.astype(jnp.int32), t), dtil
+
+    (x, lp, mean, accepted, t), deltas = jax.lax.scan(
+        step,
+        (x0, state.log_density, state.mean, state.accepted, state.step),
+        (s_learn.T, s_base.T, log_us),
+    )
+    t0f = state.step.astype(dtype)
+    tjf = t.astype(dtype)
+    m = jnp.concatenate(
+        [
+            jnp.sqrt(t0f / tjf) * state.chol,
+            deltas.T / jnp.sqrt(tjf),  # [d, j]
+        ],
+        axis=-1,
+    )
+    cov = m @ m.T + _JITTER * jnp.eye(d, dtype=dtype)
+    chol_new = small_cholesky(cov) if d <= _SMALL_CHOL_MAX_DIM else (
+        jnp.linalg.cholesky(cov)
+    )
+    chol = jnp.where(jnp.isfinite(chol_new).all(), chol_new, state.chol)
+    return AMState(
+        x=x,
+        log_density=lp,
+        mean=mean,
+        chol=chol,
+        step=t,
+        accepted=accepted,
+        proposed=state.proposed + num_steps,
+    )
+
+
+def run_chain(
+    key,
+    state: AMState,
+    log_density_fn: Callable,
+    num_steps: int,
+    learn_delay: int = 20,
+    block_size: Optional[int] = None,
+):
+    """Run ``num_steps`` adaptive-Metropolis steps.
+
+    By default the whole call is ONE :func:`am_block` — proposal factor
+    frozen for the call, rebuilt once at the end.  Callers that need
+    finer within-call adaptation (long standalone chains) pass
+    ``block_size`` to refresh the factor every that many steps; measured
+    on TPU the outer block scan carries a large fixed cost per block
+    (PERFORMANCE.md round-3 block-size sweep), so chains driven in
+    short segments anyway (NS iterations, thinning blocks, retry
+    extensions) should keep the single-block default."""
+    if block_size is None or block_size >= num_steps:
+        return am_block(key, state, log_density_fn, num_steps, learn_delay)
+    j = max(1, block_size)
+    n_blocks, rem = divmod(num_steps, j)
 
     def body(carry, k):
-        return am_step(k, carry, log_density_fn, learn_delay), None
+        return am_block(k, carry, log_density_fn, j, learn_delay), None
 
-    keys = jax.random.split(key, num_steps)
-    state, _ = jax.lax.scan(body, state, keys)
+    if n_blocks > 0:
+        k_main, key = jax.random.split(key)
+        state, _ = jax.lax.scan(
+            body, state, jax.random.split(k_main, n_blocks)
+        )
+    if rem:
+        state = am_block(key, state, log_density_fn, rem, learn_delay)
     return state
 
 

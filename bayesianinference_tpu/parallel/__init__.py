@@ -1,4 +1,5 @@
-from .parallel_ns import parallel_nested_sampling
+from .multi_axis_ns import make_multi_axis_mesh, multi_axis_nested_sampling
+from .parallel_ns import merge_runs, parallel_nested_sampling
 from .sharded_chol import (
     sharded_cholesky,
     sharded_gp_logml_blocked,
@@ -26,6 +27,9 @@ __all__ = [
     "sharded_normal_conjugate_model",
     "parallel_nested_sampling",
     "sharded_pool_nested_sampling",
+    "multi_axis_nested_sampling",
+    "make_multi_axis_mesh",
+    "merge_runs",
     "Mesh",
     "NamedSharding",
     "P",

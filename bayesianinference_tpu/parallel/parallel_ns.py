@@ -38,7 +38,63 @@ from ..engines.nested_sampling import (
 )
 from ..models.problem import InferenceProblem
 
-__all__ = ["parallel_nested_sampling"]
+__all__ = ["parallel_nested_sampling", "merge_runs"]
+
+
+def merge_runs(
+    dead_points,  # [R, cap, d]
+    dead_logl,  # [R, cap]
+    dead_logp,  # [R, cap]
+    n_dead,  # [R]
+    live_points,  # [R, n, d]
+    live_logl,  # [R, n]
+    live_logp,  # [R, n]
+    *,
+    total_pool: int,
+    key,
+    post_process_sampling_runs: Optional[int] = 100,
+    empirical_posterior_type: str = "Simple",
+    param_names=(),
+) -> NestedSamplingResult:
+    """Exact merge of R independent NS runs (``combineRuns``,
+    BS:1293-1315): union the samples (dedup by point, BS:1294-1297), sum
+    the pool sizes, and re-run evidence resampling on the constant
+    combined pool (BS:1307).
+
+    All device buffers are fetched ONCE (one host transfer per array,
+    independent of R) and sliced in numpy — no per-run device sync."""
+    import numpy as np
+
+    nd = np.asarray(n_dead)
+    dp = np.asarray(dead_points)
+    dl = np.asarray(dead_logl)
+    dpr = np.asarray(dead_logp)
+    lp_ = np.asarray(live_points)
+    ll_ = np.asarray(live_logl)
+    lpr_ = np.asarray(live_logp)
+
+    pts_list, ll_list, lp_list = [], [], []
+    for r in range(nd.shape[0]):
+        order = np.argsort(ll_[r], kind="stable")
+        pts_list.append(np.concatenate([dp[r, : nd[r]], lp_[r][order]]))
+        ll_list.append(np.concatenate([dl[r, : nd[r]], ll_[r][order]]))
+        lp_list.append(np.concatenate([dpr[r, : nd[r]], lpr_[r][order]]))
+    pts = jnp.asarray(np.concatenate(pts_list))
+    ll = jnp.asarray(np.concatenate(ll_list))
+    lp = jnp.asarray(np.concatenate(lp_list))
+    pts, ll, lp = dedup_by_point(pts, ll, lp)
+    order = jnp.argsort(ll, stable=True)
+    return evidence_sampling(
+        points=pts[order],
+        log_likelihoods=ll[order],
+        log_priors=lp[order],
+        sample_pool_size=total_pool,
+        schedule=None,  # constant combined pool (BS:1307)
+        key=key,
+        num_runs=post_process_sampling_runs,
+        empirical_posterior_type=empirical_posterior_type,
+        param_names=param_names,
+    )
 
 
 def parallel_nested_sampling(
@@ -108,35 +164,12 @@ def parallel_nested_sampling(
     ) = sharded(keys)
 
     # ---- host-side exact merge (combineRuns, BS:1293-1315) ----
-    pts_list, ll_list, lp_list = [], [], []
-    for r in range(num_runs):
-        nd = int(n_dead[r])
-        order = jnp.argsort(live_logl[r], stable=True)
-        pts_list.append(
-            jnp.concatenate([dead_points[r, :nd], live_points[r][order]])
-        )
-        ll_list.append(
-            jnp.concatenate([dead_logl[r, :nd], live_logl[r][order]])
-        )
-        lp_list.append(
-            jnp.concatenate([dead_logp[r, :nd], live_logp[r][order]])
-        )
-    pts = jnp.concatenate(pts_list)
-    ll = jnp.concatenate(ll_list)
-    lp = jnp.concatenate(lp_list)
-    # dedup by point exactly as combineRuns does (BS:1294-1297)
-    pts, ll, lp = dedup_by_point(pts, ll, lp)
-    order = jnp.argsort(ll, stable=True)
-
-    total_pool = num_runs * sample_pool_size
-    result = evidence_sampling(
-        points=pts[order],
-        log_likelihoods=ll[order],
-        log_priors=lp[order],
-        sample_pool_size=total_pool,
-        schedule=None,  # constant combined pool (BS:1307)
+    result = merge_runs(
+        dead_points, dead_logl, dead_logp, n_dead,
+        live_points, live_logl, live_logp,
+        total_pool=num_runs * sample_pool_size,
         key=jax.random.fold_in(key, 1),
-        num_runs=post_process_sampling_runs,
+        post_process_sampling_runs=post_process_sampling_runs,
         empirical_posterior_type=empirical_posterior_type,
         param_names=problem.param_names,
     )

@@ -49,6 +49,7 @@ from ..engines.nested_sampling import (
     _accumulate_evals,
     evals_to_int,
     generate_starting_points,
+    resolve_monte_carlo_method,
 )
 from ..models.problem import InferenceProblem
 from ..ops.metropolis import _cholesky as _small_chol, am_init, run_chain_adaptive
@@ -75,7 +76,7 @@ def sharded_pool_nested_sampling(
     starting_points=None,
     post_process_sampling_runs: Optional[int] = 100,
     empirical_posterior_type: str = "Simple",
-    monte_carlo_method: str = "adaptive_metropolis",
+    monte_carlo_method: str = "auto",
 ) -> NestedSamplingResult:
     """Run one pool-sharded NS program and post-process exactly like the
     single-device pipeline.  ``sample_pool_size`` is the TOTAL pool;
@@ -112,6 +113,7 @@ def sharded_pool_nested_sampling(
         starting_points = generate_starting_points(problem, k_start, n)
     starting_points = jnp.asarray(starting_points)
     dim = starting_points.shape[1]
+    monte_carlo_method = resolve_monte_carlo_method(monte_carlo_method, dim)
     dtype = jnp.result_type(starting_points.dtype, float)
     lz = log_zero(dtype)
     capacity = max_iterations * k
@@ -121,6 +123,106 @@ def sharded_pool_nested_sampling(
 
     log_likelihood = problem.guarded_log_likelihood
     log_prior = problem.guarded_log_prior
+
+    cond, body = build_pool_loop(
+        log_likelihood,
+        log_prior,
+        problem.in_support,
+        axis_name=axis_name,
+        n=n,
+        k=k,
+        n_loc=n_loc,
+        c=c,
+        dtype=dtype,
+        capacity=capacity,
+        log_xd=log_xd,
+        log_term=log_term,
+        mc=mc,
+        min_max_acceptance_rate=tuple(min_max_acceptance_rate),
+        covariance_learn_delay=covariance_learn_delay,
+        monte_carlo_method=monte_carlo_method,
+        max_iterations=max_iterations,
+        min_iterations=min_iterations,
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=(
+            P(axis_name), P(axis_name), P(axis_name),  # live, logl, logp
+            P(), P(), P(),  # replicated dead ledger
+            P(), P(), P(),  # n_dead, iterations, evals
+        ),
+        check_vma=False,
+    )
+    def run(starts_shard, key_rep):
+        init = pool_loop_init(
+            starts_shard, key_rep, log_likelihood, log_prior,
+            axis_name=axis_name, n=n, capacity=capacity, dtype=dtype,
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        (_, live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it,
+         _, _, evals, _, _) = out
+        return live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it, evals
+
+    live, logl, logp, dead_p, dead_l, dead_pr, n_dead, iters, evals = jax.jit(
+        run
+    )(starting_points, k_loop)
+
+    # ---- host-side finalize: dead prefix + sorted live tail ----
+    nd = int(n_dead)
+    order = jnp.argsort(logl, stable=True)
+    points = jnp.concatenate([dead_p[:nd], live[order]])
+    lls = jnp.concatenate([dead_l[:nd], logl[order]])
+    lps = jnp.concatenate([dead_pr[:nd], logp[order]])
+    result = evidence_sampling(
+        points=points,
+        log_likelihoods=lls,
+        log_priors=lps,
+        sample_pool_size=n,
+        schedule=pool_schedule(n, k, nd),
+        key=jax.random.fold_in(k_loop, 1),
+        num_runs=post_process_sampling_runs,
+        empirical_posterior_type=empirical_posterior_type,
+        param_names=problem.param_names,
+    )
+    return dataclasses.replace(
+        result,
+        num_likelihood_evals=evals_to_int(evals),
+        iterations=int(iters) - 1,
+    )
+
+
+def build_pool_loop(
+    log_likelihood,
+    log_prior,
+    in_support,
+    *,
+    axis_name: str,
+    n: int,
+    k: int,
+    n_loc: int,
+    c: int,
+    dtype,
+    capacity: int,
+    log_xd,
+    log_term,
+    mc,
+    min_max_acceptance_rate,
+    covariance_learn_delay: int,
+    monte_carlo_method: str,
+    max_iterations: int,
+    min_iterations: int,
+):
+    """(cond, body) of the pool-sharded NS while_loop, parameterized so the
+    SAME loop runs standalone (:func:`sharded_pool_nested_sampling`) or
+    nested inside a larger mesh program (the runs x live x data composition,
+    :func:`~.multi_axis_ns.multi_axis_nested_sampling`) — collectives are
+    scoped to ``axis_name`` ("live"), so extra mesh axes compose freely:
+    a data-sharded ``log_likelihood`` closes over its own ``psum("data")``,
+    and a "runs" axis partitions independent loop states."""
+    lz = log_zero(dtype)
 
     def body(state):
         (key_, live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it,
@@ -179,7 +281,7 @@ def sharded_pool_nested_sampling(
         # ---- k/P constrained chains per device, survivor starts ----
         def density(x):
             ok = jnp.logical_and(
-                problem.in_support(x), log_likelihood(x) > threshold
+                in_support(x), log_likelihood(x) > threshold
             )
             return jnp.where(ok, log_prior(x), lz)
 
@@ -203,9 +305,15 @@ def sharded_pool_nested_sampling(
                 st = run_slice_chain(ck, x0, density, dir_chol, mc[0])
                 return st.x, mean_est, cov_est, st.evals
         else:
+            from ..ops.metropolis import proposal_chol
+
+            chol0 = proposal_chol(cov_est)
 
             def one_chain(ck, x0):
-                st = am_init(x0, density, mean0=mean_est, cov0=cov_est, t0=10)
+                st = am_init(
+                    x0, density, mean0=mean_est, cov0=cov_est, t0=10,
+                    chol0=chol0,
+                )
                 st, acc = run_chain_adaptive(
                     ck, st, density, mc[0], mc[1], mc[2],
                     min_acceptance=min_max_acceptance_rate[0],
@@ -259,7 +367,6 @@ def sharded_pool_nested_sampling(
 
     def cond(state):
         it, log_z, log_missing = state[8], state[12], state[13]
-        n_dead = state[7]
         return jnp.logical_and(
             it <= max_iterations,
             jnp.logical_or(
@@ -267,67 +374,33 @@ def sharded_pool_nested_sampling(
             ),
         )
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis_name), P()),
-        out_specs=(
-            P(axis_name), P(axis_name), P(axis_name),  # live, logl, logp
-            P(), P(), P(),  # replicated dead ledger
-            P(), P(), P(),  # n_dead, iterations, evals
-        ),
-        check_vma=False,
-    )
-    def run(starts_shard, key_rep):
-        logl0 = jax.vmap(log_likelihood)(starts_shard).astype(dtype)
-        logp0 = jax.vmap(log_prior)(starts_shard).astype(dtype)
-        gmean = jax.lax.psum(jnp.sum(starts_shard, axis=0), axis_name) / n
-        centered = starts_shard - gmean
-        gcov = jax.lax.psum(centered.T @ centered, axis_name) / (n - 1)
-        init = (
-            key_rep,
-            starts_shard.astype(dtype),
-            logl0,
-            logp0,
-            jnp.zeros((capacity, dim), dtype),
-            jnp.full((capacity,), lz, dtype),
-            jnp.full((capacity,), lz, dtype),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(1, jnp.int32),
-            gmean.astype(dtype),
-            gcov.astype(dtype),
-            jnp.zeros((2,), jnp.int32),
-            jnp.asarray(lz, dtype),
-            jnp.asarray(0.0, dtype),
-        )
-        out = jax.lax.while_loop(cond, body, init)
-        (_, live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it,
-         _, _, evals, _, _) = out
-        return live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it, evals
+    return cond, body
 
-    live, logl, logp, dead_p, dead_l, dead_pr, n_dead, iters, evals = jax.jit(
-        run
-    )(starting_points, k_loop)
 
-    # ---- host-side finalize: dead prefix + sorted live tail ----
-    nd = int(n_dead)
-    order = jnp.argsort(logl, stable=True)
-    points = jnp.concatenate([dead_p[:nd], live[order]])
-    lls = jnp.concatenate([dead_l[:nd], logl[order]])
-    lps = jnp.concatenate([dead_pr[:nd], logp[order]])
-    result = evidence_sampling(
-        points=points,
-        log_likelihoods=lls,
-        log_priors=lps,
-        sample_pool_size=n,
-        schedule=pool_schedule(n, k, nd),
-        key=jax.random.fold_in(k_loop, 1),
-        num_runs=post_process_sampling_runs,
-        empirical_posterior_type=empirical_posterior_type,
-        param_names=problem.param_names,
-    )
-    return dataclasses.replace(
-        result,
-        num_likelihood_evals=evals_to_int(evals),
-        iterations=int(iters) - 1,
+def pool_loop_init(starts_shard, key_rep, log_likelihood, log_prior, *,
+                   axis_name, n, capacity, dtype):
+    """Initial while_loop state for one pool-sharded run (shared by the
+    standalone and multi-axis front-ends)."""
+    dim = starts_shard.shape[1]
+    lz = log_zero(dtype)
+    logl0 = jax.vmap(log_likelihood)(starts_shard).astype(dtype)
+    logp0 = jax.vmap(log_prior)(starts_shard).astype(dtype)
+    gmean = jax.lax.psum(jnp.sum(starts_shard, axis=0), axis_name) / n
+    centered = starts_shard - gmean
+    gcov = jax.lax.psum(centered.T @ centered, axis_name) / (n - 1)
+    return (
+        key_rep,
+        starts_shard.astype(dtype),
+        logl0,
+        logp0,
+        jnp.zeros((capacity, dim), dtype),
+        jnp.full((capacity,), lz, dtype),
+        jnp.full((capacity,), lz, dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(1, jnp.int32),
+        gmean.astype(dtype),
+        gcov.astype(dtype),
+        jnp.zeros((2,), jnp.int32),
+        jnp.asarray(lz, dtype),
+        jnp.asarray(0.0, dtype),
     )

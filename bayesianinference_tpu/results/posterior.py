@@ -64,25 +64,35 @@ def regression_predictive_distribution(
 ) -> PointwiseMixture:
     """Posterior predictive for a regression model at ``inputs`` [m, d_in]
     (BS:1437-1483): a per-input-point mixture over the posterior samples,
-    batched as one [S, m] component.
+    batched as one [S, m, ...] component.
 
-    ``dist_builder(theta, x)`` must return a scalar distribution of the
-    output at inputs ``x`` ([m, d_in] -> params [m])."""
+    ``dist_builder(theta, x)`` must return the output distribution at
+    inputs ``x``: scalar families map [m, d_in] -> params [m]; vector
+    outputs (the reference's multivariate generating-distribution form
+    with custom output keys, BS:1445-1466) map to event-shaped params
+    [m, k]/[m, k, k]/...  Per-theta-constant params (a noise level, a
+    dof, a shared output covariance) may be returned UNbatched over the
+    point axis — they are broadcast to [S, m, ...] here.  Ambiguity note:
+    a per-theta vector param whose length happens to equal m is read as
+    per-point; return it explicitly [m, k]-broadcast in that case."""
     inputs = jnp.asarray(inputs)
     if inputs.ndim == 1:
         inputs = inputs[:, None]  # [m] query points -> [m, 1]
     thetas, log_w = _select_samples(result, mode)
     component = jax.vmap(lambda th: dist_builder(th, inputs))(thetas)
-    # normalize parameter leaves to [S, m]: builders often return scalar
-    # params (e.g. one noise level per theta) alongside [m]-shaped ones
+    # normalize parameter leaves to [S, m, ...]
     m = inputs.shape[0]
     s = thetas.shape[0]
-    component = jax.tree_util.tree_map(
-        lambda p: jnp.broadcast_to(
-            p[:, None] if jnp.ndim(p) == 1 else p, (s, m)
-        ),
-        component,
-    )
+
+    def norm(p):
+        p = jnp.asarray(p)
+        if p.ndim == 1:  # scalar per theta
+            p = p[:, None]
+        elif p.ndim >= 2 and p.shape[1] != m:  # event-shaped per theta
+            p = p[:, None, ...]
+        return jnp.broadcast_to(p, (s, m) + p.shape[2:])
+
+    component = jax.tree_util.tree_map(norm, component)
     return PointwiseMixture(log_weights=log_w, component=component)
 
 

@@ -206,3 +206,64 @@ def test_categorical_batched_logits(rng):
         ]
     )
     np.testing.assert_allclose(lp, expected, rtol=1e-6)
+
+
+def test_batched_samplers_draw_independent_noise(key):
+    """Param-batched multivariate samplers must draw INDEPENDENT noise per
+    batch element: a z of shape (event,) broadcast against [B, ...] params
+    silently reuses ONE draw across the whole batch (the PointwiseMixture
+    vector-predictive bug, round 3).  Check pairwise decorrelation and the
+    per-element mean for each family."""
+    B = 400
+    zero2 = jnp.zeros((B, 2))
+    eye2 = jnp.broadcast_to(jnp.eye(2), (B, 2, 2))
+
+    def assert_independent(samples, atol_mean=0.15):
+        s = np.asarray(samples).reshape(B, -1)[:, 0]
+        assert s.std() > 0.1  # not one shared draw
+        # adjacent batch elements uncorrelated
+        r = np.corrcoef(s[0::2][: B // 2 - 1], s[1::2][: B // 2 - 1])[0, 1]
+        assert abs(r) < 0.2, r
+        assert abs(s.mean()) < atol_mean or s.mean() > 0  # sanity
+
+    assert_independent(d.MultivariateNormal(zero2, eye2).sample(key))
+    assert_independent(
+        d.MultivariateNormalPrecision(zero2, eye2).sample(key)
+    )
+    assert_independent(
+        d.MultivariateT(
+            df=jnp.full((B,), 7.0), loc=zero2, shape_matrix=eye2
+        ).sample(key)
+    )
+    assert_independent(
+        d.MatrixNormal(
+            jnp.zeros((B, 2, 3)),
+            row_cov=eye2,
+            col_cov=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        ).sample(key)
+    )
+    assert_independent(
+        d.MatrixT(
+            df=jnp.full((B,), 6.0),
+            loc=jnp.zeros((B, 2, 3)),
+            row_cov=eye2,
+            col_cov=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        ).sample(key)
+    )
+    w = d.Wishart(df=jnp.full((B,), 9.0), scale=eye2 * 0.5).sample(key)
+    assert w.shape == (B, 2, 2)
+    # E[X] = df * S = 4.5 I; off-diagonal decorrelated across batch
+    np.testing.assert_allclose(
+        np.asarray(w)[:, 0, 0].mean(), 4.5, rtol=0.15
+    )
+    assert_independent(w[:, 0, 1] / 2.0)
+    iw = d.InverseWishart(df=jnp.full((B,), 9.0), scale=eye2 * 6.0).sample(key)
+    assert iw.shape == (B, 2, 2)
+    # E[X] = Psi/(df - d - 1) = I
+    np.testing.assert_allclose(
+        np.asarray(iw)[:, 0, 0].mean(), 1.0, rtol=0.2
+    )
+    assert_independent(iw[:, 0, 1] * 2.0)
+    # shape arg composes with the param batch: [n] draws x [B] batch
+    s = d.MultivariateNormal(zero2, eye2).sample(key, (5,))
+    assert s.shape == (5, B, 2)

@@ -300,3 +300,92 @@ def test_sharded_gp_predict_mean_fn_and_no_query_nugget(rng):
     )
     np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean_ref), rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.asarray(std_sh), np.asarray(std_ref), rtol=1e-9, atol=1e-9)
+
+
+def test_multi_axis_nested_sampling(key):
+    """The composed runs x live x data program on a (2, 2, 2) mesh (one
+    public call: independent runs, pool sharded within each run, data
+    axis completed by one psum per density eval) must agree with the
+    plain single-device run on the same problem within combined error
+    bars (round-2 VERDICT item 3)."""
+    from bayesianinference_tpu.engines.nested_sampling import nested_sampling
+    from bayesianinference_tpu.parallel import (
+        make_multi_axis_mesh,
+        multi_axis_nested_sampling,
+    )
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.normal(0.5, 1.3, 64))
+
+    def full_loglike(th):
+        return jnp.sum(d.Normal(th[0], jnp.exp(th[1])).log_prob(data))
+
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0), ("log_sigma", -2.0, 2.0)],
+        log_likelihood=full_loglike,
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+    mesh = make_multi_axis_mesh(2, 2, 2)
+    r = multi_axis_nested_sampling(
+        problem,
+        key,
+        mesh=mesh,
+        sample_pool_size=64,
+        num_delete=8,
+        data=data,
+        local_log_likelihood=lambda th, shard: jnp.sum(
+            d.Normal(th[0], jnp.exp(th[1])).log_prob(shard)
+        ),
+        max_iterations=600,
+        min_iterations=50,
+        monte_carlo_steps=40,
+    )
+    assert r.num_likelihood_evals > 0 and r.iterations > 10
+
+    ref = nested_sampling(
+        problem,
+        jax.random.fold_in(key, 3),
+        sample_pool_size=128,  # same total pool as 2 runs x 64
+        max_iterations=1200,
+        min_iterations=50,
+        monte_carlo_steps=40,
+    )
+    err = np.hypot(
+        float(r.log_evidence.standard_error),
+        float(ref.log_evidence.standard_error),
+    )
+    diff = float(r.log_evidence.mean) - float(ref.log_evidence.mean)
+    assert abs(diff) < 4.0 * err, (diff, err)
+
+
+def test_multi_axis_ns_validation():
+    from bayesianinference_tpu.parallel import (
+        make_multi_axis_mesh,
+        multi_axis_nested_sampling,
+    )
+
+    problem = define_inference_problem(
+        parameters=[("x", -1.0, 1.0)],
+        log_likelihood=lambda th: jnp.sum(th) * 0.0,
+        prior_distribution=["location"],
+        validate=False,
+    )
+    mesh = make_multi_axis_mesh(2, 2, 2)
+    with pytest.raises(ValueError, match="together"):
+        multi_axis_nested_sampling(
+            problem, jax.random.PRNGKey(0), mesh=mesh,
+            sample_pool_size=64, data=jnp.zeros(8),
+        )
+    with pytest.raises(ValueError, match="data axis"):
+        multi_axis_nested_sampling(
+            problem, jax.random.PRNGKey(0), mesh=mesh,
+            sample_pool_size=64,
+        )
+    with pytest.raises(ValueError, match="multiple"):
+        multi_axis_nested_sampling(
+            problem, jax.random.PRNGKey(0), mesh=mesh,
+            sample_pool_size=63,
+            data=jnp.zeros(8),
+            local_log_likelihood=lambda th, s: jnp.sum(s) * 0.0,
+        )

@@ -173,10 +173,10 @@ def test_retry_loop_tests_per_block_acceptance(key):
     def dens(x):
         return -0.5 * jnp.sum(x * x)
 
-    # wide initial proposal (sigma=100): acceptance ~4e-4 until the running
-    # covariance adapts — rejected steps shrink it toward the stuck point
-    # as cov0/t, crossing the 0.2 bound around t ~ 2e3 << max_steps
-    st = am_init(jnp.zeros(2), dens, cov0=1e4 * jnp.eye(2), t0=0)
+    # wide initial proposal (sigma=10) seeded with t0=200 pretend-points so
+    # it persists: acceptance ~1e-2 until the running covariance decays as
+    # cov0*t0/t, crossing the 0.2 bound around t ~ 4e3 << max_steps
+    st = am_init(jnp.zeros(2), dens, cov0=100.0 * jnp.eye(2), t0=200)
     st, acc = jax.jit(
         lambda k, s: run_chain_adaptive(
             k, s, dens, 200, 100, 100_000,

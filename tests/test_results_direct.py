@@ -137,6 +137,111 @@ def test_predictive_and_report(key):
     assert acc is not None and np.isfinite(acc).sum() > 0
 
 
+def test_vector_output_regression_predictive(rng):
+    """2-output regression predictive (the reference's multivariate
+    generating-distribution form, BS:1445-1466): the PointwiseMixture
+    log-density, mean and samples match an explicit per-point scipy
+    mixture computed from the same posterior draws."""
+    from types import SimpleNamespace
+
+    S, m = 6, 4
+    thetas = jnp.asarray(rng.normal(size=(S, 3)) * [0.5, 0.5, 0.1] + [1.0, -1.0, 1.0])
+    logw = jnp.asarray(rng.normal(size=(S,)))
+    fake = SimpleNamespace(
+        points=thetas,
+        crude_log_posterior_weights=logw,
+        log_likelihoods=jnp.arange(S, dtype=float),
+        log_priors=jnp.zeros(S),
+    )
+    xq = jnp.linspace(-1.0, 1.0, m)[:, None]
+
+    def builder(th, xx):
+        loc = jnp.stack([th[0] * xx[:, 0], th[1] * xx[:, 0] ** 2], axis=-1)
+        cov = th[2] ** 2 * jnp.eye(2)  # per-theta constant, unbatched over m
+        return d.MultivariateNormal(loc, cov)
+
+    pred = regression_predictive_distribution(fake, builder, xq)
+    assert pred.event_shape == (2,)
+    assert pred.num_points == m
+
+    y = jnp.asarray(rng.normal(size=(m, 2)))
+    got_lp = np.asarray(pred.log_prob(y))
+    got_mean = np.asarray(pred.mean())
+
+    w = np.exp(np.asarray(logw - jax.scipy.special.logsumexp(logw)))
+    th = np.asarray(thetas)
+    x = np.asarray(xq)[:, 0]
+    for j in range(m):
+        dens = sum(
+            w[s]
+            * st.multivariate_normal.pdf(
+                np.asarray(y)[j],
+                [th[s, 0] * x[j], th[s, 1] * x[j] ** 2],
+                th[s, 2] ** 2 * np.eye(2),
+            )
+            for s in range(S)
+        )
+        np.testing.assert_allclose(got_lp[j], np.log(dens), rtol=1e-9)
+        mean_j = sum(
+            w[s] * np.asarray([th[s, 0] * x[j], th[s, 1] * x[j] ** 2])
+            for s in range(S)
+        )
+        np.testing.assert_allclose(got_mean[j], mean_j, rtol=1e-9)
+
+    # MC agreement of the sampler with the analytic per-point mean
+    samp = pred.sample(jax.random.PRNGKey(0), (20000,))
+    assert samp.shape == (20000, m, 2)
+    np.testing.assert_allclose(
+        np.asarray(samp).mean(axis=0), got_mean, atol=0.05
+    )
+    # scalar-output API still rejects multivariate cdf/quantile cleanly
+    with pytest.raises(NotImplementedError):
+        pred.cdf(y)
+
+
+def test_heterogeneous_mixture_matches_scipy(key):
+    """Mixed StudentT + Normal mixture (MixtureDistribution over an
+    arbitrary component list, BS:1431-1434): logpdf/cdf/moments vs scipy,
+    sampler moments, and jit/pytree round-trip."""
+    m = d.HeterogeneousMixture(
+        log_weights=jnp.log(jnp.asarray([0.3, 0.7])),
+        components=(
+            d.StudentT(df=4.0, loc=1.0, scale=2.0),
+            d.Normal(-1.0, 0.5),
+        ),
+    )
+    xs = np.linspace(-5, 8, 41)
+    np.testing.assert_allclose(
+        np.asarray(m.log_prob(jnp.asarray(xs))),
+        np.log(
+            0.3 * st.t.pdf(xs, 4, 1, 2) + 0.7 * st.norm.pdf(xs, -1, 0.5)
+        ),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.cdf(jnp.asarray(xs))),
+        0.3 * st.t.cdf(xs, 4, 1, 2) + 0.7 * st.norm.cdf(xs, -1, 0.5),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(float(m.mean()), 0.3 * 1.0 + 0.7 * -1.0)
+    s = np.asarray(m.sample(key, (100000,)))
+    np.testing.assert_allclose(s.mean(), float(m.mean()), atol=0.03)
+    np.testing.assert_allclose(s.var(), float(m.variance()), rtol=0.05)
+    # under jit (pytree flatten/unflatten round-trip)
+    np.testing.assert_allclose(
+        float(jax.jit(lambda mm, x: mm.log_prob(x))(m, 0.5)),
+        float(m.log_prob(0.5)),
+    )
+    with pytest.raises(ValueError, match="event shape"):
+        d.HeterogeneousMixture(
+            log_weights=jnp.zeros(2),
+            components=(
+                d.Normal(0.0, 1.0),
+                d.MultivariateNormal(jnp.zeros(2), jnp.eye(2)),
+            ),
+        )
+
+
 def test_posterior_predictive_check(key):
     """PPC on a well-specified model gives a central p-value; on a
     misspecified statistic (variance of overdispersed data under a
