@@ -280,6 +280,42 @@ def am_step(key, state: AMState, log_density_fn: Callable, learn_delay: int = 20
     )
 
 
+# Below this dimension the proposal matmul L @ Z and the block-end syrk
+# M M^T are unrolled into elementwise multiply/reduce ops: XLA lowers
+# batched tiny matmuls ([chains, d, d] @ [chains, d, j]) to a slow kernel
+# on TPU (same pathology as batched tiny cholesky), while the unrolled
+# form fuses on the VPU.
+_SMALL_MATMUL_MAX_DIM = 8
+
+
+def _small_matvecs(L, Z):
+    """Unrolled ``L @ Z`` for [.., d, d] @ [.., d, j] with small static d:
+    d^2 fused multiply-adds on [.., j] vectors."""
+    d = L.shape[-1]
+    rows = []
+    for i in range(d):
+        acc = L[..., i, 0, None] * Z[..., 0, :]
+        for jj in range(1, i + 1):  # L lower triangular
+            acc = acc + L[..., i, jj, None] * Z[..., jj, :]
+        rows.append(acc)
+    return jnp.stack(rows, axis=-2)
+
+
+def _small_syrk(M):
+    """Unrolled ``M @ M^T`` for [.., d, m] with small static d: d(d+1)/2
+    multiply-reduce ops over the (large) m axis, mirrored to symmetric."""
+    d = M.shape[-2]
+    rows = [M[..., i, :] for i in range(d)]
+    out = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            out[i][j] = jnp.sum(rows[i] * rows[j], axis=-1)
+            out[j][i] = out[i][j]
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in out], axis=-2
+    )
+
+
 def am_block(
     key,
     state: AMState,
@@ -316,7 +352,9 @@ def am_block(
     # no separate jitter noise: the maintained factor IS the factor of
     # (cov + _JITTER I) — both am_init/proposal_chol and the block-end
     # rebuild below re-inject the jitter floor
-    s_learn = scale * (state.chol @ z1)  # [d, j]
+    small = d <= _SMALL_MATMUL_MAX_DIM
+    shaped = _small_matvecs(state.chol, z1) if small else state.chol @ z1
+    s_learn = scale * shaped  # [d, j]
     s_base = scale * z1
     log_us = jnp.log(
         jax.random.uniform(
@@ -356,7 +394,8 @@ def am_block(
         ],
         axis=-1,
     )
-    cov = m @ m.T + _JITTER * jnp.eye(d, dtype=dtype)
+    syrk = _small_syrk(m) if small else m @ m.T
+    cov = syrk + _JITTER * jnp.eye(d, dtype=dtype)
     chol_new = small_cholesky(cov) if d <= _SMALL_CHOL_MAX_DIM else (
         jnp.linalg.cholesky(cov)
     )
