@@ -106,10 +106,8 @@ class MultivariateNormal(Distribution):
     def sample(self, key, shape=()):
         d = self.event_shape[0]
         L = self._chol()
-        batch = _param_batch((self.mean_, 1), (self.cov, 2))
-        z = jax.random.normal(
-            key, tuple(shape) + batch + (d,), dtype=L.dtype
-        )
+        full = _param_batch(shape, (self.mean_, 1), (self.cov, 2))
+        z = jax.random.normal(key, full + (d,), dtype=L.dtype)
         return _f(self.mean_) + jnp.einsum("...ij,...j->...i", L, z)
 
     def mean(self):
@@ -150,10 +148,8 @@ class MultivariateNormalPrecision(Distribution):
     def sample(self, key, shape=()):
         d = self.event_shape[0]
         Lp = jnp.linalg.cholesky(_f(self.precision))
-        batch = _param_batch((self.mean_, 1), (self.precision, 2))
-        z = jax.random.normal(
-            key, tuple(shape) + batch + (d,), dtype=Lp.dtype
-        )
+        full = _param_batch(shape, (self.mean_, 1), (self.precision, 2))
+        z = jax.random.normal(key, full + (d,), dtype=Lp.dtype)
         # x = mean + Lp^{-T} z
         dx = _solve_tri(Lp, z[..., None], trans=1)[..., 0]
         return _f(self.mean_) + dx
@@ -204,13 +200,11 @@ class MultivariateT(Distribution):
         k1, k2 = jax.random.split(key)
         L = jnp.linalg.cholesky(_f(self.shape_matrix))
         v = _f(self.df)
-        batch = _param_batch(
-            (self.df, 0), (self.loc, 1), (self.shape_matrix, 2)
+        full = _param_batch(
+            shape, (self.df, 0), (self.loc, 1), (self.shape_matrix, 2)
         )
-        z = jax.random.normal(
-            k1, tuple(shape) + batch + (d,), dtype=L.dtype
-        )
-        g = jax.random.gamma(k2, 0.5 * v, tuple(shape) + batch, dtype=L.dtype)
+        z = jax.random.normal(k1, full + (d,), dtype=L.dtype)
+        g = jax.random.gamma(k2, 0.5 * v, full, dtype=L.dtype)
         chi2 = 2.0 * g
         y = jnp.einsum("...ij,...j->...i", L, z)
         return _f(self.loc) + y * jnp.sqrt(v / chi2)[..., None]
@@ -256,12 +250,10 @@ class MatrixNormal(Distribution):
         n, p = self.event_shape
         Lu = jnp.linalg.cholesky(_f(self.row_cov))
         Lv = jnp.linalg.cholesky(_f(self.col_cov))
-        batch = _param_batch(
-            (self.loc, 2), (self.row_cov, 2), (self.col_cov, 2)
+        full = _param_batch(
+            shape, (self.loc, 2), (self.row_cov, 2), (self.col_cov, 2)
         )
-        z = jax.random.normal(
-            key, tuple(shape) + batch + (n, p), dtype=Lu.dtype
-        )
+        z = jax.random.normal(key, full + (n, p), dtype=Lu.dtype)
         return _f(self.loc) + jnp.einsum("...ij,...jk,...lk->...il", Lu, z, Lv)
 
     def mean(self):
@@ -321,25 +313,28 @@ class MatrixT(Distribution):
         s = iw.sample(k1, shape)  # [..., p, p]
         Lu = jnp.linalg.cholesky(_f(self.row_cov))
         Ls = jnp.linalg.cholesky(s)
-        batch = _param_batch(
-            (self.df, 0), (self.loc, 2), (self.row_cov, 2), (self.col_cov, 2)
+        full = _param_batch(
+            shape, (self.df, 0), (self.loc, 2), (self.row_cov, 2),
+            (self.col_cov, 2),
         )
-        z = jax.random.normal(
-            k2, tuple(shape) + batch + (n, p), dtype=Lu.dtype
-        )
+        z = jax.random.normal(k2, full + (n, p), dtype=Lu.dtype)
         return _f(self.loc) + jnp.einsum("...ij,...jk,...lk->...il", Lu, z, Ls)
 
     def mean(self):
         return _f(self.loc)
 
 
-def _param_batch(*specs):
-    """Broadcast batch shape of parameter arrays; ``specs`` are
-    (array, n_event_dims) pairs.  Samplers must draw INDEPENDENT noise for
-    every param-batch element — a z of shape ``shape + event`` broadcast
-    against batched params would silently share one draw across the batch
-    (the PointwiseMixture predictive bug fixed in round 3)."""
-    shapes = []
+def _param_batch(shape, *specs):
+    """Full draw shape: ``broadcast_shapes(shape, param batch shapes)``
+    — the same pairing convention as the scalar families (a request
+    shape equal to the param batch means ONE draw per batch element; use
+    leading draw axes for replication).  ``specs`` are (array,
+    n_event_dims) pairs.  Samplers must draw INDEPENDENT noise for every
+    element of the result batch — a z of shape ``shape + event``
+    broadcast against batched params would silently share one draw
+    across the batch (the PointwiseMixture predictive bug fixed in
+    round 3)."""
+    shapes = [tuple(shape)]
     for a, k in specs:
         sh = jnp.shape(a)
         shapes.append(sh[: len(sh) - k] if k else sh)
@@ -397,17 +392,10 @@ class Wishart(Distribution):
         d = jnp.shape(self.scale)[-1]
         Ls = jnp.linalg.cholesky(_f(self.scale))
         dtype = Ls.dtype
-        batch = _param_batch((self.df, 0), (self.scale, 2))
-
-        def one(k):
-            a = _bartlett(k, _f(self.df), d, dtype, batch)
-            la = Ls @ a
-            return la @ jnp.swapaxes(la, -1, -2)
-
-        keys = jax.random.split(key, int(jnp.prod(jnp.asarray(shape or (1,)))))
-        out = jax.vmap(one)(keys)
-        out = out.reshape(tuple(shape) + batch + (d, d)) if shape else out[0]
-        return out
+        full = _param_batch(shape, (self.df, 0), (self.scale, 2))
+        a = _bartlett(key, _f(self.df), d, dtype, full)
+        la = Ls @ a
+        return la @ jnp.swapaxes(la, -1, -2)
 
     def mean(self):
         return _f(self.df) * _f(self.scale)
@@ -451,22 +439,15 @@ class InverseWishart(Distribution):
         d = jnp.shape(self.scale)[-1]
         Lp = jnp.linalg.cholesky(_f(self.scale))
         dtype = Lp.dtype
-        batch = _param_batch((self.df, 0), (self.scale, 2))
-
-        def one(k):
-            a = _bartlett(k, _f(self.df), d, dtype, batch)
-            # X^-1 = Lp^{-T} A A^T Lp^{-1}  =>  X = Lp A^{-T} A^{-1} Lp^T
-            ainv = solve_triangular(
-                a, jnp.broadcast_to(jnp.eye(d, dtype=dtype), a.shape),
-                lower=True,
-            )
-            m = Lp @ jnp.swapaxes(ainv, -1, -2)
-            return m @ jnp.swapaxes(m, -1, -2)
-
-        keys = jax.random.split(key, int(jnp.prod(jnp.asarray(shape or (1,)))))
-        out = jax.vmap(one)(keys)
-        out = out.reshape(tuple(shape) + batch + (d, d)) if shape else out[0]
-        return out
+        full = _param_batch(shape, (self.df, 0), (self.scale, 2))
+        a = _bartlett(key, _f(self.df), d, dtype, full)
+        # X^-1 = Lp^{-T} A A^T Lp^{-1}  =>  X = Lp A^{-T} A^{-1} Lp^T
+        ainv = solve_triangular(
+            a, jnp.broadcast_to(jnp.eye(d, dtype=dtype), a.shape),
+            lower=True,
+        )
+        m = Lp @ jnp.swapaxes(ainv, -1, -2)
+        return m @ jnp.swapaxes(m, -1, -2)
 
     def mean(self):
         d = jnp.shape(self.scale)[-1]

@@ -264,6 +264,12 @@ def test_batched_samplers_draw_independent_noise(key):
         np.asarray(iw)[:, 0, 0].mean(), 1.0, rtol=0.2
     )
     assert_independent(iw[:, 0, 1] * 2.0)
-    # shape arg composes with the param batch: [n] draws x [B] batch
-    s = d.MultivariateNormal(zero2, eye2).sample(key, (5,))
+    # shape arg follows the scalar families' broadcast-pairing convention:
+    # shape == batch pairs one draw per element; leading axes replicate
+    s = d.MultivariateNormal(zero2, eye2).sample(key, (B,))
+    assert s.shape == (B, 2)
+    s = d.MultivariateNormal(zero2, eye2).sample(key, (5, B))
     assert s.shape == (5, B, 2)
+    # replicated draws across the leading axis are independent
+    assert abs(np.corrcoef(np.asarray(s)[0, :, 0],
+                           np.asarray(s)[1, :, 0])[0, 1]) < 0.2
