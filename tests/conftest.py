@@ -13,9 +13,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # the suite is COMPILE-dominated; backend opt level 0 cuts cold CPU
+    # compile times ~25% with identical test outcomes (correctness, not
+    # throughput, is what the suite measures)
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_ENABLE_X64"] = "1"
 
 import jax  # noqa: E402
@@ -43,3 +47,64 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="session")
+def shared_ns():
+    """ONE standard data-based NS run shared by every result-consumer test
+    (diagnostics, information criteria, summary, weights): mu-only Normal
+    model, 40 obs ~ N(1.2, 1).  Sharing the run removes a fresh NS-loop
+    compile (+run) per test — the cold suite is compile-dominated.
+    Returns (problem, data, pointwise_loglike, result)."""
+    import jax.numpy as jnp
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines.nested_sampling import nested_sampling
+    from bayesianinference_tpu.models import define_inference_problem
+
+    rng = np.random.default_rng(3)
+    data = jnp.asarray(rng.normal(1.2, 1.0, size=40))
+
+    def pointwise(th):
+        return d.Normal(th[0], 1.0).log_prob(data)
+
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        log_likelihood=lambda th: jnp.sum(pointwise(th)),
+        prior_distribution=["location"],
+        validate=False,
+    )
+    res = nested_sampling(
+        problem, jax.random.PRNGKey(42), sample_pool_size=100,
+        max_iterations=800, post_process_sampling_runs=8,
+    )
+    return problem, data, pointwise, res
+
+
+@pytest.fixture(scope="session")
+def regression_ns():
+    """ONE standard 3-parameter regression NS run (line + noise scale)
+    shared by the viz / predictive-consumer tests.
+    Returns (problem, result, x, y)."""
+    import jax.numpy as jnp
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines.nested_sampling import nested_sampling
+    from bayesianinference_tpu.models import define_inference_problem
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.linspace(-2, 2, 25)
+    y = 1.5 * x + 0.5 + 0.3 * jax.random.normal(key, (25,))
+    problem = define_inference_problem(
+        parameters=[("a", -5.0, 5.0), ("b", -5.0, 5.0), ("sigma", 0.05, 3.0)],
+        log_likelihood=lambda th: jnp.sum(
+            d.Normal(th[0] * x + th[1], th[2]).log_prob(y)
+        ),
+        prior_distribution=["location", "location", "scale"],
+        validate=False,
+    )
+    res = nested_sampling(
+        problem, key, sample_pool_size=50, max_iterations=500,
+        min_iterations=50, monte_carlo_steps=40,
+    )
+    return problem, res, x, y

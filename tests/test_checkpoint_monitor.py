@@ -132,7 +132,7 @@ def test_progress_and_interrupt(key):
     assert seen[0][0] % 10 == 0
 
 
-def test_save_load_result_roundtrip(key, tmp_path):
+def test_save_load_result_roundtrip(key, tmp_path, shared_ns):
     """NestedSamplingResult and LaplaceFit serialize to .npz and round-trip
     exactly (posterior artifacts for storage/serving)."""
     from bayesianinference_tpu import dists as d
@@ -144,16 +144,7 @@ def test_save_load_result_roundtrip(key, tmp_path):
     )
     from bayesianinference_tpu.models import define_inference_problem
 
-    problem = define_inference_problem(
-        parameters=[("x", -4.0, 4.0), ("y", -4.0, 4.0)],
-        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
-        prior_distribution=["location", "location"],
-        validate=False,
-    )
-    res = nested_sampling(
-        problem, key, sample_pool_size=40, max_iterations=200,
-        min_iterations=20, monte_carlo_steps=30,
-    )
+    problem, _, _, res = shared_ns
     p = tmp_path / "ns_result.npz"
     save_result(p, res)
     back = load_result(p)
@@ -179,8 +170,9 @@ def test_save_load_result_roundtrip(key, tmp_path):
     np.testing.assert_allclose(
         np.asarray(back2.precision_matrix), np.asarray(fit.precision_matrix), rtol=0
     )
+    dim = np.asarray(fit.mean).shape[0]
     s = back2.posterior_distribution.sample(key, (10,))
-    assert s.shape == (10, 2)
+    assert s.shape == (10, dim)
 
 
 def test_load_ns_run_migrates_scalar_eval_counter(tmp_path, key):

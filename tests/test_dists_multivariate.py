@@ -214,7 +214,7 @@ def test_batched_samplers_draw_independent_noise(key):
     silently reuses ONE draw across the whole batch (the PointwiseMixture
     vector-predictive bug, round 3).  Check pairwise decorrelation and the
     per-element mean for each family."""
-    B = 400
+    B = 256
     zero2 = jnp.zeros((B, 2))
     eye2 = jnp.broadcast_to(jnp.eye(2), (B, 2, 2))
 

@@ -43,7 +43,14 @@ def _random_problem(seed):
     return problem, data, scale, prior_scale
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize(
+    "seed",
+    [
+        11,
+        pytest.param(23, marks=pytest.mark.slow),
+        pytest.param(47, marks=pytest.mark.slow),
+    ],
+)
 def test_three_engines_agree_on_random_problem(seed):
     problem, data, scale, prior_scale = _random_problem(seed)
 

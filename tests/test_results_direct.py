@@ -242,7 +242,7 @@ def test_heterogeneous_mixture_matches_scipy(key):
         )
 
 
-def test_posterior_predictive_check(key):
+def test_posterior_predictive_check(key, shared_ns):
     """PPC on a well-specified model gives a central p-value; on a
     misspecified statistic (variance of overdispersed data under a
     fixed-variance model) it flags misfit with p near 0."""
@@ -254,17 +254,8 @@ def test_posterior_predictive_check(key):
     from bayesianinference_tpu.results import posterior_predictive_check
 
     rng = np.random.default_rng(0)
-    data = jnp.asarray(rng.normal(0.7, 1.0, size=60))
-    problem = define_inference_problem(
-        parameters=[("mu", -5.0, 5.0)],
-        log_likelihood=lambda th: jnp.sum(d.Normal(th[0], 1.0).log_prob(data)),
-        prior_distribution=["location"],
-        validate=False,
-    )
-    res = nested_sampling(
-        problem, key, sample_pool_size=80, max_iterations=600,
-        post_process_sampling_runs=8,
-    )
+    # well-specified part: the shared standard run (data ~ N(1.2, 1))
+    _, data, _, res = shared_ns
     builder = lambda th: d.Normal(th[0], 1.0)
 
     t_obs, t_rep, p = posterior_predictive_check(
@@ -276,7 +267,7 @@ def test_posterior_predictive_check(key):
 
     # overdispersed observed data vs the sigma=1 model: the variance
     # statistic must reject
-    bad = jnp.asarray(rng.normal(0.7, 2.5, size=60))
+    bad = jnp.asarray(rng.normal(0.7, 2.5, size=60))  # sigma 2.5 vs model 1
     problem2 = define_inference_problem(
         parameters=[("mu", -5.0, 5.0)],
         log_likelihood=lambda th: jnp.sum(d.Normal(th[0], 1.0).log_prob(bad)),

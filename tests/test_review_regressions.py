@@ -69,25 +69,12 @@ def test_kde_1d_samples(key):
     assert abs(lp - st.norm(0, 1).logpdf(0.0)) < 0.2
 
 
-def test_regression_predictive_1d_inputs(key):
+def test_regression_predictive_1d_inputs(regression_ns):
     from bayesianinference_tpu.results import regression_predictive_distribution
 
-    x = jnp.linspace(-2, 2, 25)
-    y = 1.5 * x + 0.3 * jax.random.normal(key, (25,))
-    problem = define_inference_problem(
-        parameters=[("a", -5.0, 5.0), ("sigma", 0.05, 3.0)],
-        log_likelihood=lambda th: jnp.sum(
-            d.Normal(th[0] * x, th[1]).log_prob(y)
-        ),
-        prior_distribution=["location", "scale"],
-        validate=False,
-    )
-    res = nested_sampling(
-        problem, key, sample_pool_size=40, max_iterations=300,
-        min_iterations=40, monte_carlo_steps=30,
-    )
+    _, res, x, y = regression_ns
     pred = regression_predictive_distribution(
-        res, lambda th, xx: d.Normal(th[0] * xx[:, 0], th[1]),
+        res, lambda th, xx: d.Normal(th[0] * xx[:, 0] + th[1], th[2]),
         jnp.linspace(-1, 1, 7),  # 1-D inputs
     )
     assert pred.mean().shape == (7,)

@@ -10,24 +10,10 @@ from bayesianinference_tpu.results import regression_predictive_distribution
 from bayesianinference_tpu import viz
 
 
-@pytest.fixture(scope="module")
-def ns_result():
-    key = jax.random.PRNGKey(0)
-    x = jnp.linspace(-2, 2, 25)
-    y = 1.5 * x + 0.5 + 0.3 * jax.random.normal(key, (25,))
-    problem = define_inference_problem(
-        parameters=[("a", -5.0, 5.0), ("b", -5.0, 5.0), ("sigma", 0.05, 3.0)],
-        log_likelihood=lambda th: jnp.sum(
-            d.Normal(th[0] * x + th[1], th[2]).log_prob(y)
-        ),
-        prior_distribution=["location", "location", "scale"],
-        validate=False,
-    )
-    res = nested_sampling(
-        problem, key, sample_pool_size=50, max_iterations=500,
-        min_iterations=50, monte_carlo_steps=40,
-    )
-    return problem, res, x, y
+@pytest.fixture
+def ns_result(regression_ns):
+    # the session-scoped standard regression run (tests/conftest.py)
+    return regression_ns
 
 
 def test_all_plots_render(ns_result, tmp_path):
