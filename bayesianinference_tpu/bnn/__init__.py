@@ -6,7 +6,11 @@ from .losses import (
     regression_loss,
 )
 from .nets import RegressionNet, regression_net
-from .predict import sample_trained_net, train_regression_net
+from .predict import (
+    TrainedRegressionNet,
+    sample_trained_net,
+    train_regression_net,
+)
 
 __all__ = [
     "alpha_divergence_loss",
@@ -16,6 +20,7 @@ __all__ = [
     "regression_loss",
     "RegressionNet",
     "regression_net",
+    "TrainedRegressionNet",
     "sample_trained_net",
     "train_regression_net",
 ]

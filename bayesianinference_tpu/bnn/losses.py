@@ -114,17 +114,49 @@ def net_regularization_loss(params, lam=1.0, p: float = 2):
 
 def network_log_evidence(
     net,
-    params,
-    key,
-    x,
-    y,
-    lambda2: float = 0.0,
+    params_or_key,
+    key_or_x=None,
+    x_or_y=None,
+    y=None,
+    lambda2=None,
     *,
-    alpha: float = 0.5,
-    sample_number: int = 100,
+    alpha=None,
+    sample_number=None,
 ):
     """Quasi log-evidence -(mean alpha-div NLL + L2 regularization)
-    (``networkLogEvidence``, NN:349-387)."""
+    (``networkLogEvidence``, NN:349-387).
+
+    Two call forms:
+
+    * ``network_log_evidence(trained, key, x, y)`` with a
+      :class:`~.predict.TrainedRegressionNet` — alpha, the MC sample
+      count and the L2 weight are AUTO-extracted from the trained bundle
+      (the reference reads alpha back out of the trained net graph,
+      NN:361-374); keyword overrides still win.
+    * ``network_log_evidence(net, params, key, x, y, lambda2=0.0,
+      alpha=0.5, sample_number=100)`` — the explicit form.
+    """
+    from .predict import TrainedRegressionNet
+
+    if isinstance(net, TrainedRegressionNet):
+        trained = net
+        net = trained.net
+        params = trained.params
+        key, x, y = params_or_key, key_or_x, x_or_y
+        if alpha is None:
+            alpha = trained.alpha
+        if sample_number is None:
+            sample_number = trained.sample_number
+        if lambda2 is None:
+            lambda2 = trained.weight_decay
+    else:
+        params, key, x = params_or_key, key_or_x, x_or_y
+        if alpha is None:
+            alpha = 0.5
+        if sample_number is None:
+            sample_number = 100
+        if lambda2 is None:
+            lambda2 = 0.0
     nll = regression_loss(
         net, params, key, x, y, alpha=alpha, sample_number=sample_number
     )

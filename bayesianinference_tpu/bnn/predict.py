@@ -9,7 +9,7 @@ epistemic + aliased aleatoric variance — yielding one Normal per input.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,25 @@ from ..dists.scalar import Normal
 from .losses import net_regularization_loss, regression_loss
 from .nets import RegressionNet
 
-__all__ = ["train_regression_net", "sample_trained_net"]
+__all__ = [
+    "TrainedRegressionNet",
+    "train_regression_net",
+    "sample_trained_net",
+]
+
+
+class TrainedRegressionNet(NamedTuple):
+    """A trained net bundled with its loss configuration, so consumers can
+    AUTO-extract the training hyperparameters the way the reference reads
+    alpha back out of the trained NetGraph (``networkLogEvidence``'s
+    net-inspection, NN:361-374)."""
+
+    params: dict
+    history: "jnp.ndarray"
+    net: RegressionNet
+    alpha: Optional[float]
+    sample_number: int
+    weight_decay: float
 
 
 def train_regression_net(
@@ -34,9 +52,12 @@ def train_regression_net(
     learning_rate: float = 1e-3,
     num_steps: int = 2000,
     batch_size: Optional[int] = None,
-) -> Tuple[dict, jnp.ndarray]:
-    """Train with Adam on the (alpha-divergence) Gaussian loss; returns
-    (params, loss_history)."""
+) -> "TrainedRegressionNet":
+    """Train with Adam on the (alpha-divergence) Gaussian loss; returns a
+    :class:`TrainedRegressionNet` — unpack ``trained.params`` /
+    ``trained.history``, or pass the whole bundle to
+    :func:`~.losses.network_log_evidence` for reference-style
+    auto-extraction of alpha (NN:361-374)."""
     x = jnp.atleast_2d(jnp.asarray(x))
     y = jnp.asarray(y).reshape(-1)
     k_init, k_train = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
@@ -73,7 +94,14 @@ def train_regression_net(
     (params, _), history = jax.lax.scan(
         step, (params, opt_state), jax.random.split(k_train, num_steps)
     )
-    return params, history
+    return TrainedRegressionNet(
+        params=params,
+        history=history,
+        net=net,
+        alpha=alpha,
+        sample_number=sample_number,
+        weight_decay=weight_decay,
+    )
 
 
 def sample_trained_net(

@@ -87,6 +87,46 @@ def bench_gp(n=16384, reps=4):
     )
 
 
+def bench_ns_d32(n_live=65536, num_delete=32768, mc_steps=200, iters=4):
+    """High-dimensional NS throughput through the DEFAULT path (d=32 ->
+    auto-dispatched slice kernel) — the round-2 VERDICT's collapse case,
+    machine-captured."""
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.models import define_inference_problem
+    from bayesianinference_tpu.engines.nested_sampling import (
+        evals_to_int,
+        nested_sampling_loop,
+    )
+
+    a = 5.0
+    problem = define_inference_problem(
+        parameters=[(f"x{i}", -a, a) for i in range(32)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location"] * 32,
+        validate=False,
+    )
+    key = jax.random.PRNGKey(0)
+    starts = problem.prior_distribution.sample(key, (n_live,))
+
+    def run(k):
+        return nested_sampling_loop(
+            problem, starts, k,
+            max_iterations=iters, min_iterations=iters,
+            monte_carlo_steps=(mc_steps, mc_steps, mc_steps),
+            num_delete=num_delete,
+        )
+
+    r = run(key)
+    float(r.state.log_z)
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        r = run(jax.random.fold_in(key, rep + 1))
+        float(r.state.log_z)
+        best = min(best, time.perf_counter() - t0)
+    return evals_to_int(r.state.num_likelihood_evals) / best
+
+
 def bench_blr(n=4096, reps=20):
     """BASELINE config 1: conjugate BLR on 1-D polynomial data — fits/s
     (the pure-XLA dense-linear-algebra path, LR:32-128)."""
@@ -210,6 +250,12 @@ def main():
         file=sys.stderr,
     )
 
+    d32_eps = bench_ns_d32()
+    print(
+        f"[bench] d=32 default path (auto->slice): {d32_eps/1e6:.0f}M evals/s",
+        file=sys.stderr,
+    )
+
     gp_fwd_ms, gp_grad_ms, gp_tflops = bench_gp()
     print(
         f"[bench] gp n=16k fwd={gp_fwd_ms:.1f}ms grad={gp_grad_ms:.1f}ms "
@@ -232,6 +278,7 @@ def main():
                 "value": evals_per_sec,
                 "unit": "evals/s",
                 "vs_baseline": evals_per_sec / 1e6,
+                "ns_d32_default_path_evals_per_sec": round(d32_eps),
                 "gp_logml_fwd_ms_n16k": round(gp_fwd_ms, 2),
                 "gp_logml_grad_ms_n16k": round(gp_grad_ms, 2),
                 "gp_logml_grad_tflops_n16k": round(gp_tflops, 2),

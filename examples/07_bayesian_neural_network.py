@@ -26,10 +26,11 @@ x = rng.uniform(-2, 2, size=(512, 1)).astype(np.float32)
 y = np.sin(2 * x[:, 0]) + 0.1 * rng.normal(size=512).astype(np.float32)
 
 net = regression_net(depth=3, layer_size=64, dropout_probability=0.1)
-params, history = train_regression_net(
+trained = train_regression_net(
     net, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y),
     alpha=0.5, sample_number=8, num_steps=3000, learning_rate=3e-3,
 )
+params, history = trained.params, trained.history
 print(f"loss: {float(history[0]):.3f} -> {float(history[-1]):.3f}")
 
 xq = np.linspace(-1.8, 1.8, 9)[:, None].astype(np.float32)
@@ -37,8 +38,10 @@ pred = sample_trained_net(net, params, jax.random.PRNGKey(1), jnp.asarray(xq))
 for xi, m, s in zip(xq[:, 0], np.asarray(pred.mean()), np.asarray(pred.std())):
     print(f"  f({xi:+.2f}) = {m:+.3f} ± {s:.3f}   (true {np.sin(2 * xi):+.3f})")
 
+# the trained bundle auto-extracts alpha (the reference reads it back out
+# of the trained net graph, NN:361-374)
 lz = network_log_evidence(
-    net, params, jax.random.PRNGKey(2), jnp.asarray(x), jnp.asarray(y),
-    lambda2=1e-4, alpha=0.5, sample_number=50,
+    trained, jax.random.PRNGKey(2), jnp.asarray(x), jnp.asarray(y),
+    lambda2=1e-4, sample_number=50,
 )
 print(f"network log evidence: {float(lz):.2f}")

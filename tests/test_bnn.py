@@ -67,10 +67,11 @@ def test_bnn_end_to_end(key):
     y = np.sin(2 * x[:, 0]) + 0.1 * rng.normal(size=256).astype(np.float32)
 
     net = regression_net(depth=2, layer_size=48, dropout_probability=0.1)
-    params, history = train_regression_net(
+    trained = train_regression_net(
         net, key, jnp.asarray(x), jnp.asarray(y),
         alpha=0.5, sample_number=5, num_steps=1500, learning_rate=3e-3,
     )
+    params, history = trained.params, trained.history
     assert float(history[-100:].mean()) < float(history[:100].mean())
 
     xq = np.linspace(-1.8, 1.8, 31)[:, None].astype(np.float32)
@@ -84,11 +85,17 @@ def test_bnn_end_to_end(key):
     # coverage: most truths within 3 predictive sigma
     assert np.mean(np.abs(mean - truth) < 3 * std) > 0.9
 
-    # network log evidence is finite and improves with a trained net
+    # network log evidence is finite and improves with a trained net;
+    # the bundle form AUTO-extracts alpha from training (NN:361-374)
     lz_trained = float(
         network_log_evidence(net, params, key, jnp.asarray(x), jnp.asarray(y),
                              lambda2=0.0, alpha=0.5, sample_number=20)
     )
+    lz_auto = float(
+        network_log_evidence(trained, key, jnp.asarray(x), jnp.asarray(y),
+                             sample_number=20)
+    )
+    assert np.isfinite(lz_auto)
     params0 = net.init({"params": key, "dropout": key}, jnp.asarray(x[:1]),
                        deterministic=True)
     lz_init = float(
