@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.containers import WeightedSamples
-from ..core.numerics import log_zero, logsumexp
+from ..core.numerics import log_zero, logaddexp, logsubexp, logsumexp
 from ..dists.empirical import Empirical
 from ..ops.ns_math import (
     crude_log_x_deleted,
@@ -202,6 +202,245 @@ def _simulated_arrays(
     safe_ll = jnp.where(log_likelihoods > 0.5 * lz, log_likelihoods, 0.0)
     rel_entropy = post_w @ safe_ll - z_samples  # [R]
     return sampled_log_x, z_samples, log_post_w, post_w, param_means, rel_entropy
+
+
+@partial(jax.jit, static_argnames=("n_live", "num_runs"))
+def _padded_evidence_program(
+    key,
+    schedule,  # [cap] per-deletion pool sizes (values beyond n_dead ignored)
+    dead_logl,  # [cap]
+    live_logl,  # [n_live] sorted ascending
+    dead_points,  # [cap, d]
+    live_points,  # [n_live, d]
+    n_dead,  # traced int
+    n_live: int,
+    num_runs: int,
+):
+    """ALL evidence post-processing on capacity-padded buffers: compiled
+    once per (capacity, n_live, num_runs) and reused by every fit of that
+    configuration — the classic path retraces per realized sample count
+    (each fit terminates at a data-dependent n_dead), which costs a fresh
+    compile per fit in production serving.
+
+    Invalid dead slots (index >= n_dead) carry weight log-zero and do not
+    perturb the X schedule (their shrinkage factor is forced to 1).
+    Returns padded arrays; the host slices the valid prefix."""
+    dtype = jnp.result_type(live_logl.dtype, float)
+    cap = schedule.shape[0]
+    lz = log_zero(dtype)
+    half = jnp.log(jnp.asarray(0.5, dtype))
+    log2 = jnp.log(jnp.asarray(2.0, dtype))
+    idx = jnp.arange(cap)
+    active = idx < n_dead
+    dead_logl = jnp.where(active, dead_logl.astype(dtype), lz)
+    live_logl = live_logl.astype(dtype)
+    # padded slots shrink by a factor of exactly 1
+    sched = jnp.where(active, schedule.astype(dtype), jnp.inf)
+
+    # ---- crude (deterministic X schedule) ----
+    log_xd = -jnp.cumsum(1.0 / sched)  # [cap], flat beyond n_dead
+    crude_log_z, dead_w, live_w, live_log_x = _crude_masked_pieces(
+        log_xd, n_dead, dead_logl, live_logl
+    )
+    dead_crude = jnp.where(active, dead_w + dead_logl, lz)
+    live_crude = live_w + live_logl
+    crude_lw = jnp.concatenate([dead_crude, live_crude])
+    log_x_all = jnp.concatenate([log_xd, live_log_x])
+    ll_all = jnp.concatenate([dead_logl, live_logl])
+    crude_entropy = entropy_from_weights(crude_lw, ll_all, crude_log_z)
+    ll_max = jnp.max(live_logl)
+    log_missing = live_log_x[-1] + ll_max
+    # descending crude weight; invalid slots (weight lz) sort last
+    order = jnp.argsort(-crude_lw, stable=True)
+
+    # ---- simulated X trajectories (BS:1200-1235) ----
+    k1, k2 = jax.random.split(key)
+    e = jax.random.exponential(k1, (num_runs, cap), dtype)
+    s_log_xd = -jnp.cumsum(e / sched, axis=-1)  # [R, cap], flat beyond nd
+    last = -s_log_xd[:, -1:]
+    tail = last + jax.random.exponential(k2, (num_runs, n_live), dtype)
+    s_log_xl = -jnp.sort(tail, axis=-1)  # [R, n]
+
+    mirror = logsubexp(log2, s_log_xd[:, :1])
+    prev_d = jnp.concatenate([mirror, s_log_xd[:, :-1]], axis=-1)
+    nxt_d = jnp.concatenate(
+        [s_log_xd[:, 1:], jnp.full_like(s_log_xd[:, :1], lz)], axis=-1
+    )
+    nxt_d = jnp.where(idx == n_dead - 1, s_log_xl[:, :1], nxt_d)
+    w_dead = jnp.where(active, half + logsubexp(prev_d, nxt_d), lz)
+
+    prev_l = jnp.concatenate([s_log_xd[:, -1:], s_log_xl[:, :-1]], axis=-1)
+    nxt_l = jnp.concatenate(
+        [s_log_xl[:, 1:], jnp.full_like(s_log_xl[:, :1], lz)], axis=-1
+    )
+    w_live = half + logsubexp(prev_l, nxt_l)
+    w_live = w_live.at[:, -1].set(
+        half + logaddexp(s_log_xl[:, -2], s_log_xl[:, -1])
+    )
+
+    log_ev_w = jnp.concatenate(
+        [jnp.where(active, w_dead + dead_logl, lz), w_live + live_logl],
+        axis=-1,
+    )  # [R, cap + n]
+    z_samples = logsumexp(log_ev_w, axis=-1)
+    log_post_w = log_ev_w - z_samples[:, None]
+    post_w = jnp.exp(log_post_w)  # invalid slots: exp(lz - z) == 0
+    pts_all = jnp.concatenate(
+        [dead_points.astype(dtype), live_points.astype(dtype)]
+    )
+    param_means = post_w @ pts_all
+    safe_ll = jnp.where(ll_all > 0.5 * lz, ll_all, 0.0)
+    rel_entropy = post_w @ safe_ll - z_samples
+    sampled_log_x = jnp.concatenate([s_log_xd, s_log_xl], axis=-1)
+
+    return (
+        crude_lw,
+        crude_log_z,
+        crude_entropy,
+        ll_max,
+        log_missing,
+        log_x_all,
+        order,
+        sampled_log_x,
+        z_samples,
+        log_post_w,
+        post_w,
+        param_means,
+        rel_entropy,
+    )
+
+
+def _crude_masked_pieces(log_xd, n_dead, dead_logl, live_logl_sorted):
+    """The loop's masked crude-logZ computation, reused for the padded
+    evidence program (imported lazily to avoid a module cycle)."""
+    from .nested_sampling import _crude_log_z_masked
+
+    return _crude_log_z_masked(log_xd, n_dead, dead_logl, live_logl_sorted)
+
+
+def evidence_sampling_padded(
+    *,
+    dead_points,  # [cap, d] deletion-ordered
+    dead_logl,  # [cap]
+    dead_logp,  # [cap]
+    live_points,  # [n, d] sorted ascending by logL
+    live_logl,  # [n]
+    live_logp,  # [n]
+    n_dead,  # int or 0-d array
+    schedule,  # [cap]
+    key=None,
+    num_runs: int = 100,
+    empirical_posterior_type: str = "Simple",
+    param_names: Tuple[str, ...] = (),
+) -> NestedSamplingResult:
+    """Fixed-shape evidence post-processing: one compiled program per
+    (capacity, pool, num_runs), shared by every fit of that configuration
+    regardless of where each run terminated.  Produces the same
+    :class:`NestedSamplingResult` as :func:`evidence_sampling` (the crude
+    quantities agree to float precision; the simulated error bars draw a
+    different — equally valid — RNG stream).  The classic variable-shape
+    path remains for merged/combined runs."""
+    import numpy as np
+
+    if not num_runs or num_runs <= 0:
+        raise ValueError("evidence_sampling_padded needs num_runs >= 1")
+    n_live = int(live_logl.shape[0])
+    key = jax.random.PRNGKey(0) if key is None else key
+    out = _padded_evidence_program(
+        key,
+        jnp.asarray(schedule),
+        jnp.asarray(dead_logl),
+        jnp.asarray(live_logl),
+        jnp.asarray(dead_points),
+        jnp.asarray(live_points),
+        jnp.asarray(n_dead, jnp.int32),
+        n_live,
+        int(num_runs),
+    )
+    (
+        crude_lw,
+        crude_log_z,
+        crude_entropy,
+        ll_max,
+        log_missing,
+        log_x_all,
+        order,
+        sampled_log_x,
+        z_samples,
+        log_post_w,
+        post_w,
+        param_means,
+        rel_entropy,
+    ) = (np.asarray(o) for o in out)
+    nd = int(n_dead)
+    cap = dead_logl.shape[0]
+    n_total = nd + n_live
+    dtype = crude_lw.dtype
+
+    # valid slots in padded order: dead [0, nd) + live [cap, cap + n);
+    # order the valid slots by descending crude weight (the classic
+    # path's output ordering), robust to sentinel-weight valid slots
+    keep = np.concatenate([np.arange(nd), np.arange(cap, cap + n_live)])
+    sel = keep[np.argsort(-crude_lw[keep], kind="stable")]
+    pts_all = np.concatenate(
+        [np.asarray(dead_points)[:nd], np.asarray(live_points)]
+    )
+    # map padded indices -> compact [0, n_total) indices
+    pos = np.full(cap + n_live, -1)
+    pos[keep] = np.arange(n_total)
+    sel_c = pos[sel]
+
+    lp_all = np.concatenate(
+        [np.asarray(dead_logp)[:nd], np.asarray(live_logp)]
+    )
+    ll_all = np.concatenate(
+        [np.asarray(dead_logl)[:nd], np.asarray(live_logl)]
+    )
+
+    def me(arr):  # [R, padded] -> MeanAndError over runs, sliced + ordered
+        a = arr[:, sel]
+        return MeanAndError(
+            mean=jnp.asarray(a.mean(axis=0)),
+            standard_error=jnp.asarray(a.std(axis=0, ddof=1)),
+        )
+
+    return NestedSamplingResult(
+        points=jnp.asarray(pts_all[sel_c]),
+        log_likelihoods=jnp.asarray(ll_all[sel_c]),
+        log_priors=jnp.asarray(lp_all[sel_c]),
+        crude_log_posterior_weights=jnp.asarray(
+            (crude_lw - crude_log_z)[sel]
+        ),
+        log_x=jnp.asarray(log_x_all[sel]),
+        sampled_log_x=me(sampled_log_x),
+        log_posterior_weights=me(log_post_w),
+        log_evidence=MeanAndError(
+            mean=jnp.asarray(z_samples.mean()),
+            standard_error=jnp.asarray(z_samples.std(ddof=1)),
+        ),
+        crude_log_evidence=jnp.asarray(crude_log_z),
+        log_likelihood_maximum=jnp.asarray(ll_max),
+        log_estimated_missing_evidence=jnp.asarray(log_missing),
+        crude_relative_entropy=jnp.asarray(crude_entropy),
+        relative_entropy=MeanAndError(
+            mean=jnp.asarray(rel_entropy.mean()),
+            standard_error=jnp.asarray(rel_entropy.std(ddof=1)),
+        ),
+        parameter_expected_values=MeanAndError(
+            mean=jnp.asarray(param_means.mean(axis=0)),
+            standard_error=jnp.asarray(param_means.std(axis=0, ddof=1)),
+        ),
+        sample_pool_size=n_live,
+        generated_nested_samples=nd,
+        total_samples=int(n_total),
+        param_names=tuple(param_names),
+        empirical_posterior_type=empirical_posterior_type,
+        posterior_weight_runs=(
+            jnp.asarray(post_w[:, sel])
+            if empirical_posterior_type != "Simple"
+            else None
+        ),
+    )
 
 
 def evidence_sampling(

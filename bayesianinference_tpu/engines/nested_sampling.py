@@ -656,19 +656,54 @@ def nested_sampling(
             save_ns_run(checkpoint_path, run)
     else:
         run = nested_sampling_loop(problem, starting_points, k_loop, **loop_kwargs)
-    points, logl, logp, acc, n_deleted = run.finalize()
-    schedule = pool_schedule(run.n_live, run.num_delete, n_deleted)
-    result = evidence_sampling(
-        points=points,
-        log_likelihoods=logl,
-        log_priors=logp,
-        sample_pool_size=run.n_live,
-        schedule=schedule,
-        key=jax.random.fold_in(k_loop, 1),
-        num_runs=post_process_sampling_runs,
-        empirical_posterior_type=empirical_posterior_type,
-        param_names=problem.param_names,
-    )
+    if post_process_sampling_runs and post_process_sampling_runs > 0:
+        # fixed-shape post-processing: ONE compiled program per
+        # (capacity, pool, num_runs) config, shared across fits no matter
+        # where each run terminated (the variable-shape path retraces per
+        # realized sample count — a compile per fit in repeated serving)
+        from .evidence import evidence_sampling_padded
+
+        s = run.state
+        order = jnp.argsort(s.live_logl, stable=True)
+        result = evidence_sampling_padded(
+            dead_points=s.dead_points,
+            dead_logl=s.dead_logl,
+            dead_logp=s.dead_logp,
+            live_points=s.live_points[order],
+            live_logl=s.live_logl[order],
+            live_logp=s.live_logp[order],
+            n_dead=s.n_dead,
+            schedule=pool_schedule(run.n_live, run.num_delete, run.capacity),
+            key=jax.random.fold_in(k_loop, 1),
+            num_runs=int(post_process_sampling_runs),
+            empirical_posterior_type=empirical_posterior_type,
+            param_names=problem.param_names,
+        )
+        import numpy as _np
+
+        nd = result.generated_nested_samples
+        acc = jnp.asarray(
+            _np.concatenate(
+                [
+                    _np.asarray(s.dead_acc[:nd]),
+                    _np.full((run.n_live,), _np.nan),
+                ]
+            )
+        )
+    else:
+        points, logl, logp, acc, n_deleted = run.finalize()
+        schedule = pool_schedule(run.n_live, run.num_delete, n_deleted)
+        result = evidence_sampling(
+            points=points,
+            log_likelihoods=logl,
+            log_priors=logp,
+            sample_pool_size=run.n_live,
+            schedule=schedule,
+            key=jax.random.fold_in(k_loop, 1),
+            num_runs=post_process_sampling_runs,
+            empirical_posterior_type=empirical_posterior_type,
+            param_names=problem.param_names,
+        )
     return dataclasses.replace(
         result,
         acceptance_rates=acc,

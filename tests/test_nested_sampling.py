@@ -471,3 +471,73 @@ def test_log_bayes_factor():
     bf2 = log_bayes_factor(R(jnp.asarray(-3.0)), R(jnp.asarray(-5.0)))
     np.testing.assert_allclose(float(bf2.mean), 2.0)
     np.testing.assert_allclose(float(bf2.standard_error), 0.0)
+
+
+def test_padded_evidence_matches_classic(key):
+    """The fixed-shape padded post-processing (one compile per config)
+    must reproduce the classic variable-shape path: crude quantities to
+    float precision, the simulated error bars statistically (they draw a
+    different, equally valid RNG stream)."""
+    from bayesianinference_tpu.engines.evidence import (
+        evidence_sampling_padded,
+    )
+    from bayesianinference_tpu.engines.nested_sampling import (
+        nested_sampling_loop,
+    )
+    from bayesianinference_tpu.ops.ns_math import pool_schedule
+
+    problem = _problem()
+    starts = problem.prior_distribution.sample(key, (60,))
+    run = nested_sampling_loop(
+        problem, starts, key, max_iterations=500, min_iterations=50,
+        monte_carlo_steps=40, num_delete=2,
+    )
+    s = run.state
+
+    points, logl, logp, acc, nd = run.finalize()
+    classic = evidence_sampling(
+        points=points, log_likelihoods=logl, log_priors=logp,
+        sample_pool_size=run.n_live,
+        schedule=pool_schedule(run.n_live, run.num_delete, nd),
+        key=jax.random.fold_in(key, 1), num_runs=400,
+    )
+    order = jnp.argsort(s.live_logl, stable=True)
+    padded = evidence_sampling_padded(
+        dead_points=s.dead_points, dead_logl=s.dead_logl,
+        dead_logp=s.dead_logp,
+        live_points=s.live_points[order], live_logl=s.live_logl[order],
+        live_logp=s.live_logp[order],
+        n_dead=s.n_dead,
+        schedule=pool_schedule(run.n_live, run.num_delete, run.capacity),
+        key=jax.random.fold_in(key, 2), num_runs=400,
+    )
+    # deterministic (crude) quantities agree to float precision
+    np.testing.assert_allclose(
+        float(padded.crude_log_evidence), float(classic.crude_log_evidence),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded.points), np.asarray(classic.points), rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded.crude_log_posterior_weights),
+        np.asarray(classic.crude_log_posterior_weights), rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(padded.log_x), np.asarray(classic.log_x), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(padded.crude_relative_entropy),
+        float(classic.crude_relative_entropy), rtol=1e-9,
+    )
+    assert padded.total_samples == classic.total_samples
+    assert padded.generated_nested_samples == classic.generated_nested_samples
+    # simulated error bars: same estimator, different RNG stream
+    za, ea = float(classic.log_evidence.mean), float(classic.log_evidence.standard_error)
+    zb, eb = float(padded.log_evidence.mean), float(padded.log_evidence.standard_error)
+    assert abs(za - zb) < 4 * np.hypot(ea, eb) / np.sqrt(400) * 20, (za, zb)
+    assert abs(ea / eb - 1) < 0.3, (ea, eb)
+    np.testing.assert_allclose(
+        np.asarray(padded.parameter_expected_values.mean),
+        np.asarray(classic.parameter_expected_values.mean), atol=0.05,
+    )
