@@ -54,11 +54,18 @@ def squared_distances(x1, x2):
     """Pairwise squared Euclidean distances via the matmul identity
     |a-b|^2 = |a|^2 + |b|^2 - 2 a.b  — one MXU matmul instead of an
     O(n^2 d) gather loop (the reference assembles entry-by-entry via
-    SymmetrizedArray, GP:31-43)."""
+    SymmetrizedArray, GP:31-43).
+
+    The Gram matmul runs at ``Precision.HIGHEST``: TPU's default bf16
+    matmul loses ~1e-2 relative on the cross terms, enough to push the
+    assembled covariance NON-positive-definite past small nuggets
+    (measured: min eig -8e-4 at n=256, nugget 0.05 -> Cholesky NaN ->
+    sentinel logML).  The sqdist matmul is O(n^2 d) against the
+    factorization's O(n^3), so full precision here is free."""
     x1, x2 = _f(x1), _f(x2)
     n1 = jnp.sum(x1 * x1, axis=-1)
     n2 = jnp.sum(x2 * x2, axis=-1)
-    g = x1 @ x2.T
+    g = jnp.matmul(x1, x2.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(n1[:, None] + n2[None, :] - 2.0 * g, 0.0)
 
 
@@ -178,7 +185,11 @@ def linear_kernel(variance=1.0, offset=0.0) -> Kernel:
     """Dot-product kernel v * (x - c).(x' - c) (non-stationary)."""
     v, c = _f(variance), _f(offset)
     return Kernel(
-        matrix=lambda a, b: v * ((_f(a) - c) @ (_f(b) - c).T),
+        # HIGHEST precision for the same PD-safety reason as
+        # squared_distances (bf16 Gram error vs small nuggets)
+        matrix=lambda a, b: v * jnp.matmul(
+            _f(a) - c, (_f(b) - c).T, precision=jax.lax.Precision.HIGHEST
+        ),
         diag=lambda a: v * jnp.sum((_f(a) - c) ** 2, axis=-1),
         exactly_symmetric=True,
     )
