@@ -149,19 +149,24 @@ def _update_parameters(
     ymat = y[:, None] if univariate else y
     b0 = prior.b[:, None] if univariate else prior.b
     n = ymat.shape[0]
-    gram = dmat.T @ dmat
+    # data-length matmuls at HIGHEST precision: TPU's default bf16 loses
+    # ~1e-2 relative on X^T X / X^T Y, which the "exact" candidate-point
+    # log evidence amplifies; these products are O(n k^2) — negligible
+    hp = jax.lax.Precision.HIGHEST
+    gram = jnp.matmul(dmat.T, dmat, precision=hp)
     lam_n = gram + prior.lam
     lam_n = 0.5 * (lam_n + lam_n.T)
     cf = cho_factor(lam_n)
-    bn = cho_solve(cf, dmat.T @ ymat + prior.lam @ b0)
+    bn = cho_solve(cf, jnp.matmul(dmat.T, ymat, precision=hp) + prior.lam @ b0)
     lam_inv_n = cho_solve(cf, jnp.eye(lam_n.shape[0], dtype=lam_n.dtype))
     lam_inv_n = 0.5 * (lam_inv_n + lam_inv_n.T)
     resid = ymat - dmat @ bn
     bdiff = bn - b0
+    rtr = jnp.matmul(resid.T, resid, precision=hp)
     v_n = prior.v + (
-        (resid.T @ resid + bdiff.T @ prior.lam @ bdiff)[0, 0]
+        (rtr + bdiff.T @ prior.lam @ bdiff)[0, 0]
         if univariate
-        else resid.T @ resid + bdiff.T @ prior.lam @ bdiff
+        else rtr + bdiff.T @ prior.lam @ bdiff
     )
     return BLRParameters(
         b=bn[:, 0] if univariate else bn,

@@ -72,9 +72,12 @@ def _sharded_blr_program(mesh, axis_name, basis, include_constant, m):
         keep = ws[:, None] > 0
         dm = jnp.where(keep, dm, 0.0)
         ysm = jnp.where(keep, ys, 0.0)
-        xtx = jax.lax.psum(dm.T @ dm, axis_name)
-        xty = jax.lax.psum(dm.T @ ysm, axis_name)
-        yty = jax.lax.psum(ysm.T @ ysm, axis_name)
+        # HIGHEST precision on the data-length products — same PD /
+        # exact-logZ rationale as the dense path (engines/conjugate.py)
+        hp = jax.lax.Precision.HIGHEST
+        xtx = jax.lax.psum(jnp.matmul(dm.T, dm, precision=hp), axis_name)
+        xty = jax.lax.psum(jnp.matmul(dm.T, ysm, precision=hp), axis_name)
+        yty = jax.lax.psum(jnp.matmul(ysm.T, ysm, precision=hp), axis_name)
         n = jax.lax.psum(jnp.sum(ws), axis_name)
         return xtx, xty, yty, n
 
@@ -106,7 +109,10 @@ def _mean_scatter_program(mesh, axis_name):
         n = jax.lax.psum(jnp.sum(ws), axis_name)
         mean = jax.lax.psum(jnp.sum(xs * ws[:, None], axis=0), axis_name) / n
         c = (xs - mean) * ws[:, None]
-        scatter = jax.lax.psum(c.T @ c, axis_name)
+        scatter = jax.lax.psum(
+            jnp.matmul(c.T, c, precision=jax.lax.Precision.HIGHEST),
+            axis_name,
+        )
         return n, mean, scatter
 
     return jax.jit(stats)
