@@ -402,3 +402,35 @@ def test_multi_axis_ns_validation():
             data=jnp.zeros(8),
             local_log_likelihood=lambda th, s: jnp.sum(s) * 0.0,
         )
+
+
+def test_sharded_pool_ns_slice_kernel(key):
+    """The slice branch of the pool-sharded loop (what "auto" dispatches
+    to above d=16, also inside the composed multi-axis program) passes
+    the analytic-evidence oracle on the mesh."""
+    from bayesianinference_tpu.parallel.sharded_pool_ns import (
+        sharded_pool_nested_sampling,
+    )
+
+    a = 5.0
+    problem = define_inference_problem(
+        parameters=[("x", -a, a), ("y", -a, a)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+    analytic = -2 * np.log(2 * a)
+    r = sharded_pool_nested_sampling(
+        problem,
+        key,
+        sample_pool_size=128,
+        num_delete=8,
+        max_iterations=900,
+        min_iterations=50,
+        monte_carlo_steps=12,  # ~5 x dim slice updates
+        monte_carlo_method="slice",
+    )
+    z = (float(r.log_evidence.mean) - analytic) / float(
+        r.log_evidence.standard_error
+    )
+    assert abs(z) < 4.0, (float(r.log_evidence.mean), analytic, z)
