@@ -170,23 +170,39 @@ def sharded_pool_nested_sampling(
         run
     )(starting_points, k_loop)
 
-    # ---- host-side finalize: dead prefix + sorted live tail ----
-    nd = int(n_dead)
+    # ---- post-processing on the capacity-padded buffers (ONE compiled
+    # program per config; see engines.evidence.evidence_sampling_padded)
     order = jnp.argsort(logl, stable=True)
-    points = jnp.concatenate([dead_p[:nd], live[order]])
-    lls = jnp.concatenate([dead_l[:nd], logl[order]])
-    lps = jnp.concatenate([dead_pr[:nd], logp[order]])
-    result = evidence_sampling(
-        points=points,
-        log_likelihoods=lls,
-        log_priors=lps,
-        sample_pool_size=n,
-        schedule=pool_schedule(n, k, nd),
-        key=jax.random.fold_in(k_loop, 1),
-        num_runs=post_process_sampling_runs,
-        empirical_posterior_type=empirical_posterior_type,
-        param_names=problem.param_names,
-    )
+    if post_process_sampling_runs and post_process_sampling_runs > 0:
+        from ..engines.evidence import evidence_sampling_padded
+
+        result = evidence_sampling_padded(
+            dead_points=dead_p,
+            dead_logl=dead_l,
+            dead_logp=dead_pr,
+            live_points=live[order],
+            live_logl=logl[order],
+            live_logp=logp[order],
+            n_dead=n_dead,
+            schedule=schedule,
+            key=jax.random.fold_in(k_loop, 1),
+            num_runs=int(post_process_sampling_runs),
+            empirical_posterior_type=empirical_posterior_type,
+            param_names=problem.param_names,
+        )
+    else:
+        nd = int(n_dead)
+        result = evidence_sampling(
+            points=jnp.concatenate([dead_p[:nd], live[order]]),
+            log_likelihoods=jnp.concatenate([dead_l[:nd], logl[order]]),
+            log_priors=jnp.concatenate([dead_pr[:nd], logp[order]]),
+            sample_pool_size=n,
+            schedule=pool_schedule(n, k, nd),
+            key=jax.random.fold_in(k_loop, 1),
+            num_runs=post_process_sampling_runs,
+            empirical_posterior_type=empirical_posterior_type,
+            param_names=problem.param_names,
+        )
     return dataclasses.replace(
         result,
         num_likelihood_evals=evals_to_int(evals),
