@@ -9,7 +9,7 @@ epistemic + aliased aleatoric variance — yielding one Normal per input.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

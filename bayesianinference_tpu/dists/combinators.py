@@ -15,7 +15,7 @@ from typing import Callable, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.numerics import log_zero, logsumexp, safe_log
+from ..core.numerics import logsumexp, safe_log
 from .base import Distribution, dist_dataclass
 
 __all__ = [

@@ -14,7 +14,7 @@ node is a free parameter packed into the flat theta vector.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ device.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable
 
 import jax
