@@ -250,8 +250,6 @@ def _padded_evidence_program(
     crude_entropy = entropy_from_weights(crude_lw, ll_all, crude_log_z)
     ll_max = jnp.max(live_logl)
     log_missing = live_log_x[-1] + ll_max
-    # descending crude weight; invalid slots (weight lz) sort last
-    order = jnp.argsort(-crude_lw, stable=True)
 
     # ---- simulated X trajectories (BS:1200-1235) ----
     k1, k2 = jax.random.split(key)
@@ -300,7 +298,6 @@ def _padded_evidence_program(
         ll_max,
         log_missing,
         log_x_all,
-        order,
         sampled_log_x,
         z_samples,
         log_post_w,
@@ -364,7 +361,6 @@ def evidence_sampling_padded(
         ll_max,
         log_missing,
         log_x_all,
-        order,
         sampled_log_x,
         z_samples,
         log_post_w,
@@ -375,7 +371,6 @@ def evidence_sampling_padded(
     nd = int(n_dead)
     cap = dead_logl.shape[0]
     n_total = nd + n_live
-    dtype = crude_lw.dtype
 
     # valid slots in padded order: dead [0, nd) + live [cap, cap + n);
     # order the valid slots by descending crude weight (the classic
