@@ -127,6 +127,60 @@ def bench_ns_d32(n_live=65536, num_delete=32768, mc_steps=200, iters=4):
     return evals_to_int(r.state.num_likelihood_evals) / best
 
 
+def bench_gbm(n_live=65536, num_delete=49152, mc_steps=400, iters=4):
+    """BASELINE config 5: GBM time-series regression likelihood (256
+    observations per eval), 64k live points — same config as
+    benchmarks/ns_64k_live_points.py."""
+    import numpy as np
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.models import define_inference_problem
+    from bayesianinference_tpu.engines.nested_sampling import (
+        evals_to_int,
+        nested_sampling_loop,
+    )
+
+    mu_true, sigma_true, s0 = 0.3, 0.25, 1.0
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0.05, 3.0, size=256)).astype(np.float32)
+    y = s0 * np.exp(
+        (mu_true - sigma_true**2 / 2) * t
+        + sigma_true * rng.normal(size=256).astype(np.float32) * np.sqrt(t)
+    )
+    tj, yj = jnp.asarray(t), jnp.asarray(y)
+    problem = define_inference_problem(
+        parameters=[("mu", -2.0, 2.0), ("sigma", 0.01, 2.0)],
+        log_likelihood=lambda th: jnp.sum(
+            d.LogNormal(
+                loc=jnp.log(s0) + (th[0] - th[1] ** 2 / 2) * tj,
+                scale=th[1] * jnp.sqrt(tj),
+            ).log_prob(yj)
+        ),
+        prior_distribution=["location", "scale"],
+        validate=False,
+    )
+    key = jax.random.PRNGKey(0)
+    starts = problem.prior_distribution.sample(key, (n_live,))
+
+    def run(k):
+        return nested_sampling_loop(
+            problem, starts, k,
+            max_iterations=iters, min_iterations=iters,
+            monte_carlo_steps=(mc_steps, mc_steps, mc_steps),
+            num_delete=num_delete,
+        )
+
+    r = run(key)
+    float(r.state.log_z)
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        r = run(jax.random.fold_in(key, rep + 1))
+        float(r.state.log_z)
+        best = min(best, time.perf_counter() - t0)
+    return evals_to_int(r.state.num_likelihood_evals) / best
+
+
 def bench_blr(n=4096, reps=20):
     """BASELINE config 1: conjugate BLR on 1-D polynomial data — fits/s
     (the pure-XLA dense-linear-algebra path, LR:32-128)."""
@@ -256,6 +310,12 @@ def main():
         file=sys.stderr,
     )
 
+    gbm_eps = bench_gbm()
+    print(
+        f"[bench] GBM 64k-live regression: {gbm_eps/1e6:.0f}M evals/s",
+        file=sys.stderr,
+    )
+
     gp_fwd_ms, gp_grad_ms, gp_tflops = bench_gp()
     print(
         f"[bench] gp n=16k fwd={gp_fwd_ms:.1f}ms grad={gp_grad_ms:.1f}ms "
@@ -279,6 +339,7 @@ def main():
                 "unit": "evals/s",
                 "vs_baseline": evals_per_sec / 1e6,
                 "ns_d32_default_path_evals_per_sec": round(d32_eps),
+                "ns_gbm_64k_evals_per_sec": round(gbm_eps),
                 "gp_logml_fwd_ms_n16k": round(gp_fwd_ms, 2),
                 "gp_logml_grad_ms_n16k": round(gp_grad_ms, 2),
                 "gp_logml_grad_tflops_n16k": round(gp_tflops, 2),
