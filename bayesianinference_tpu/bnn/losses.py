@@ -139,6 +139,11 @@ def network_log_evidence(
     from .predict import TrainedRegressionNet
 
     if isinstance(net, TrainedRegressionNet):
+        if y is not None:
+            raise TypeError(
+                "bundle form is network_log_evidence(trained, key, x, y); "
+                "pass lambda2/alpha/sample_number by keyword"
+            )
         trained = net
         net = trained.net
         params = trained.params

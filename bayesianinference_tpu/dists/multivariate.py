@@ -309,14 +309,17 @@ class MatrixT(Distribution):
         # S ~ InverseWishart(df + p - 1, V); X | S ~ MatrixNormal(M, U, S)
         n, p = self.event_shape
         k1, k2 = jax.random.split(key)
-        iw = InverseWishart(df=_f(self.df) + p - 1.0, scale=_f(self.col_cov))
-        s = iw.sample(k1, shape)  # [..., p, p]
-        Lu = jnp.linalg.cholesky(_f(self.row_cov))
-        Ls = jnp.linalg.cholesky(s)
         full = _param_batch(
             shape, (self.df, 0), (self.loc, 2), (self.row_cov, 2),
             (self.col_cov, 2),
         )
+        iw = InverseWishart(df=_f(self.df) + p - 1.0, scale=_f(self.col_cov))
+        # one INDEPENDENT scale draw per result element: drawing with the
+        # request shape alone would share a single IW draw across
+        # param-broadcast batch elements (the shared-draw bug class)
+        s = iw.sample(k1, full)  # [full..., p, p]
+        Lu = jnp.linalg.cholesky(_f(self.row_cov))
+        Ls = jnp.linalg.cholesky(s)
         z = jax.random.normal(k2, full + (n, p), dtype=Lu.dtype)
         return _f(self.loc) + jnp.einsum("...ij,...jk,...lk->...il", Lu, z, Ls)
 

@@ -341,6 +341,12 @@ def evidence_sampling_padded(
 
     if not num_runs or num_runs <= 0:
         raise ValueError("evidence_sampling_padded needs num_runs >= 1")
+    if int(n_dead) < 1:
+        raise ValueError(
+            "evidence_sampling_padded needs n_dead >= 1 (the padded "
+            "simulated-weight stitching assumes a dead prefix; use "
+            "evidence_sampling for zero-deletion sample sets)"
+        )
     n_live = int(live_logl.shape[0])
     key = jax.random.PRNGKey(0) if key is None else key
     out = _padded_evidence_program(

@@ -86,7 +86,10 @@ def proposal_chol(cov0) -> jnp.ndarray:
     diag_fallback = jnp.sqrt(
         jnp.abs(jnp.diagonal(cov0, axis1=-2, axis2=-1)) + _JITTER
     )[..., None] * eye
-    return jnp.where(jnp.isfinite(L0).all(), L0, diag_fallback)
+    # per-matrix gate: with batched input, only the degenerate elements
+    # fall back, not the whole batch
+    ok = jnp.isfinite(L0).all(axis=(-2, -1), keepdims=True)
+    return jnp.where(ok, L0, diag_fallback)
 
 
 def am_init(

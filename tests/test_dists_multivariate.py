@@ -273,3 +273,31 @@ def test_batched_samplers_draw_independent_noise(key):
     # replicated draws across the leading axis are independent
     assert abs(np.corrcoef(np.asarray(s)[0, :, 0],
                            np.asarray(s)[1, :, 0])[0, 1]) < 0.2
+
+
+def test_matrix_t_batched_scale_draws_independent(key):
+    """MatrixT sampling uses the inverse-Wishart mixture representation;
+    the scale draw must be independent PER batch element (a scale drawn
+    with the request shape alone is silently shared across a param
+    batch, suppressing the heavy-tail between-sample variability)."""
+    B, df = 300, 3.0
+    loc = jnp.zeros((B, 2, 2))
+    mt_batched = d.MatrixT(
+        df=df, loc=loc, row_cov=jnp.eye(2), col_cov=jnp.eye(2)
+    )
+    s_batch = np.asarray(mt_batched.sample(key))  # one call, B elements
+    ln_batch = np.log(np.linalg.norm(s_batch.reshape(B, -1), axis=1))
+
+    mt_single = d.MatrixT(
+        df=df, loc=jnp.zeros((2, 2)), row_cov=jnp.eye(2), col_cov=jnp.eye(2)
+    )
+    s_indep = np.asarray(
+        jax.vmap(lambda k: mt_single.sample(k))(jax.random.split(key, B))
+    )
+    ln_indep = np.log(np.linalg.norm(s_indep.reshape(B, -1), axis=1))
+
+    # heavy-tail dispersion of log-norms must match the fully independent
+    # draws (a shared scale collapses the within-call dispersion)
+    assert ln_batch.std() > 0.6 * ln_indep.std(), (
+        ln_batch.std(), ln_indep.std(),
+    )
