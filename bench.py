@@ -87,26 +87,17 @@ def bench_gp(n=16384, reps=4):
     )
 
 
-def bench_ns_d32(n_live=65536, num_delete=32768, mc_steps=200, iters=4):
-    """High-dimensional NS throughput through the DEFAULT path (d=32 ->
-    auto-dispatched slice kernel) — the round-2 VERDICT's collapse case,
-    machine-captured."""
-    from bayesianinference_tpu import dists as d
-    from bayesianinference_tpu.models import define_inference_problem
+def _time_ns_loop(problem, starts, *, num_delete, mc_steps, iters, reps=3):
+    """Shared NS timing scaffold: compile+warm with a host fetch (through
+    the axon tunnel block_until_ready does not await completion), then
+    best-of-``reps`` steady-state runs.  Returns (evals_per_sec, evals,
+    wall_seconds, last_run)."""
     from bayesianinference_tpu.engines.nested_sampling import (
         evals_to_int,
         nested_sampling_loop,
     )
 
-    a = 5.0
-    problem = define_inference_problem(
-        parameters=[(f"x{i}", -a, a) for i in range(32)],
-        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
-        prior_distribution=["location"] * 32,
-        validate=False,
-    )
     key = jax.random.PRNGKey(0)
-    starts = problem.prior_distribution.sample(key, (n_live,))
 
     def run(k):
         return nested_sampling_loop(
@@ -119,12 +110,34 @@ def bench_ns_d32(n_live=65536, num_delete=32768, mc_steps=200, iters=4):
     r = run(key)
     float(r.state.log_z)
     best = float("inf")
-    for rep in range(3):
+    for rep in range(reps):
         t0 = time.perf_counter()
         r = run(jax.random.fold_in(key, rep + 1))
         float(r.state.log_z)
         best = min(best, time.perf_counter() - t0)
-    return evals_to_int(r.state.num_likelihood_evals) / best
+    evals = evals_to_int(r.state.num_likelihood_evals)
+    return evals / best, evals, best, r
+
+
+def bench_ns_d32(n_live=65536, num_delete=32768, mc_steps=200, iters=4):
+    """High-dimensional NS throughput through the DEFAULT path (d=32 ->
+    auto-dispatched slice kernel) — the round-2 VERDICT's collapse case,
+    machine-captured."""
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.models import define_inference_problem
+
+    a = 5.0
+    problem = define_inference_problem(
+        parameters=[(f"x{i}", -a, a) for i in range(32)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location"] * 32,
+        validate=False,
+    )
+    starts = problem.prior_distribution.sample(jax.random.PRNGKey(0), (n_live,))
+    eps, _, _, _ = _time_ns_loop(
+        problem, starts, num_delete=num_delete, mc_steps=mc_steps, iters=iters
+    )
+    return eps
 
 
 def bench_gbm(n_live=65536, num_delete=49152, mc_steps=400, iters=4):
@@ -135,10 +148,6 @@ def bench_gbm(n_live=65536, num_delete=49152, mc_steps=400, iters=4):
 
     from bayesianinference_tpu import dists as d
     from bayesianinference_tpu.models import define_inference_problem
-    from bayesianinference_tpu.engines.nested_sampling import (
-        evals_to_int,
-        nested_sampling_loop,
-    )
 
     mu_true, sigma_true, s0 = 0.3, 0.25, 1.0
     rng = np.random.default_rng(0)
@@ -159,26 +168,11 @@ def bench_gbm(n_live=65536, num_delete=49152, mc_steps=400, iters=4):
         prior_distribution=["location", "scale"],
         validate=False,
     )
-    key = jax.random.PRNGKey(0)
-    starts = problem.prior_distribution.sample(key, (n_live,))
-
-    def run(k):
-        return nested_sampling_loop(
-            problem, starts, k,
-            max_iterations=iters, min_iterations=iters,
-            monte_carlo_steps=(mc_steps, mc_steps, mc_steps),
-            num_delete=num_delete,
-        )
-
-    r = run(key)
-    float(r.state.log_z)
-    best = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        r = run(jax.random.fold_in(key, rep + 1))
-        float(r.state.log_z)
-        best = min(best, time.perf_counter() - t0)
-    return evals_to_int(r.state.num_likelihood_evals) / best
+    starts = problem.prior_distribution.sample(jax.random.PRNGKey(0), (n_live,))
+    eps, _, _, _ = _time_ns_loop(
+        problem, starts, num_delete=num_delete, mc_steps=mc_steps, iters=iters
+    )
+    return eps
 
 
 def bench_blr(n=4096, reps=20):
@@ -244,9 +238,6 @@ def bench_laplace_iris():
 def main():
     from bayesianinference_tpu import dists as d
     from bayesianinference_tpu.models import define_inference_problem
-    from bayesianinference_tpu.engines.nested_sampling import (
-        nested_sampling_loop,
-    )
 
     a = 5.0
     problem = define_inference_problem(
@@ -265,37 +256,12 @@ def main():
     mc_steps = 200
     iters = 8
 
-    key = jax.random.PRNGKey(0)
-    starts = problem.prior_distribution.sample(key, (n_live,))
-
-    def run(k):
-        return nested_sampling_loop(
-            problem,
-            starts,
-            k,
-            max_iterations=iters,
-            min_iterations=iters,  # fixed trip count for stable timing
-            monte_carlo_steps=(mc_steps, mc_steps, mc_steps),
-            num_delete=num_delete,
-        )
-
-    # compile + warm up (host fetch forces real completion; see
-    # PERFORMANCE.md on block_until_ready through the axon tunnel)
-    r = run(key)
-    float(r.state.log_z)
-
-    best_dt = float("inf")
-    for rep in range(5):  # best-of-5: the tunnel adds multi-ms jitter
-        t0 = time.perf_counter()
-        r = run(jax.random.fold_in(key, rep + 1))
-        float(r.state.log_z)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt
-
-    from bayesianinference_tpu.engines.nested_sampling import evals_to_int
-
-    evals = evals_to_int(r.state.num_likelihood_evals)
-    evals_per_sec = evals / dt
+    starts = problem.prior_distribution.sample(jax.random.PRNGKey(0), (n_live,))
+    # best-of-5: the tunnel adds multi-ms jitter
+    evals_per_sec, evals, dt, r = _time_ns_loop(
+        problem, starts, num_delete=num_delete, mc_steps=mc_steps,
+        iters=iters, reps=5,
+    )
 
     print(
         f"[bench] platform={jax.default_backend()} evals={evals} "
