@@ -272,6 +272,23 @@ def nested_sampling_loop(
         progress_callback, progress_interval, interrupt_check
     )
     monte_carlo_method = resolve_monte_carlo_method(monte_carlo_method, _dim)
+    if monte_carlo_method == "slice":
+        _steps0 = (
+            monte_carlo_steps
+            if isinstance(monte_carlo_steps, int)
+            else monte_carlo_steps[0]
+        )
+        if _steps0 < _dim:
+            import warnings
+
+            warnings.warn(
+                f"{_steps0} slice updates per replacement at d={_dim}: "
+                "fewer updates than dimensions leaves seed-replacement "
+                "correlation that biases logZ high by several nats "
+                "(measured +4 at d=64 with 50); use roughly 2-5x the "
+                "dimension",
+                stacklevel=2,
+            )
     if isinstance(monte_carlo_steps, int):
         mc_steps = (monte_carlo_steps, monte_carlo_steps, 5 * monte_carlo_steps)
     else:

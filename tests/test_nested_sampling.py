@@ -541,3 +541,31 @@ def test_padded_evidence_matches_classic(key):
         np.asarray(padded.parameter_expected_values.mean),
         np.asarray(classic.parameter_expected_values.mean), atol=0.05,
     )
+
+
+@pytest.mark.slow
+def test_ns_d40_beyond_small_chol_cutoff(key):
+    """d=40 sits beyond the unrolled-Cholesky cutoff (32): the default
+    path (auto -> slice) must still pass the logZ oracle, exercising the
+    jnp.linalg.cholesky branch for the per-iteration direction factor.
+    Slice updates scale ~2.5x dimension — at d >= 32, fewer than ~d
+    updates per replacement leaves seed-replacement correlation that
+    biases logZ high by several nats (measured +4 at d=64 with 50)."""
+    a = 5.0
+    dim = 40
+    problem = define_inference_problem(
+        parameters=[(f"x{i}", -a, a) for i in range(dim)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location"] * dim,
+        validate=False,
+    )
+    from scipy.special import erf
+
+    want = dim * (np.log(erf(a / np.sqrt(2))) - np.log(2 * a))
+    result = nested_sampling(
+        problem, key, sample_pool_size=400, max_iterations=800,
+        min_iterations=200, monte_carlo_steps=100, num_delete=40,
+    )
+    got = float(result.log_evidence.mean)
+    err = float(result.log_evidence.standard_error)
+    assert abs(got - want) < 4 * err + 1.0, (got, want, err)
