@@ -681,7 +681,8 @@ def laplace_posterior_fit(
             model, data or {}, parameters or (), inputs=model_inputs
         )
     if problem is not None:
-        log_likelihood = problem.log_likelihood
+        # data-aware bind: problems carrying data call f(theta, data)
+        log_likelihood = problem.raw_log_likelihood
         log_prior = problem.log_prior
         lower = problem.lower if lower is None else lower
         upper = problem.upper if upper is None else upper

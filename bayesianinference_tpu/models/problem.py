@@ -13,6 +13,7 @@ BS:327-363).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -67,10 +68,35 @@ class InferenceProblem:
     prior_distribution: Optional[Distribution] = _meta(None)
     constraint: Optional[Callable] = _meta(None)  # theta -> bool
     metadata: dict = _meta(None)
+    # observed data as a TRACED pytree leaf (arrays / tuples of arrays).
+    # When present, ``log_likelihood`` is called as
+    # ``log_likelihood(theta, data)`` — so the data rides through jitted
+    # engine programs as an ARGUMENT, not a closure constant: repeated
+    # fits on fresh same-shape data (production serving) reuse the
+    # compiled loops via ``with_data`` instead of retracing per dataset.
+    data: Optional[object] = None
 
     @property
     def dim(self) -> int:
         return len(self.param_names)
+
+    def with_data(self, data) -> "InferenceProblem":
+        """Same problem, new observations — the serving-loop constructor.
+        All static fields (the compiled-function cache keys) are reused,
+        so engines hit their jit caches as long as shapes match."""
+        if self.data is None:
+            raise ValueError(
+                "this problem's likelihood closes over its data; build it "
+                "with define_inference_problem(likelihood=..., data=...) "
+                "or a (theta, data) log_likelihood to enable with_data"
+            )
+        return dataclasses.replace(self, data=data)
+
+    def raw_log_likelihood(self, theta) -> jnp.ndarray:
+        """The unguarded likelihood, data-aware."""
+        if self.data is not None:
+            return self.log_likelihood(theta, self.data)
+        return self.log_likelihood(theta)
 
     # -- constraint machinery (BS:327-363) --
     def in_support(self, theta) -> jnp.ndarray:
@@ -83,7 +109,7 @@ class InferenceProblem:
     def guarded_log_likelihood(self, theta) -> jnp.ndarray:
         theta = jnp.asarray(theta)
         lz = log_zero(jnp.result_type(theta.dtype, float))
-        raw = guard_log_density(self.log_likelihood(theta))
+        raw = guard_log_density(self.raw_log_likelihood(theta))
         return jnp.where(self.in_support(theta), raw, lz)
 
     def guarded_log_prior(self, theta) -> jnp.ndarray:
@@ -98,7 +124,7 @@ class InferenceProblem:
         theta = jnp.asarray(theta)
         lz = log_zero(jnp.result_type(theta.dtype, float))
         raw = guard_log_density(
-            self.log_likelihood(theta) + self.log_prior(theta)
+            self.raw_log_likelihood(theta) + self.log_prior(theta)
         )
         return jnp.where(self.in_support(theta), raw, lz)
 
@@ -177,6 +203,31 @@ def iid_likelihood(dist_builder: Callable, data) -> Callable:
     return log_likelihood
 
 
+@functools.lru_cache(maxsize=256)
+def _iid_loglike(dist_builder: Callable) -> Callable:
+    """Identity-stable data-aware iid log-likelihood: the SAME wrapper
+    object is returned for the same builder, so two problems built from
+    one builder (a serving loop over datasets) share the engines' jit
+    cache keys."""
+
+    def log_likelihood(theta, data):
+        return jnp.sum(dist_builder(theta).log_prob(data))
+
+    return log_likelihood
+
+
+@functools.lru_cache(maxsize=256)
+def _regression_loglike(dist_builder: Callable) -> Callable:
+    """Identity-stable data-aware regression log-likelihood over
+    ``data = (x, y)``."""
+
+    def log_likelihood(theta, data):
+        x, y = data
+        return jnp.sum(dist_builder(theta, x).log_prob(y))
+
+    return log_likelihood
+
+
 def regression_likelihood(dist_builder: Callable, x, y) -> Callable:
     """log-likelihood for regression data: ``dist_builder(theta, x)`` must
     return the generating distribution of y given x, vectorized over the
@@ -218,7 +269,7 @@ def validate_problem(problem: InferenceProblem, key=None, n: int = 100) -> None:
     # evaluate the RAW functions: a NaN on an in-box point is the analogue of
     # the reference's complex-result rejection (BS:285-295) — the runtime
     # guard would silently turn it into log-zero, hiding a broken model
-    ll = jax.vmap(problem.log_likelihood)(pts)
+    ll = jax.vmap(problem.raw_log_likelihood)(pts)
     lp = jax.vmap(problem.log_prior)(pts)
     for name, vals in (("log_likelihood", ll), ("log_prior", lp)):
         arr = jnp.asarray(vals)
@@ -270,19 +321,42 @@ def define_inference_problem(
     upper = jnp.asarray([p.high for p in params], jnp.result_type(float))
 
     # --- likelihood ---
+    # data is stored as a TRACED problem field and the likelihood called
+    # as f(theta, data): engines then see fresh same-shape data as a new
+    # ARGUMENT, not a new closure constant, and their jit caches hold
+    # across datasets (with_data; the production-serving path)
+    problem_data = None
     if log_likelihood is None:
         if likelihood is None:
             raise ValueError("need log_likelihood or likelihood")
         if independent_variables is not None:
             if data is None:
                 raise ValueError("regression model needs data (the y values)")
-            log_likelihood = regression_likelihood(
-                likelihood, independent_variables, data
+            problem_data = (
+                jnp.asarray(independent_variables),
+                jnp.asarray(data),
             )
+            log_likelihood = _regression_loglike(likelihood)
         else:
             if data is None:
                 raise ValueError("iid model needs data")
-            log_likelihood = iid_likelihood(likelihood, data)
+            problem_data = jnp.asarray(data)
+            log_likelihood = _iid_loglike(likelihood)
+    elif data is not None:
+        # custom data-aware likelihood: must accept (theta, data)
+        import inspect
+
+        try:
+            n_args = len(inspect.signature(log_likelihood).parameters)
+        except (TypeError, ValueError):
+            n_args = 2
+        if n_args < 2:
+            raise ValueError(
+                "data= given with a single-argument log_likelihood; "
+                "accept (theta, data) to store the data on the problem "
+                "(serving-friendly), or drop data= to close over it"
+            )
+        problem_data = jax.tree_util.tree_map(jnp.asarray, data)
 
     # --- prior ---
     prior_dist = None
@@ -337,6 +411,7 @@ def define_inference_problem(
         prior_distribution=prior_dist,
         constraint=constraint,
         metadata=dict(metadata) if metadata else None,
+        data=problem_data,
     )
     if validate:
         validate_problem(problem, key=key)

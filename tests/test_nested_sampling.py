@@ -569,3 +569,72 @@ def test_ns_d40_beyond_small_chol_cutoff(key):
     got = float(result.log_evidence.mean)
     err = float(result.log_evidence.standard_error)
     assert abs(got - want) < 4 * err + 1.0, (got, want, err)
+
+
+def test_with_data_serving_reuses_compiled_loop(key):
+    """The production-serving path: the problem's data is a TRACED pytree
+    field, so a second fit on fresh same-shape data (problem.with_data)
+    reuses the compiled NS loop — zero retrace — and the posteriors track
+    their respective datasets."""
+    from bayesianinference_tpu.engines.nested_sampling import _ns_loop_jit
+
+    rng = np.random.default_rng(0)
+
+    def builder(th):
+        return d.Normal(th[0], 1.0)
+
+    data1 = jnp.asarray(rng.normal(-1.0, 1.0, size=40))
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        likelihood=builder,
+        data=data1,
+        prior_distribution=["location"],
+    )
+    assert problem.data is not None
+    cfg = dict(sample_pool_size=60, max_iterations=400, min_iterations=50,
+               monte_carlo_steps=30, post_process_sampling_runs=20)
+    r1 = nested_sampling(problem, key, **cfg)
+    size1 = _ns_loop_jit._cache_size()
+
+    data2 = jnp.asarray(rng.normal(2.0, 1.0, size=40))
+    r2 = nested_sampling(
+        problem.with_data(data2), jax.random.fold_in(key, 1), **cfg
+    )
+    # the loop compiled ONCE: the second fit hit the jit cache
+    assert _ns_loop_jit._cache_size() == size1, (
+        _ns_loop_jit._cache_size(), size1,
+    )
+    m1 = float(r1.parameter_expected_values.mean[0])
+    m2 = float(r2.parameter_expected_values.mean[0])
+    assert abs(m1 - float(data1.mean())) < 0.5, m1
+    assert abs(m2 - float(data2.mean())) < 0.5, m2
+
+    # closure-over-data problems reject with_data with a clear error
+    closed = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(th[0], 1.0).log_prob(data1)),
+        prior_distribution=["location"],
+        validate=False,
+    )
+    with pytest.raises(ValueError, match="closes over"):
+        closed.with_data(data2)
+    # a 1-arg log_likelihood combined with data= is rejected
+    with pytest.raises(ValueError, match="single-argument"):
+        define_inference_problem(
+            parameters=[("mu", -5.0, 5.0)],
+            log_likelihood=lambda th: jnp.sum(th),
+            data=data1,
+            prior_distribution=["location"],
+            validate=False,
+        )
+    # custom (theta, data) likelihoods get the stored-data path too
+    twoarg = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        log_likelihood=lambda th, dat: jnp.sum(d.Normal(th[0], 1.0).log_prob(dat)),
+        data=data1,
+        prior_distribution=["location"],
+    )
+    assert twoarg.data is not None
+    got = float(twoarg.guarded_log_likelihood(jnp.asarray([-1.0])))
+    want = float(jnp.sum(d.Normal(-1.0, 1.0).log_prob(data1)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
