@@ -76,3 +76,36 @@ _tmp.cleanup()
 if out.returncode != 0:
     print(out.stderr, file=sys.stderr)
     raise SystemExit(1)
+
+# ---- serve: a fit-per-request loop over FRESH datasets ----
+# The problem carries its observations as a TRACED field, so
+# problem.with_data(new) reuses every compiled engine program: the first
+# fit pays the compile, every further fit is pure device time.
+import time
+
+import numpy as np
+
+from bayesianinference_tpu import dists as d
+from bayesianinference_tpu.engines import nested_sampling
+from bayesianinference_tpu.models import define_inference_problem
+
+rng = np.random.default_rng(0)
+problem = define_inference_problem(
+    parameters=[("mu", -5.0, 5.0), ("log_sigma", -2.0, 2.0)],
+    likelihood=lambda th: d.Normal(th[0], jnp.exp(th[1])),
+    data=jnp.asarray(rng.normal(0.0, 1.0, 64)),
+    prior_distribution=["location", "location"],
+)
+t0 = time.perf_counter()
+nested_sampling(problem, jax.random.PRNGKey(0), sample_pool_size=100,
+                max_iterations=1500)
+print(f"first fit (compile): {time.perf_counter() - t0:.1f}s")
+for request in range(3):
+    true_mu = rng.uniform(-2, 2)
+    fresh = problem.with_data(jnp.asarray(rng.normal(true_mu, 1.0, 64)))
+    t0 = time.perf_counter()
+    res = nested_sampling(fresh, jax.random.PRNGKey(request + 1),
+                          sample_pool_size=100, max_iterations=1500)
+    mu_hat = float(res.parameter_expected_values.mean[0])
+    print(f"request {request}: fit {1e3 * (time.perf_counter() - t0):.0f} ms"
+          f"  mu_hat {mu_hat:+.2f} (truth {true_mu:+.2f})")
