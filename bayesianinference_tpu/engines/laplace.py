@@ -285,6 +285,31 @@ def _evidence_program(dens, loglike, maxiter):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=32)
+def _evidence_program_data(loglike, logprior, maxiter):
+    """Data-aware variant of :func:`_evidence_program`: the likelihood is
+    ``f(theta, data)`` and the observations enter the jitted program as a
+    TRACED argument, so repeated fits on fresh same-shape datasets
+    (``problem.with_data``, the serving loop) hit the same compiled
+    executable instead of retracing per dataset."""
+    ll2 = loglike.fn if isinstance(loglike, HashableFn) else loglike
+    lp = logprior.fn if isinstance(logprior, HashableFn) else logprior
+
+    def run(x0, lo, hi, tol, data):
+        def dens_f(x):
+            return ll2(x, data) + lp(x)
+
+        mode, max_val = _find_mode_impl(
+            dens_f, x0, lo, hi, tol, maxiter=maxiter
+        )
+        precision = -jax.hessian(dens_f)(mode)
+        precision = 0.5 * (precision + precision.T)
+        log_ev = laplace_log_evidence(max_val, precision)
+        return mode, max_val, precision, log_ev, ll2(mode, data)
+
+    return jax.jit(run)
+
+
 def approximate_evidence(
     log_density: Union[Callable, Tuple[Callable, Callable]],
     x0,
@@ -295,10 +320,35 @@ def approximate_evidence(
     lower=None,
     upper=None,
     param_names: Tuple[str, ...] = (),
+    data=None,
 ) -> LaplaceFit:
     """Laplace evidence for a fixed model (``approximateEvidence``,
     LA:177-238).  ``log_density`` is either the joint log posterior density
-    or a (log_likelihood, log_prior) pair."""
+    or a (log_likelihood, log_prior) pair.  With ``data`` the likelihood
+    must be ``f(theta, data)`` and the observations ride through the
+    fused program as a traced argument (serving-friendly)."""
+    starts = jnp.atleast_2d(_f(initial_guess if initial_guess is not None else x0))
+    lo, hi, tol = _bounds_and_tol(starts, lower, upper, tol)
+    if data is not None:
+        if not isinstance(log_density, tuple):
+            raise ValueError(
+                "data= needs the (log_likelihood, log_prior) pair form"
+            )
+        loglike_fn, logprior_fn = log_density
+        program = _evidence_program_data(
+            as_hashable_fn(loglike_fn), as_hashable_fn(logprior_fn), maxiter
+        )
+        mode, max_val, precision, log_ev, ll_at_mode = program(
+            starts, lo, hi, jnp.asarray(tol, starts.dtype), data
+        )
+        return LaplaceFit(
+            log_evidence=log_ev,
+            maximum=max_val,
+            mean=mode,
+            precision_matrix=precision,
+            log_likelihood_at_mode=ll_at_mode,
+            param_names=tuple(param_names),
+        )
     if isinstance(log_density, tuple):
         loglike_fn, logprior_fn = log_density
         dens = _sum_densities(
@@ -307,8 +357,6 @@ def approximate_evidence(
     else:
         loglike_fn = None
         dens = log_density
-    starts = jnp.atleast_2d(_f(initial_guess if initial_guess is not None else x0))
-    lo, hi, tol = _bounds_and_tol(starts, lower, upper, tol)
     program = _evidence_program(
         as_hashable_fn(dens),
         None if loglike_fn is None else as_hashable_fn(loglike_fn),
@@ -680,9 +728,15 @@ def laplace_posterior_fit(
         problem = generative_model_problem(
             model, data or {}, parameters or (), inputs=model_inputs
         )
+    problem_data = None
     if problem is not None:
-        # data-aware bind: problems carrying data call f(theta, data)
-        log_likelihood = problem.raw_log_likelihood
+        if problem.data is not None:
+            # keep the identity-stable 2-arg likelihood and thread the
+            # observations as a traced argument (with_data serving)
+            problem_data = problem.data
+            log_likelihood = problem.log_likelihood
+        else:
+            log_likelihood = problem.raw_log_likelihood
         log_prior = problem.log_prior
         lower = problem.lower if lower is None else lower
         upper = problem.upper if upper is None else upper
@@ -718,6 +772,7 @@ def laplace_posterior_fit(
             lower=lower,
             upper=upper,
             param_names=param_names,
+            data=problem_data,
         )
     if predictive_builder is not None:
         fit = dataclasses.replace(fit, predictive_builder=predictive_builder)

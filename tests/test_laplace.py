@@ -410,3 +410,38 @@ def test_laplace_softmax_matches_logistic_and_fits_multiclass(key):
     pred = np.argmax(np.concatenate([np.zeros((len(z), 1)), z], axis=-1), -1)
     acc = np.mean(pred == np.asarray(iris.target))
     assert acc > 0.9, acc
+
+
+def test_laplace_with_data_serving_reuses_program(key):
+    """Laplace on a data-carrying problem threads the observations as a
+    TRACED argument: a second fit on fresh same-shape data reuses the
+    fused program (no retrace) and tracks the new data."""
+    from bayesianinference_tpu.engines.laplace import _evidence_program_data
+
+    rng = np.random.default_rng(0)
+
+    def builder(th):
+        return d.Normal(th[0], 1.0)
+
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        likelihood=builder,
+        data=jnp.asarray(rng.normal(1.0, 1.0, 50)),
+        prior_distribution=["location"],
+    )
+    f1 = laplace_posterior_fit(problem=problem, key=key)
+    f2 = laplace_posterior_fit(
+        problem=problem.with_data(jnp.asarray(rng.normal(-2.0, 1.0, 50))),
+        key=jax.random.fold_in(key, 1),
+    )
+    # the fused program compiled ONCE for both fits (traced data arg)
+    from bayesianinference_tpu.core.numerics import as_hashable_fn
+
+    prog = _evidence_program_data(
+        as_hashable_fn(problem.log_likelihood),
+        as_hashable_fn(problem.log_prior),
+        500,
+    )
+    assert prog._cache_size() == 1, prog._cache_size()
+    assert abs(float(f1.mean[0]) - 1.0) < 0.5
+    assert abs(float(f2.mean[0]) + 2.0) < 0.5
