@@ -94,6 +94,15 @@ class DirectPosterior:
         return self.nodes[idx]
 
 
+@jax.jit
+def _direct_eval_program(problem, nodes, log_w):
+    node_ld = jax.vmap(
+        lambda th: problem.guarded_log_likelihood(th)
+        + problem.guarded_log_prior(th)
+    )(nodes)
+    return node_ld, logsumexp(log_w + node_ld)
+
+
 def direct_posterior_distribution(
     *,
     problem: Optional[InferenceProblem] = None,
@@ -137,8 +146,11 @@ def direct_posterior_distribution(
             theta
         )
 
-    node_ld = jax.vmap(log_density)(nodes)
-    log_z = logsumexp(log_w + node_ld)
+    # one jitted program with the problem as a PYTREE argument: its
+    # static fields (the callables) key the cache, its traced leaves
+    # (bounds, data) flow as arguments — with_data re-fits on fresh
+    # same-shape data reuse the compiled evaluation
+    node_ld, log_z = _direct_eval_program(problem, nodes, log_w)
     return DirectPosterior(
         nodes=nodes,
         log_quad_weights=log_w,

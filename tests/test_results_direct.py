@@ -283,3 +283,26 @@ def test_posterior_predictive_check(key, shared_ns):
         num_replicates=400,
     )
     assert float(p2) < 0.01, float(p2)
+
+
+def test_direct_with_data_serving_reuses_program(rng):
+    """Direct quadrature on a data-carrying problem compiles once per
+    (callables, shapes): with_data re-fits hit the same program."""
+    from bayesianinference_tpu.engines.direct import _direct_eval_program
+
+    pb = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        likelihood=lambda th: d.Normal(th[0], 1.0),
+        data=jnp.asarray(rng.normal(1.0, 1.0, 40)),
+        prior_distribution=["location"],
+    )
+    size0 = _direct_eval_program._cache_size()
+    d1 = direct_posterior_distribution(problem=pb, num_points=150)
+    size1 = _direct_eval_program._cache_size()
+    d2 = direct_posterior_distribution(
+        problem=pb.with_data(jnp.asarray(rng.normal(-1.5, 1.0, 40))),
+        num_points=150,
+    )
+    assert _direct_eval_program._cache_size() == size1 > size0
+    assert abs(float(d1.mean()[0]) - 1.0) < 0.5
+    assert abs(float(d2.mean()[0]) + 1.5) < 0.5
