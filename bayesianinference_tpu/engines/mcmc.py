@@ -41,6 +41,10 @@ class MCMCChain:
     method: str = dataclasses.field(
         default="adaptive_metropolis", metadata=dict(static=True)
     )
+    # set when the chain targets an InferenceProblem: the problem rides
+    # through the jitted iteration program as a PYTREE argument, so
+    # chains on fresh data (problem.with_data) reuse the compiled scan
+    problem: "object" = None
 
     @property
     def acceptance_rate(self):
@@ -69,7 +73,9 @@ def create_mcmc_chain(
         raise ValueError(f"unknown method {method!r}")
     x0 = jnp.asarray(starting_point, jnp.result_type(float))
     d = x0.shape[-1]
+    problem = None
     if isinstance(target, InferenceProblem):
+        problem = target
         log_density = target.log_posterior_density
     else:
         log_density = target
@@ -84,6 +90,7 @@ def create_mcmc_chain(
         log_density=log_density,
         covariance_learn_delay=covariance_learn_delay,
         method=method,
+        problem=problem,
     )
 
 
@@ -92,6 +99,17 @@ def iterate_mcmc(chain: MCMCChain, key, num_samples: int, thinning: int = 1):
     ``MarkovChainIterate``'s ``{n, thinning}`` form (BS:703, 1089).  The
     compiled scan caches on the chain's density identity, so repeated
     iteration of the same chain skips re-tracing."""
+    if chain.problem is not None:
+        state, samples = _iterate_problem_program(
+            chain.state,
+            key,
+            chain.problem,
+            num_samples,
+            thinning,
+            chain.covariance_learn_delay,
+            chain.method,
+        )
+        return samples, dataclasses.replace(chain, state=state)
     prog = _iterate_program(
         as_hashable_fn(chain.log_density),
         num_samples,
@@ -136,6 +154,31 @@ def _slice_block(key, st: AMState, log_density, num: int, learn_delay: int):
 
     st, _ = jax.lax.scan(one, st, jax.random.split(key, num))
     return st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_samples", "thinning", "learn_delay", "method"),
+)
+def _iterate_problem_program(
+    state, key, problem, num_samples, thinning, learn_delay, method
+):
+    """Chain iteration with the TARGET PROBLEM as a pytree argument: its
+    static fields (the callables) key the jit cache, its traced leaves
+    (bounds, data) flow as arguments — chains over fresh same-shape data
+    reuse one compiled scan (the serving convention shared with the NS /
+    Laplace / direct engines)."""
+    log_density = problem.log_posterior_density
+
+    def step(st, k):
+        if method == "slice":
+            st = _slice_block(k, st, log_density, thinning, learn_delay)
+        else:
+            st = run_chain(k, st, log_density, thinning, learn_delay)
+        return st, st.x
+
+    keys = jax.random.split(key, num_samples)
+    return jax.lax.scan(step, state, keys)
 
 
 @functools.lru_cache(maxsize=32)

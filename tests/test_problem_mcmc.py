@@ -202,3 +202,33 @@ def test_small_cholesky_d32_matches_dense(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-9)
     # the dispatcher routes d=32 through the unrolled form
     assert np.allclose(np.asarray(_cholesky(jnp.asarray(spd))), ref)
+
+
+def test_mcmc_with_data_serving_reuses_program(key):
+    """Chains on a data-carrying problem iterate through a jitted program
+    keyed on the problem's callables with the data traced: chains over
+    fresh same-shape data reuse one compiled scan."""
+    from bayesianinference_tpu.engines.mcmc import (
+        _iterate_problem_program,
+        create_mcmc_chain,
+        iterate_mcmc,
+    )
+    from bayesianinference_tpu.models import define_inference_problem
+    from bayesianinference_tpu import dists as d
+
+    rng = np.random.default_rng(0)
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        likelihood=lambda th: d.Normal(th[0], 1.0),
+        data=jnp.asarray(rng.normal(1.0, 1.0, 40)),
+        prior_distribution=["location"],
+    )
+    ch1 = create_mcmc_chain(problem, jnp.zeros(1))
+    s1, _ = iterate_mcmc(ch1, key, 800, thinning=2)
+    size1 = _iterate_problem_program._cache_size()
+    fresh = problem.with_data(jnp.asarray(rng.normal(-2.0, 1.0, 40)))
+    ch2 = create_mcmc_chain(fresh, jnp.zeros(1))
+    s2, _ = iterate_mcmc(ch2, jax.random.fold_in(key, 1), 800, thinning=2)
+    assert _iterate_problem_program._cache_size() == size1
+    assert abs(np.asarray(s1)[200:].mean() - 1.0) < 0.5
+    assert abs(np.asarray(s2)[200:].mean() + 2.0) < 0.5
