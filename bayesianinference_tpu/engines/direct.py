@@ -94,12 +94,18 @@ class DirectPosterior:
         return self.nodes[idx]
 
 
+def _problem_log_density(problem, theta):
+    """The quadrature integrand — defined ONCE so the jitted node
+    evaluation and the returned ``DirectPosterior.log_density`` cannot
+    drift apart."""
+    return problem.guarded_log_likelihood(theta) + problem.guarded_log_prior(
+        theta
+    )
+
+
 @jax.jit
 def _direct_eval_program(problem, nodes, log_w):
-    node_ld = jax.vmap(
-        lambda th: problem.guarded_log_likelihood(th)
-        + problem.guarded_log_prior(th)
-    )(nodes)
+    node_ld = jax.vmap(lambda th: _problem_log_density(problem, th))(nodes)
     return node_ld, logsumexp(log_w + node_ld)
 
 
@@ -142,9 +148,7 @@ def direct_posterior_distribution(
     )
 
     def log_density(theta):
-        return problem.guarded_log_likelihood(theta) + problem.guarded_log_prior(
-            theta
-        )
+        return _problem_log_density(problem, theta)
 
     # one jitted program with the problem as a PYTREE argument: its
     # static fields (the callables) key the cache, its traced leaves

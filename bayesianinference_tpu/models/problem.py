@@ -90,7 +90,17 @@ class InferenceProblem:
                 "with define_inference_problem(likelihood=..., data=...) "
                 "or a (theta, data) log_likelihood to enable with_data"
             )
-        return dataclasses.replace(self, data=data)
+        # canonicalize against the EXISTING data's container structure: a
+        # Python list (or off-dtype array) would otherwise change the
+        # pytree structure and silently defeat the zero-retrace guarantee
+        treedef = jax.tree_util.tree_structure(self.data)
+        leaves = treedef.flatten_up_to(data)
+        return dataclasses.replace(
+            self,
+            data=jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(l) for l in leaves]
+            ),
+        )
 
     def raw_log_likelihood(self, theta) -> jnp.ndarray:
         """The unguarded likelihood, data-aware."""
@@ -193,12 +203,13 @@ def iid_likelihood(dist_builder: Callable, data) -> Callable:
     — the numeric replacement for the symbolic ``logLikelihoodFunction``
     compiler (BayesianStatistics.wl:429-509).  The sum over data rows is a
     single vectorized reduction (the reference's compiled ``Sum``,
-    BS:488-504)."""
+    BS:488-504).  Delegates to the cached data-aware form so the
+    reduction has ONE definition."""
     data = jnp.asarray(data)
+    fn = _iid_loglike(dist_builder)
 
     def log_likelihood(theta):
-        dist = dist_builder(theta)
-        return jnp.sum(dist.log_prob(data))
+        return fn(theta, data)
 
     return log_likelihood
 
@@ -231,13 +242,13 @@ def _regression_loglike(dist_builder: Callable) -> Callable:
 def regression_likelihood(dist_builder: Callable, x, y) -> Callable:
     """log-likelihood for regression data: ``dist_builder(theta, x)`` must
     return the generating distribution of y given x, vectorized over the
-    data axis (``regressionLogLikelihoodFunction``, BS:511-599)."""
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
+    data axis (``regressionLogLikelihoodFunction``, BS:511-599).
+    Delegates to the cached data-aware form (one definition)."""
+    data = (jnp.asarray(x), jnp.asarray(y))
+    fn = _regression_loglike(dist_builder)
 
     def log_likelihood(theta):
-        dist = dist_builder(theta, x)
-        return jnp.sum(dist.log_prob(y))
+        return fn(theta, data)
 
     return log_likelihood
 
@@ -343,20 +354,55 @@ def define_inference_problem(
             problem_data = jnp.asarray(data)
             log_likelihood = _iid_loglike(likelihood)
     elif data is not None:
-        # custom data-aware likelihood: must accept (theta, data)
+        # custom data-aware likelihood: must accept exactly (theta, data)
+        if independent_variables is not None:
+            raise ValueError(
+                "independent_variables= is only combined with the "
+                "likelihood= builder form; for a custom (theta, data) "
+                "log_likelihood pack the inputs yourself, e.g. "
+                "data=(x, y)"
+            )
         import inspect
 
+        accept = True
         try:
-            n_args = len(inspect.signature(log_likelihood).parameters)
-        except (TypeError, ValueError):
-            n_args = 2
-        if n_args < 2:
-            raise ValueError(
-                "data= given with a single-argument log_likelihood; "
-                "accept (theta, data) to store the data on the problem "
-                "(serving-friendly), or drop data= to close over it"
+            sig_params = list(
+                inspect.signature(log_likelihood).parameters.values()
             )
-        problem_data = jax.tree_util.tree_map(jnp.asarray, data)
+        except (TypeError, ValueError):
+            sig_params = None  # builtins/partials: assume data-aware
+        if sig_params is not None:
+            if any(
+                q.kind is inspect.Parameter.VAR_POSITIONAL
+                for q in sig_params
+            ):
+                accept = True  # *args: can receive (theta, data)
+            else:
+                required = [
+                    q
+                    for q in sig_params
+                    if q.kind
+                    in (
+                        inspect.Parameter.POSITIONAL_ONLY,
+                        inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                    )
+                    and q.default is inspect.Parameter.empty
+                ]
+                # exactly (theta, data) required: a defaulted second
+                # parameter (a tuning kwarg) must NOT silently receive
+                # the dataset
+                accept = len(required) == 2
+        if not accept:
+            raise ValueError(
+                "data= needs a log_likelihood with exactly two required "
+                "positional parameters (theta, data) so the data can be "
+                "stored on the problem (serving-friendly); drop data= to "
+                "close over the observations instead"
+            )
+        # lists count as array-likes (use tuples/dicts for containers)
+        problem_data = jax.tree_util.tree_map(
+            jnp.asarray, data, is_leaf=lambda x: isinstance(x, list)
+        )
 
     # --- prior ---
     prior_dist = None

@@ -619,7 +619,7 @@ def test_with_data_serving_reuses_compiled_loop(key):
     with pytest.raises(ValueError, match="closes over"):
         closed.with_data(data2)
     # a 1-arg log_likelihood combined with data= is rejected
-    with pytest.raises(ValueError, match="single-argument"):
+    with pytest.raises(ValueError, match="two required"):
         define_inference_problem(
             parameters=[("mu", -5.0, 5.0)],
             log_likelihood=lambda th: jnp.sum(th),

@@ -232,3 +232,46 @@ def test_mcmc_with_data_serving_reuses_program(key):
     assert _iterate_problem_program._cache_size() == size1
     assert abs(np.asarray(s1)[200:].mean() - 1.0) < 0.5
     assert abs(np.asarray(s2)[200:].mean() + 2.0) < 0.5
+
+
+def test_data_aware_likelihood_guards(rng):
+    """Edge cases of the (theta, data) serving contract: a defaulted
+    second parameter must NOT silently receive the dataset; *args
+    callables are accepted; independent_variables cannot combine with a
+    custom data-aware likelihood; with_data canonicalizes a Python list
+    so the pytree structure (the jit cache key) is preserved."""
+    data = jnp.asarray(rng.normal(size=8))
+    # defaulted second param (a tuning kwarg) -> rejected
+    with pytest.raises(ValueError, match="two required"):
+        define_inference_problem(
+            parameters=[("mu", -5.0, 5.0)],
+            log_likelihood=lambda th, scale=1.0: jnp.sum(th) * scale,
+            data=data,
+            prior_distribution=["location"],
+            validate=False,
+        )
+    # *args callables pass the guard
+    p = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        log_likelihood=lambda *a: jnp.sum(
+            d.Normal(a[0][0], 1.0).log_prob(a[1])
+        ),
+        data=data,
+        prior_distribution=["location"],
+        validate=False,
+    )
+    assert np.isfinite(float(p.guarded_log_likelihood(jnp.asarray([0.0]))))
+    # independent_variables needs the builder form
+    with pytest.raises(ValueError, match="builder form"):
+        define_inference_problem(
+            parameters=[("mu", -5.0, 5.0)],
+            log_likelihood=lambda th, dat: jnp.sum(th),
+            data=data,
+            independent_variables=jnp.zeros(8),
+            prior_distribution=["location"],
+            validate=False,
+        )
+    # with_data canonicalizes list input -> same pytree structure
+    p2 = p.with_data([0.1] * 8)
+    assert jax.tree_util.tree_structure(p2.data) == jax.tree_util.tree_structure(p.data)
+    assert p2.data.shape == (8,)
