@@ -29,6 +29,7 @@ likelihood's ``psum("data")`` only the same (runs, live) slice.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Callable, Optional, Tuple
 
@@ -37,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.numerics import guard_log_density
+from ..core.numerics import as_hashable_fn, guard_log_density
 from ..engines.evidence import NestedSamplingResult
 from ..engines.nested_sampling import (
     evals_to_int,
@@ -47,7 +48,7 @@ from ..engines.nested_sampling import (
 from ..models.problem import InferenceProblem
 from ..ops.ns_math import crude_log_x_deleted, pool_schedule
 from .parallel_ns import merge_runs
-from .sharded_pool_ns import build_pool_loop, pool_loop_init
+from .sharded_pool_ns import _PoolCfg, build_pool_loop, pool_loop_init
 
 __all__ = ["multi_axis_nested_sampling", "make_multi_axis_mesh"]
 
@@ -67,6 +68,87 @@ def make_multi_axis_mesh(
         )
     arr = np.asarray(devices[:need]).reshape(runs, live, data)
     return Mesh(arr, ("runs", "live", "data"))
+
+
+@functools.lru_cache(maxsize=16)
+def _multi_axis_program(mesh, cfg, local_loglike):
+    """The composed runs x live x data program, cached per (mesh, static
+    config, local-likelihood identity): repeated fits — including
+    ``with_data``-style fresh same-shape data — reuse one compiled
+    program (the engine-jit convention; a fresh closure per call would
+    retrace every fit)."""
+    dtype = jnp.dtype(cfg.dtype_name)
+    schedule = pool_schedule(cfg.n, cfg.k, cfg.capacity).astype(dtype)
+    log_xd = crude_log_x_deleted(schedule)
+    log_term = jnp.log(jnp.asarray(cfg.termination_fraction, dtype))
+    ll_local = (
+        None
+        if local_loglike is None
+        else getattr(local_loglike, "fn", local_loglike)
+    )
+
+    data_specs = () if ll_local is None else (P("data"),)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("runs", "live"), P(), P()) + data_specs,
+        out_specs=(
+            P("runs", "live"), P("runs", "live"), P("runs", "live"),
+            P("runs"), P("runs"), P("runs"),  # dead ledger per run
+            P("runs"), P("runs"), P("runs"),  # n_dead, iters, evals
+        ),
+        check_vma=False,
+    )
+    def run(starts_block, key_rep, problem, *data_shard):
+        # local block: [1, n_loc, d] (runs axis fully sharded)
+        starts_shard = starts_block[0]
+        run_key = jax.random.fold_in(key_rep, jax.lax.axis_index("runs"))
+
+        if data_shard:
+            shard = data_shard[0]
+
+            def log_likelihood(th):
+                local = ll_local(th, shard)
+                return guard_log_density(jax.lax.psum(local, "data"))
+        else:
+            log_likelihood = problem.guarded_log_likelihood
+
+        log_prior = problem.guarded_log_prior
+        cond, body = build_pool_loop(
+            log_likelihood,
+            log_prior,
+            problem.in_support,
+            axis_name="live",
+            n=cfg.n,
+            k=cfg.k,
+            n_loc=cfg.n_loc,
+            c=cfg.c,
+            dtype=dtype,
+            capacity=cfg.capacity,
+            log_xd=log_xd,
+            log_term=log_term,
+            mc=cfg.mc,
+            min_max_acceptance_rate=cfg.min_max_acceptance_rate,
+            covariance_learn_delay=cfg.covariance_learn_delay,
+            monte_carlo_method=cfg.monte_carlo_method,
+            max_iterations=cfg.max_iterations,
+            min_iterations=cfg.min_iterations,
+        )
+        init = pool_loop_init(
+            starts_shard, run_key, log_likelihood, log_prior,
+            axis_name="live", n=cfg.n, capacity=cfg.capacity, dtype=dtype,
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        (_, live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it,
+         _, _, evals, _, _) = out
+        return (
+            live[None], logl[None], logp[None],
+            dead_p[None], dead_l[None], dead_pr[None],
+            n_dead[None], it[None], evals[None],
+        )
+
+    return jax.jit(run)
 
 
 def multi_axis_nested_sampling(
@@ -176,75 +258,32 @@ def multi_axis_nested_sampling(
     dtype = jnp.result_type(starting_points.dtype, float)
     capacity = max_iterations * k
     schedule = pool_schedule(n, k, capacity).astype(dtype)
-    log_xd = crude_log_x_deleted(schedule)
-    log_term = jnp.log(jnp.asarray(termination_fraction, dtype))
 
-    log_prior = problem.guarded_log_prior
-    in_support = problem.in_support
-
-    data_args = () if data is None else (data,)
-    data_specs = () if data is None else (P("data"),)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P("runs", "live"), P()) + data_specs,
-        out_specs=(
-            P("runs", "live"), P("runs", "live"), P("runs", "live"),
-            P("runs"), P("runs"), P("runs"),  # dead ledger per run
-            P("runs"), P("runs"), P("runs"),  # n_dead, iters, evals
-        ),
-        check_vma=False,
+    cfg = _PoolCfg(
+        axis_name="live",
+        n=n,
+        k=k,
+        n_loc=n_loc,
+        c=c,
+        dtype_name=jnp.dtype(dtype).name,
+        capacity=capacity,
+        mc=mc,
+        min_max_acceptance_rate=tuple(min_max_acceptance_rate),
+        covariance_learn_delay=covariance_learn_delay,
+        monte_carlo_method=monte_carlo_method,
+        max_iterations=max_iterations,
+        min_iterations=min_iterations,
+        termination_fraction=float(termination_fraction),
     )
-    def run(starts_block, key_rep, *data_shard):
-        # local block: [1, n_loc, d] (runs axis fully sharded)
-        starts_shard = starts_block[0]
-        run_key = jax.random.fold_in(key_rep, jax.lax.axis_index("runs"))
-
-        if data_shard:
-            shard = data_shard[0]
-
-            def log_likelihood(th):
-                local = local_log_likelihood(th, shard)
-                return guard_log_density(jax.lax.psum(local, "data"))
-        else:
-            log_likelihood = problem.guarded_log_likelihood
-
-        cond, body = build_pool_loop(
-            log_likelihood,
-            log_prior,
-            in_support,
-            axis_name="live",
-            n=n,
-            k=k,
-            n_loc=n_loc,
-            c=c,
-            dtype=dtype,
-            capacity=capacity,
-            log_xd=log_xd,
-            log_term=log_term,
-            mc=mc,
-            min_max_acceptance_rate=tuple(min_max_acceptance_rate),
-            covariance_learn_delay=covariance_learn_delay,
-            monte_carlo_method=monte_carlo_method,
-            max_iterations=max_iterations,
-            min_iterations=min_iterations,
-        )
-        init = pool_loop_init(
-            starts_shard, run_key, log_likelihood, log_prior,
-            axis_name="live", n=n, capacity=capacity, dtype=dtype,
-        )
-        out = jax.lax.while_loop(cond, body, init)
-        (_, live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it,
-         _, _, evals, _, _) = out
-        return (
-            live[None], logl[None], logp[None],
-            dead_p[None], dead_l[None], dead_pr[None],
-            n_dead[None], it[None], evals[None],
-        )
-
+    program = _multi_axis_program(
+        mesh,
+        cfg,
+        None if local_log_likelihood is None
+        else as_hashable_fn(local_log_likelihood),
+    )
+    data_args = () if data is None else (data,)
     (live, logl, logp, dead_p, dead_l, dead_pr, n_dead, iters, evals) = (
-        jax.jit(run)(starting_points, k_loop, *data_args)
+        program(starting_points, k_loop, problem, *data_args)
     )
 
     result = merge_runs(

@@ -36,6 +36,7 @@ BS:1317-1371.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Optional, Tuple
 
@@ -115,60 +116,29 @@ def sharded_pool_nested_sampling(
     dim = starting_points.shape[1]
     monte_carlo_method = resolve_monte_carlo_method(monte_carlo_method, dim)
     dtype = jnp.result_type(starting_points.dtype, float)
-    lz = log_zero(dtype)
     capacity = max_iterations * k
     schedule = pool_schedule(n, k, capacity).astype(dtype)
-    log_xd = crude_log_x_deleted(schedule)  # [cap] deleted-point logX
-    log_term = jnp.log(jnp.asarray(termination_fraction, dtype))
 
-    log_likelihood = problem.guarded_log_likelihood
-    log_prior = problem.guarded_log_prior
-
-    cond, body = build_pool_loop(
-        log_likelihood,
-        log_prior,
-        problem.in_support,
+    cfg = _PoolCfg(
         axis_name=axis_name,
         n=n,
         k=k,
         n_loc=n_loc,
         c=c,
-        dtype=dtype,
+        dtype_name=jnp.dtype(dtype).name,
         capacity=capacity,
-        log_xd=log_xd,
-        log_term=log_term,
         mc=mc,
         min_max_acceptance_rate=tuple(min_max_acceptance_rate),
         covariance_learn_delay=covariance_learn_delay,
         monte_carlo_method=monte_carlo_method,
         max_iterations=max_iterations,
         min_iterations=min_iterations,
+        termination_fraction=float(termination_fraction),
     )
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis_name), P()),
-        out_specs=(
-            P(axis_name), P(axis_name), P(axis_name),  # live, logl, logp
-            P(), P(), P(),  # replicated dead ledger
-            P(), P(), P(),  # n_dead, iterations, evals
-        ),
-        check_vma=False,
+    program = _pool_ns_program(mesh, cfg)
+    live, logl, logp, dead_p, dead_l, dead_pr, n_dead, iters, evals = (
+        program(starting_points, k_loop, problem)
     )
-    def run(starts_shard, key_rep):
-        init = pool_loop_init(
-            starts_shard, key_rep, log_likelihood, log_prior,
-            axis_name=axis_name, n=n, capacity=capacity, dtype=dtype,
-        )
-        out = jax.lax.while_loop(cond, body, init)
-        (_, live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it,
-         _, _, evals, _, _) = out
-        return live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it, evals
-
-    live, logl, logp, dead_p, dead_l, dead_pr, n_dead, iters, evals = jax.jit(
-        run
-    )(starting_points, k_loop)
 
     # ---- post-processing on the capacity-padded buffers (ONE compiled
     # program per config; see engines.evidence.evidence_sampling_padded)
@@ -208,6 +178,87 @@ def sharded_pool_nested_sampling(
         num_likelihood_evals=evals_to_int(evals),
         iterations=int(iters) - 1,
     )
+
+
+class _PoolCfg(tuple):
+    """Hashable static configuration of the pool-sharded program."""
+
+    _fields = (
+        "axis_name", "n", "k", "n_loc", "c", "dtype_name", "capacity",
+        "mc", "min_max_acceptance_rate", "covariance_learn_delay",
+        "monte_carlo_method", "max_iterations", "min_iterations",
+        "termination_fraction",
+    )
+
+    def __new__(cls, **kw):
+        return super().__new__(cls, tuple(kw[f] for f in cls._fields))
+
+    def __getattr__(self, name):
+        try:
+            return self[self._fields.index(name)]
+        except ValueError:
+            raise AttributeError(name)
+
+
+@functools.lru_cache(maxsize=16)
+def _pool_ns_program(mesh, cfg: "_PoolCfg"):
+    """The whole pool-sharded NS run as ONE jitted shard_map program,
+    cached per (mesh, static config).  The PROBLEM enters as a pytree
+    argument — its static fields (the callables) key the inner jit
+    cache, its traced leaves (bounds, data) flow as arguments — so
+    repeated fits, including ``with_data`` fits on fresh same-shape
+    data, reuse the compiled program instead of re-jitting a fresh
+    closure per call (which paid a full retrace EVERY call)."""
+    axis_name = cfg.axis_name
+    dtype = jnp.dtype(cfg.dtype_name)
+    schedule = pool_schedule(cfg.n, cfg.k, cfg.capacity).astype(dtype)
+    log_xd = crude_log_x_deleted(schedule)
+    log_term = jnp.log(jnp.asarray(cfg.termination_fraction, dtype))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(), P()),
+        out_specs=(
+            P(axis_name), P(axis_name), P(axis_name),  # live, logl, logp
+            P(), P(), P(),  # replicated dead ledger
+            P(), P(), P(),  # n_dead, iterations, evals
+        ),
+        check_vma=False,
+    )
+    def run(starts_shard, key_rep, problem):
+        log_likelihood = problem.guarded_log_likelihood
+        log_prior = problem.guarded_log_prior
+        cond, body = build_pool_loop(
+            log_likelihood,
+            log_prior,
+            problem.in_support,
+            axis_name=axis_name,
+            n=cfg.n,
+            k=cfg.k,
+            n_loc=cfg.n_loc,
+            c=cfg.c,
+            dtype=dtype,
+            capacity=cfg.capacity,
+            log_xd=log_xd,
+            log_term=log_term,
+            mc=cfg.mc,
+            min_max_acceptance_rate=cfg.min_max_acceptance_rate,
+            covariance_learn_delay=cfg.covariance_learn_delay,
+            monte_carlo_method=cfg.monte_carlo_method,
+            max_iterations=cfg.max_iterations,
+            min_iterations=cfg.min_iterations,
+        )
+        init = pool_loop_init(
+            starts_shard, key_rep, log_likelihood, log_prior,
+            axis_name=axis_name, n=cfg.n, capacity=cfg.capacity, dtype=dtype,
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        (_, live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it,
+         _, _, evals, _, _) = out
+        return live, logl, logp, dead_p, dead_l, dead_pr, n_dead, it, evals
+
+    return jax.jit(run)
 
 
 def build_pool_loop(

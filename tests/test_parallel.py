@@ -434,3 +434,55 @@ def test_sharded_pool_ns_slice_kernel(key):
         r.log_evidence.standard_error
     )
     assert abs(z) < 4.0, (float(r.log_evidence.mean), analytic, z)
+
+
+def test_pool_sharded_program_cached_across_fits(key):
+    """Repeated pool-sharded fits of the same (mesh, config) — including
+    with_data fits on fresh same-shape data — reuse ONE compiled program
+    (the old inline jit re-traced every call)."""
+    from bayesianinference_tpu.parallel.sharded_pool_ns import (
+        _PoolCfg,
+        _pool_ns_program,
+        sharded_pool_nested_sampling,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def builder(th):
+        return d.Normal(th[0], 1.0)
+
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        likelihood=builder,
+        data=jnp.asarray(rng.normal(0.5, 1.0, 32)),
+        prior_distribution=["location"],
+    )
+    cfg_kwargs = dict(sample_pool_size=128, num_delete=8, max_iterations=200,
+                      min_iterations=20, monte_carlo_steps=20,
+                      post_process_sampling_runs=8)
+    r1 = sharded_pool_nested_sampling(problem, key, **cfg_kwargs)
+    info1 = _pool_ns_program.cache_info()
+    r2 = sharded_pool_nested_sampling(
+        problem.with_data(jnp.asarray(rng.normal(-1.5, 1.0, 32))),
+        jax.random.fold_in(key, 1), **cfg_kwargs,
+    )
+    info2 = _pool_ns_program.cache_info()
+    assert info2.misses == info1.misses  # program factory reused
+    # and the inner jit cache stayed at one entry (traced data arg)
+    mesh = None
+    import bayesianinference_tpu.parallel.sharded_pool_ns as sp
+    from jax.sharding import Mesh
+
+    mesh = Mesh(jax.devices(), ("live",))
+    cfg = _PoolCfg(
+        axis_name="live", n=128, k=8, n_loc=16, c=1,
+        dtype_name="float64", capacity=1600, mc=(20, 20, 100),
+        min_max_acceptance_rate=(0.0, 1.0), covariance_learn_delay=10,
+        monte_carlo_method="adaptive_metropolis", max_iterations=200,
+        min_iterations=20, termination_fraction=0.01,
+    )
+    prog = _pool_ns_program(mesh, cfg)
+    assert prog._cache_size() == 1, prog._cache_size()
+    m1 = float(r1.parameter_expected_values.mean[0])
+    m2 = float(r2.parameter_expected_values.mean[0])
+    assert abs(m1 - 0.5) < 0.6 and abs(m2 + 1.5) < 0.6, (m1, m2)
