@@ -289,18 +289,13 @@ def nested_sampling_loop(
                 "dimension",
                 stacklevel=2,
             )
-    if isinstance(monte_carlo_steps, int):
-        mc_steps = (monte_carlo_steps, monte_carlo_steps, 5 * monte_carlo_steps)
-    else:
-        mc_steps = tuple(monte_carlo_steps)
-    max_iterations = max(max_iterations, min_iterations)
-    cfg = _LoopConfig(
+    cfg = make_loop_config(
         max_iterations=max_iterations,
         min_iterations=min_iterations,
-        mc_steps=mc_steps,
-        termination_fraction=float(termination_fraction),
+        monte_carlo_steps=monte_carlo_steps,
+        termination_fraction=termination_fraction,
         num_delete=num_delete,
-        min_max_acceptance_rate=tuple(min_max_acceptance_rate),
+        min_max_acceptance_rate=min_max_acceptance_rate,
         covariance_learn_delay=covariance_learn_delay,
         log_likelihood_maximum=log_likelihood_maximum,
         progress_callback=progress_callback,
@@ -314,6 +309,45 @@ def nested_sampling_loop(
         n_live=n_live,
         num_delete=num_delete,
         capacity=max_iterations * num_delete,
+    )
+
+
+def make_loop_config(
+    *,
+    max_iterations: int = 10000,
+    min_iterations: int = 100,
+    monte_carlo_steps=200,
+    termination_fraction: float = 0.01,
+    num_delete: int = 1,
+    min_max_acceptance_rate=(0.0, 1.0),
+    covariance_learn_delay: int = 10,
+    log_likelihood_maximum=None,
+    progress_callback=None,
+    progress_interval: int = 0,
+    interrupt_check=None,
+    monte_carlo_method: str = "auto",
+) -> "_LoopConfig":
+    """Canonicalize the loop options into the hashable static config (the
+    jit cache key) — shared by the single-device front-end and the
+    mesh-parallel program factories.  ``monte_carlo_method`` must already
+    be resolved (not "auto") unless the caller resolves it separately."""
+    if isinstance(monte_carlo_steps, int):
+        mc_steps = (monte_carlo_steps, monte_carlo_steps, 5 * monte_carlo_steps)
+    else:
+        mc_steps = tuple(monte_carlo_steps)
+    return _LoopConfig(
+        max_iterations=max(max_iterations, min_iterations),
+        min_iterations=min_iterations,
+        mc_steps=mc_steps,
+        termination_fraction=float(termination_fraction),
+        num_delete=num_delete,
+        min_max_acceptance_rate=tuple(min_max_acceptance_rate),
+        covariance_learn_delay=covariance_learn_delay,
+        log_likelihood_maximum=log_likelihood_maximum,
+        progress_callback=progress_callback,
+        progress_interval=progress_interval,
+        interrupt_check=interrupt_check,
+        monte_carlo_method=monte_carlo_method,
     )
 
 

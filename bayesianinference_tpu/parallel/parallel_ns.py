@@ -19,6 +19,7 @@ pre-specified ones for parallel runs, BS:1317-1332).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Optional
 
@@ -34,7 +35,8 @@ from ..engines.evidence import (
 from ..engines.nested_sampling import (
     evals_to_int,
     generate_starting_points,
-    nested_sampling_loop,
+    make_loop_config,
+    resolve_monte_carlo_method,
 )
 from ..models.problem import InferenceProblem
 
@@ -97,6 +99,46 @@ def merge_runs(
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _parallel_runs_program(mesh, sample_pool_size: int, cfg):
+    """R independent runs as ONE jitted shard_map program, cached per
+    (mesh, pool, static loop config) with the problem as a pytree
+    argument — repeated calls (and with_data fits on fresh same-shape
+    data) reuse the compiled program instead of re-jitting a fresh
+    closure per call."""
+    from ..engines.nested_sampling import _ns_loop_jit
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("runs"), P()),
+        out_specs=P("runs"),
+        check_vma=False,
+    )
+    def sharded(keys_shard, problem):
+        def single_run(k):
+            k_start, k_loop = jax.random.split(k)
+            starts = generate_starting_points(
+                problem, k_start, sample_pool_size
+            )
+            s = _ns_loop_jit(problem, starts, k_loop, cfg)
+            return (
+                s.dead_points,
+                s.dead_logl,
+                s.dead_logp,
+                s.n_dead,
+                s.live_points,
+                s.live_logl,
+                s.live_logp,
+                s.num_likelihood_evals,
+                s.iteration,
+            )
+
+        return jax.vmap(single_run)(keys_shard)
+
+    return jax.jit(sharded)
+
+
 def parallel_nested_sampling(
     problem: InferenceProblem,
     key,
@@ -123,34 +165,12 @@ def parallel_nested_sampling(
         )
 
     keys = jax.random.split(key, num_runs)
-
-    def single_run(k):
-        k_start, k_loop = jax.random.split(k)
-        starts = generate_starting_points(problem, k_start, sample_pool_size)
-        run = nested_sampling_loop(problem, starts, k_loop, **loop_kwargs)
-        s = run.state
-        return (
-            s.dead_points,
-            s.dead_logl,
-            s.dead_logp,
-            s.n_dead,
-            s.live_points,
-            s.live_logl,
-            s.live_logp,
-            s.num_likelihood_evals,
-            s.iteration,
+    cfg = make_loop_config(**loop_kwargs)
+    if cfg.monte_carlo_method == "auto":
+        cfg = cfg._replace(
+            monte_carlo_method=resolve_monte_carlo_method("auto", problem.dim)
         )
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=P("runs"),
-        out_specs=P("runs"),
-        check_vma=False,
-    )
-    def sharded(keys_shard):
-        return jax.vmap(single_run)(keys_shard)
-
+    program = _parallel_runs_program(mesh, int(sample_pool_size), cfg)
     (
         dead_points,
         dead_logl,
@@ -161,7 +181,7 @@ def parallel_nested_sampling(
         live_logp,
         evals,
         iters,
-    ) = sharded(keys)
+    ) = program(keys, problem)
 
     # ---- host-side exact merge (combineRuns, BS:1293-1315) ----
     result = merge_runs(
