@@ -15,6 +15,7 @@ from .numerics import (
     xlogy,
 )
 from .standardize import NormalizedData, Standardizer, normalize_data, standardize
+from .transforms import BoxBijection, box_bijection
 
 __all__ = [
     "inverse_matrix_block_inverse",
@@ -37,4 +38,6 @@ __all__ = [
     "Standardizer",
     "normalize_data",
     "standardize",
+    "BoxBijection",
+    "box_bijection",
 ]

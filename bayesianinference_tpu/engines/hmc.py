@@ -1,0 +1,230 @@
+"""Gradient-based posterior sampling: the HMC engine front-end.
+
+Beyond-reference engine (the reference's samplers are gradient-free,
+BS:655-745); see :mod:`..ops.hmc` for the kernel design rationale
+(fixed jittered trajectories, windowed warmup, vmapped chains).
+
+Box-bounded problems are sampled in UNCONSTRAINED coordinates through
+the shared :func:`..core.transforms.box_bijection` with its log-Jacobian
+added to the density — trajectories never hit the support boundary, so
+there is no boundary-rejection waste and no sentinel cliffs in the
+gradient field.  Extra ``constraint`` predicates (non-box) still guard
+by rejection.
+
+Serving convention: the jitted program takes the problem as a PYTREE
+argument, so repeated fits on fresh same-shape data
+(``problem.with_data``) reuse the compiled program (zero retrace).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..core.containers import WeightedSamples
+from ..core.numerics import as_hashable_fn
+from ..core.transforms import box_bijection
+from ..models.problem import InferenceProblem
+from ..ops.hmc import warmup_and_sample
+
+__all__ = ["HMCResult", "hmc_sample"]
+
+
+def _meta(default=None):
+    return dataclasses.field(default=default, metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HMCResult:
+    """Output of :func:`hmc_sample`."""
+
+    samples: jnp.ndarray  # [chains, num_samples, d] (constrained space)
+    acceptance_rates: jnp.ndarray  # [chains] sampling-phase acceptance
+    divergences: jnp.ndarray  # [chains] sampling-phase divergent trajectories
+    step_size: jnp.ndarray  # adapted leapfrog step size
+    inv_mass_diag: jnp.ndarray  # [d] adapted inverse mass (z-space)
+    param_names: Tuple[str, ...] = _meta(())
+
+    @property
+    def num_chains(self) -> int:
+        return self.samples.shape[0]
+
+    def posterior_samples(self) -> WeightedSamples:
+        """All chains pooled as equal-weight posterior samples."""
+        c, n, d = self.samples.shape
+        pts = self.samples.reshape(c * n, d)
+        return WeightedSamples(
+            points=pts, log_weights=jnp.zeros((c * n,), pts.dtype)
+        )
+
+    def per_parameter_chains(self, i: int) -> jnp.ndarray:
+        """[chains, num_samples] marginal draws of parameter ``i`` — the
+        shape the convergence diagnostics consume (``gelman_rubin``,
+        ``effective_sample_size``)."""
+        return self.samples[..., i]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_warmup",
+        "num_samples",
+        "num_leapfrog",
+        "thinning",
+        "target_accept",
+        "initial_step_size",
+    ),
+)
+def _hmc_problem_program(
+    x0,
+    key,
+    problem: InferenceProblem,
+    num_warmup,
+    num_samples,
+    num_leapfrog,
+    thinning,
+    target_accept,
+    initial_step_size,
+):
+    bij = box_bijection(problem.lower, problem.upper)
+
+    def z_density(z):
+        x = bij.to_x(z)
+        return problem.log_posterior_density(x) + bij.log_jacobian(z)
+
+    z0 = jax.vmap(bij.to_z)(x0)
+    z_samples, states, step_size, inv_mass = warmup_and_sample(
+        key,
+        z0,
+        z_density,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        num_leapfrog=num_leapfrog,
+        thinning=thinning,
+        target_accept=target_accept,
+        initial_step_size=initial_step_size,
+    )
+    samples = jax.vmap(jax.vmap(bij.to_x))(z_samples)
+    return samples, states, step_size, inv_mass
+
+
+@functools.lru_cache(maxsize=32)
+def _hmc_density_program(
+    log_density,
+    num_warmup,
+    num_samples,
+    num_leapfrog,
+    thinning,
+    target_accept,
+    initial_step_size,
+):
+    """Jitted run for a raw (unbounded) density callable, bounded lru."""
+
+    def run(x0, key):
+        return warmup_and_sample(
+            key,
+            x0,
+            log_density,
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            num_leapfrog=num_leapfrog,
+            thinning=thinning,
+            target_accept=target_accept,
+            initial_step_size=initial_step_size,
+        )
+
+    return jax.jit(run)
+
+
+def hmc_sample(
+    target: Union[InferenceProblem, Callable],
+    key,
+    *,
+    num_chains: int = 4,
+    num_samples: int = 1000,
+    num_warmup: int = 500,
+    num_leapfrog: int = 32,
+    thinning: int = 1,
+    target_accept: float = 0.8,
+    starting_points=None,
+    initial_step_size: float = 0.1,
+) -> HMCResult:
+    """Run ``num_chains`` vmapped HMC chains with windowed warmup.
+
+    ``target`` is an :class:`InferenceProblem` (sampled through the box
+    bijection in unconstrained space; starting points default to prior
+    draws) or a raw ``log_density(theta)`` callable over R^d (then
+    ``starting_points`` [chains, d] is required).
+
+    ``num_leapfrog`` is the fixed trajectory length (step size adapts to
+    ``target_accept``; the product eps*L should roughly cover the
+    posterior scale — raise L for very correlated targets).  Multi-chain
+    outputs feed ``results.diagnostics.gelman_rubin`` directly via
+    :meth:`HMCResult.per_parameter_chains`."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_start, k_run = jax.random.split(key)
+
+    if isinstance(target, InferenceProblem):
+        if starting_points is None:
+            from .nested_sampling import generate_starting_points
+
+            starting_points = generate_starting_points(
+                target, k_start, num_chains
+            )
+        starting_points = jnp.asarray(starting_points)
+        if starting_points.shape != (num_chains, target.dim):
+            raise ValueError(
+                f"starting_points must be [{num_chains}, {target.dim}]"
+            )
+        samples, states, step_size, inv_mass = _hmc_problem_program(
+            starting_points,
+            k_run,
+            target,
+            num_warmup,
+            num_samples,
+            num_leapfrog,
+            thinning,
+            float(target_accept),
+            float(initial_step_size),
+        )
+        names = target.param_names
+    else:
+        if starting_points is None:
+            raise ValueError(
+                "raw-density targets need explicit starting_points "
+                "[num_chains, d]"
+            )
+        starting_points = jnp.asarray(
+            starting_points, jnp.result_type(float)
+        )
+        prog = _hmc_density_program(
+            as_hashable_fn(target),
+            num_warmup,
+            num_samples,
+            num_leapfrog,
+            thinning,
+            float(target_accept),
+            float(initial_step_size),
+        )
+        samples, states, step_size, inv_mass = prog(starting_points, k_run)
+        names = tuple(
+            f"x{i}" for i in range(starting_points.shape[-1])
+        )
+
+    dtype = samples.dtype
+    acc = states.accepted.astype(dtype) / jnp.maximum(
+        states.proposed.astype(dtype), 1.0
+    )
+    return HMCResult(
+        samples=samples,
+        acceptance_rates=acc,
+        divergences=states.divergences,
+        step_size=step_size,
+        inv_mass_diag=inv_mass,
+        param_names=names,
+    )
