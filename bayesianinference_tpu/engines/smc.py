@@ -50,7 +50,13 @@ from ..models.problem import InferenceProblem
 from ..ops.metropolis import am_init, proposal_chol, run_chain
 from .evidence import MeanAndError
 
-__all__ = ["SMCConfig", "SMCResult", "smc_sampler", "smc_log_evidence"]
+__all__ = [
+    "SMCConfig",
+    "SMCResult",
+    "smc_sampler",
+    "smc_log_evidence",
+    "states_to_result",
+]
 
 
 class SMCConfig(NamedTuple):
@@ -308,6 +314,17 @@ def smc_sampler(
     states = _smc_program(
         problem, starting_points, jax.random.split(k_runs, num_runs), cfg
     )
+    return states_to_result(states, cfg, problem.param_names)
+
+
+def states_to_result(
+    states: _SMCState, cfg: SMCConfig, param_names: Tuple[str, ...]
+) -> SMCResult:
+    """Assemble the public result from batched final ladder states —
+    shared by the single-device front-end and the mesh-parallel one."""
+    num_runs, n_particles = states.logl.shape
+    mcmc_steps = cfg.mcmc_steps
+    max_stages = cfg.max_stages
     if bool(jnp.any(states.beta < 1.0)):
         import warnings
 
@@ -343,7 +360,7 @@ def smc_sampler(
         ess_fractions=states.ess_hist,
         acceptance_rates=states.acc_hist,
         n_stages=stages,
-        param_names=problem.param_names,
+        param_names=param_names,
         num_likelihood_evals=evals,
     )
 

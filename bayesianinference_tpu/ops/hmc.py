@@ -208,11 +208,14 @@ def _warmup_phase(
     num_leapfrog: int,
     target_accept: float,
     collect_welford: bool,
+    axis_name=None,
 ):
     """One warmup scan phase: chains step in lockstep (vmap), the MEAN
     acceptance probability across chains drives one shared dual-averaging
     step-size, Welford variance accumulates across chains x iterations
-    when requested."""
+    when requested.  With ``axis_name`` (chains sharded over a mesh under
+    shard_map) the acceptance mean is a ``pmean`` across devices, so all
+    shards adapt ONE global step size in lockstep."""
     d = states.x.shape[-1]
     dtype = states.x.dtype
     n_chains = states.x.shape[0]
@@ -231,7 +234,10 @@ def _warmup_phase(
                 kk, st, log_density_fn, eps, inv_mass_diag, num_leapfrog
             )
         )(ks, states)
-        da = dual_averaging_update(da, jnp.mean(aps), target_accept)
+        ap_mean = jnp.mean(aps)
+        if axis_name is not None:
+            ap_mean = jax.lax.pmean(ap_mean, axis_name)
+        da = dual_averaging_update(da, ap_mean, target_accept)
         if collect_welford:
             # absorb all chains' positions this iteration (batched Welford:
             # one mean/M2 update per chain, unrolled via a small scan)
@@ -266,6 +272,7 @@ def warmup_and_sample(
     thinning: int = 1,
     target_accept: float = 0.8,
     initial_step_size: float = 0.1,
+    axis_name=None,
 ) -> Tuple[jnp.ndarray, HMCState, jnp.ndarray, jnp.ndarray]:
     """Full windowed-warmup HMC run, all chains vmapped in one program.
 
@@ -274,6 +281,12 @@ def warmup_and_sample(
     variance accumulates, (3) mass set to the estimated posterior
     variances, dual averaging restarted.  Sampling then runs with frozen
     (step_size, mass).
+
+    With ``axis_name`` (the local chains are one shard of a mesh axis,
+    under shard_map) adaptation is GLOBAL: acceptance means ride a
+    ``pmean`` per warmup step and the Welford moments merge across
+    devices (Chan et al. parallel combine) before the mass is set, so
+    every shard freezes identical (step_size, mass).
 
     Returns (samples [chains, num_samples, d], final states,
     step_size, inv_mass_diag)."""
@@ -292,12 +305,22 @@ def warmup_and_sample(
 
     states, da, _ = _warmup_phase(
         k1, states, log_density_fn, da, inv_mass, p1, num_leapfrog,
-        target_accept, collect_welford=False,
+        target_accept, collect_welford=False, axis_name=axis_name,
     )
     states, da, (w_mean, w_m2, w_n) = _warmup_phase(
         k2, states, log_density_fn, da, inv_mass, p2, num_leapfrog,
-        target_accept, collect_welford=True,
+        target_accept, collect_welford=True, axis_name=axis_name,
     )
+    if axis_name is not None:
+        # Chan et al. parallel Welford combine across equal-count shards
+        nf_loc = w_n.astype(dtype)
+        nf_tot = jax.lax.psum(nf_loc, axis_name)
+        mean_g = jax.lax.psum(w_mean * nf_loc, axis_name) / nf_tot
+        w_m2 = jax.lax.psum(
+            w_m2 + nf_loc * (w_mean - mean_g) ** 2, axis_name
+        )
+        w_mean = mean_g
+        w_n = jax.lax.psum(w_n, axis_name)
     var = w_m2 / jnp.maximum(w_n.astype(dtype) - 1.0, 1.0)
     # regularize toward unit like Stan: shrink slightly for few samples
     nf = w_n.astype(dtype)
@@ -307,7 +330,7 @@ def warmup_and_sample(
     da = dual_averaging_init(jnp.exp(da.log_eps_bar))
     states, da, _ = _warmup_phase(
         k3, states, log_density_fn, da, inv_mass, p3, num_leapfrog,
-        target_accept, collect_welford=False,
+        target_accept, collect_welford=False, axis_name=axis_name,
     )
     step_size = jnp.exp(da.log_eps_bar)
 

@@ -1,5 +1,7 @@
 from .multi_axis_ns import make_multi_axis_mesh, multi_axis_nested_sampling
+from .parallel_hmc import parallel_hmc
 from .parallel_ns import merge_runs, parallel_nested_sampling
+from .parallel_smc import parallel_smc
 from .sharded_chol import (
     sharded_cholesky,
     sharded_gp_logml_blocked,
@@ -25,7 +27,9 @@ __all__ = [
     "sharded_gp_predict",
     "sharded_multinormal_conjugate_model",
     "sharded_normal_conjugate_model",
+    "parallel_hmc",
     "parallel_nested_sampling",
+    "parallel_smc",
     "sharded_pool_nested_sampling",
     "multi_axis_nested_sampling",
     "make_multi_axis_mesh",

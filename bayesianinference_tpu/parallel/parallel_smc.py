@@ -1,0 +1,98 @@
+"""Mesh-parallel tempered SMC: replicate ladders sharded over a mesh.
+
+The SMC engine's replicate runs are fully independent (each ladder
+carries its own particles, temperatures, and logZ estimate), so the
+multi-chip form is collective-free — the exact analogue of
+``parallel_nested_sampling``'s runs axis: R ladders execute as ONE
+``shard_map`` program over a ``runs`` mesh axis, vmapped within each
+device when R exceeds the device count.  Per-run RNG keys are split
+identically to the single-device path, so a mesh run reproduces
+``smc_sampler``'s output bit-for-bit given the same key.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..engines.smc import SMCConfig, SMCResult, _smc_single, states_to_result
+from ..models.problem import InferenceProblem
+
+__all__ = ["parallel_smc"]
+
+
+@functools.lru_cache(maxsize=16)
+def _parallel_smc_program(mesh, cfg: SMCConfig):
+    """R independent ladders as ONE jitted shard_map program, cached per
+    (mesh, static config) with the problem as a pytree argument."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("runs"), P("runs"), P()),
+        out_specs=P("runs"),
+        check_vma=False,
+    )
+    def sharded(keys_shard, particles_shard, problem):
+        return jax.vmap(
+            lambda k, p0: _smc_single(problem, p0, k, cfg)
+        )(keys_shard, particles_shard)
+
+    return jax.jit(sharded)
+
+
+def parallel_smc(
+    problem: InferenceProblem,
+    key,
+    *,
+    num_runs: int = 8,
+    n_particles: int = 1000,
+    mesh: Optional[Mesh] = None,
+    starting_points=None,
+    max_stages: int = 100,
+    mcmc_steps: int = 10,
+    ess_target: float = 0.5,
+    covariance_learn_delay: int = 10,
+) -> SMCResult:
+    """``num_runs`` independent SMC ladders across the mesh ``runs`` axis;
+    same contract (and, per key, the same result) as
+    :func:`..engines.smc_sampler`."""
+    if mesh is None:
+        n_dev = len(jax.devices())
+        n_use = max(1, min(num_runs, n_dev))
+        mesh = Mesh(jax.devices()[:n_use], ("runs",))
+    n_shards = mesh.shape["runs"]
+    if num_runs % n_shards != 0:
+        raise ValueError(
+            f"num_runs={num_runs} must be a multiple of the mesh 'runs' "
+            f"axis size {n_shards}"
+        )
+    key = jax.random.PRNGKey(0) if key is None else key
+    k_start, k_runs = jax.random.split(key)
+    if starting_points is None:
+        from ..engines.nested_sampling import generate_starting_points
+
+        pts = generate_starting_points(problem, k_start, num_runs * n_particles)
+        starting_points = pts.reshape(num_runs, n_particles, -1)
+    else:
+        starting_points = jnp.asarray(starting_points)
+        if starting_points.shape[0] != num_runs:
+            raise ValueError(
+                "starting_points must be [num_runs, n_particles, d]"
+            )
+    cfg = SMCConfig(
+        max_stages=max_stages,
+        mcmc_steps=mcmc_steps,
+        ess_target=float(ess_target),
+        covariance_learn_delay=covariance_learn_delay,
+    )
+    program = _parallel_smc_program(mesh, cfg)
+    states = program(
+        jax.random.split(k_runs, num_runs), starting_points, problem
+    )
+    return states_to_result(states, cfg, problem.param_names)

@@ -101,6 +101,7 @@ def test_smc_gaussian_logz(key):
     assert r.num_likelihood_evals > 0
 
 
+@pytest.mark.slow
 def test_smc_conjugate_normal_oracle(key):
     # exact logZ from the conjugate Normal model with a PROPER NIG prior
     # (the default reference prior, InverseGamma(1/200, 1/200) on the

@@ -53,6 +53,7 @@ def test_advi_conjugate_posterior_and_elbo(key):
     assert lp_mean > lp_tail
 
 
+@pytest.mark.slow
 def test_advi_fullrank_recovers_correlation(key):
     # strongly correlated 2-D Gaussian likelihood; flat prior
     rho = 0.9
