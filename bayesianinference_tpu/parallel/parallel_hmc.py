@@ -94,8 +94,9 @@ def parallel_hmc(
     """HMC with the chain axis sharded over the mesh; same contract as
     :func:`..engines.hmc_sample`."""
     if mesh is None:
-        n_dev = len(jax.devices())
-        n_use = max(1, min(num_chains, n_dev))
+        # largest device count that divides the chains evenly
+        n_dev = max(1, min(num_chains, len(jax.devices())))
+        n_use = max(d for d in range(1, n_dev + 1) if num_chains % d == 0)
         mesh = Mesh(jax.devices()[:n_use], ("chains",))
     n_shards = mesh.shape["chains"]
     if num_chains % n_shards != 0:

@@ -63,8 +63,9 @@ def parallel_smc(
     same contract (and, per key, the same result) as
     :func:`..engines.smc_sampler`."""
     if mesh is None:
-        n_dev = len(jax.devices())
-        n_use = max(1, min(num_runs, n_dev))
+        # largest device count that divides the runs evenly
+        n_dev = max(1, min(num_runs, len(jax.devices())))
+        n_use = max(d for d in range(1, n_dev + 1) if num_runs % d == 0)
         mesh = Mesh(jax.devices()[:n_use], ("runs",))
     n_shards = mesh.shape["runs"]
     if num_runs % n_shards != 0:

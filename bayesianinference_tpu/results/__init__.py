@@ -5,7 +5,7 @@ from .diagnostics import (
     gelman_rubin,
     weighted_effective_sample_size,
 )
-from .information import LOOResult, WAICResult, psis_loo, waic
+from .information import LOOResult, WAICResult, model_weights, psis_loo, waic
 from .posterior import (
     posterior_predictive_check,
     predictive_distribution,
@@ -23,6 +23,7 @@ __all__ = [
     "weighted_effective_sample_size",
     "LOOResult",
     "WAICResult",
+    "model_weights",
     "psis_loo",
     "waic",
     "posterior_predictive_check",

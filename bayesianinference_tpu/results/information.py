@@ -18,7 +18,13 @@ import jax.numpy as jnp
 
 from ..core.numerics import log_zero, logsumexp
 
-__all__ = ["LOOResult", "WAICResult", "psis_loo", "waic"]
+__all__ = [
+    "LOOResult",
+    "WAICResult",
+    "model_weights",
+    "psis_loo",
+    "waic",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,3 +260,98 @@ def _np_logsumexp(a):
     if not np.isfinite(m):
         return m
     return m + np.log(np.sum(np.exp(a - m)))
+
+
+def model_weights(
+    results,
+    *,
+    method: str = "stacking",
+    key=None,
+    n_bootstrap: int = 1000,
+    num_iters: int = 500,
+) -> jnp.ndarray:
+    """Model-averaging weights from pointwise elpd estimates
+    (Yao, Vehtari, Simpson & Gelman 2018).
+
+    ``results``: a sequence of :class:`LOOResult` / :class:`WAICResult`
+    (or raw ``[n]`` pointwise-elpd arrays), one per model, all evaluated
+    on the SAME n observations.  No counterpart in the reference — it
+    compares models only by exact log evidence (``log_bayes_factor``);
+    these weights target out-of-sample predictive fit instead.
+
+    * ``"stacking"`` — maximize the LOO predictive density of the
+      mixture, ``sum_i log sum_k w_k exp(elpd_ik)`` over the simplex.
+      Solved by projected exponentiated-gradient ascent (softmax
+      parametrization, one jitted ``lax.scan``) — the objective is
+      concave in w, so the fixed iteration budget converges to the
+      optimum for any K likely in practice.
+    * ``"pseudo-bma"`` — ``w_k ∝ exp(sum_i elpd_ik)``.
+    * ``"pseudo-bma+"`` — Bayesian-bootstrap regularized: Dirichlet(1)
+      reweightings of the observations produce replicate elpd sums;
+      the weight is the average softmax over replicates (needs ``key``;
+      defaults to ``PRNGKey(0)``).
+
+    Returns a ``[K]`` simplex vector.
+    """
+    import numpy as np
+
+    elpds = []
+    for r in results:
+        e = getattr(r, "pointwise_elpd", r)
+        elpds.append(np.asarray(e, float))
+    elpd = np.stack(elpds, axis=0)  # [K, n]
+    if elpd.ndim != 2:
+        raise ValueError(f"pointwise elpds must be [n] vectors, got {elpd.shape}")
+    k_models, n = elpd.shape
+    if not np.all(np.isfinite(elpd)):
+        raise ValueError(
+            "non-finite pointwise elpd — inspect pareto_k / refit flagged "
+            "observations before computing model weights"
+        )
+    if k_models == 1:
+        return jnp.ones((1,))
+
+    if method == "pseudo-bma":
+        tot = elpd.sum(axis=1)
+        w = np.exp(tot - tot.max())
+        return jnp.asarray(w / w.sum())
+
+    if method == "pseudo-bma+":
+        key = jax.random.PRNGKey(0) if key is None else key
+        # Bayesian bootstrap: Dirichlet(1,...,1) weights over observations
+        alpha = jax.random.dirichlet(
+            key, jnp.ones((n,), jnp.float64 if jax.config.jax_enable_x64
+            else jnp.float32), shape=(n_bootstrap,)
+        )  # [B, n]
+        rep = jnp.asarray(elpd) @ alpha.T * n  # [K, B] replicate sums
+        w = jax.nn.softmax(rep, axis=0)  # softmax over models per replicate
+        return jnp.mean(w, axis=1)
+
+    if method != "stacking":
+        raise ValueError(
+            f"unknown method {method!r}; use 'stacking', 'pseudo-bma' or "
+            "'pseudo-bma+'"
+        )
+
+    # stacking: concave maximization of sum_i log(sum_k w_k exp(elpd_ik))
+    # over the simplex; exponentiated-gradient (mirror) ascent in a scan
+    le = jnp.asarray(elpd - elpd.max(axis=0, keepdims=True))  # [K, n]
+
+    def objective_grad(logw):
+        w = jax.nn.softmax(logw)
+        # log mixture density per observation
+        lmix = logsumexp(jnp.log(w)[:, None] + le, axis=0)  # [n]
+        # d/dw_k = sum_i exp(elpd_ik - lmix_i); mirror step uses this
+        g = jnp.sum(jnp.exp(le - lmix[None, :]), axis=1) / n  # [K]
+        return g
+
+    def body(logw, _):
+        g = objective_grad(logw)
+        # exponentiated gradient: w <- w * exp(eta g) renormalized
+        logw = logw + 0.5 * g
+        logw = logw - logsumexp(logw)
+        return logw, None
+
+    logw0 = jnp.zeros((k_models,)) - jnp.log(float(k_models))
+    logw, _ = jax.lax.scan(body, logw0, None, length=num_iters)
+    return jax.nn.softmax(logw)

@@ -305,3 +305,72 @@ def test_psis_loo_flags_sentinel_likelihoods(key):
     k = np.asarray(loo.pareto_k)
     assert np.isinf(k[2])  # y=2.5 unsupported under theta in {1, 2}
     assert np.all(np.isfinite(np.asarray(loo.pointwise_elpd)))
+
+
+def test_model_weights_stacking_matches_grid_oracle(rng):
+    """K=2 stacking has a 1-D concave objective: the exponentiated-
+    gradient solution must match a brute-force grid argmax."""
+    from bayesianinference_tpu.results import model_weights
+
+    n = 200
+    # two models with genuinely complementary pointwise fits
+    e1 = rng.normal(-1.0, 0.8, size=n)
+    e2 = np.where(rng.uniform(size=n) < 0.4, e1 + 1.2, e1 - 0.9)
+    w = np.asarray(model_weights([e1, e2], method="stacking"))
+    assert w.shape == (2,)
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-6)
+
+    grid = np.linspace(1e-6, 1 - 1e-6, 20001)
+    le = np.stack([e1, e2])
+    # objective on the grid, stably: log(w e^{e1} + (1-w) e^{e2})
+    mx = le.max(axis=0)
+    p1, p2 = np.exp(le[0] - mx), np.exp(le[1] - mx)
+    vals = np.array([np.sum(np.log(a * p1 + (1 - a) * p2)) for a in grid])
+    w_star = grid[np.argmax(vals)]
+    assert abs(w[0] - w_star) < 1e-3, (w[0], w_star)
+
+
+def test_model_weights_dominant_and_symmetric(rng):
+    from bayesianinference_tpu.results import model_weights
+
+    n = 100
+    base = rng.normal(size=n)
+    # model A strictly dominates pointwise -> all stacking weight on A
+    w = np.asarray(model_weights([base, base - 2.0], method="stacking"))
+    assert w[0] > 0.99
+    # identical models -> uniform by symmetry
+    w3 = np.asarray(model_weights([base, base, base], method="stacking"))
+    np.testing.assert_allclose(w3, 1.0 / 3.0, atol=1e-6)
+
+
+def test_model_weights_pseudo_bma_forms(rng, key):
+    from bayesianinference_tpu.results import model_weights
+
+    n = 50
+    e1 = rng.normal(-1.0, 0.1, size=n)
+    e2 = e1 - 0.02  # slightly worse
+    # plain pseudo-BMA is an exact softmax of the totals
+    w = np.asarray(model_weights([e1, e2], method="pseudo-bma"))
+    t1, t2 = e1.sum(), e2.sum()
+    expect = np.exp([0.0, t2 - t1])
+    expect /= expect.sum()
+    np.testing.assert_allclose(w, expect, rtol=1e-6)
+    # pseudo-BMA+ regularizes toward uniform but keeps the ordering
+    wp = np.asarray(
+        model_weights([e1, e2], method="pseudo-bma+", key=key)
+    )
+    np.testing.assert_allclose(wp.sum(), 1.0, atol=1e-6)
+    assert wp[0] > wp[1]
+    assert wp[0] < w[0] + 1e-9 or abs(wp[0] - w[0]) < 0.2
+
+
+def test_model_weights_validation(rng):
+    import pytest as _pytest
+
+    from bayesianinference_tpu.results import model_weights
+
+    assert np.asarray(model_weights([rng.normal(size=10)])).tolist() == [1.0]
+    with _pytest.raises(ValueError, match="non-finite"):
+        model_weights([np.array([0.0, np.inf]), np.zeros(2)])
+    with _pytest.raises(ValueError, match="unknown method"):
+        model_weights([np.zeros(3), np.zeros(3)], method="bma")

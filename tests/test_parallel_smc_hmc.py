@@ -65,6 +65,16 @@ def test_parallel_smc_bad_run_count(key):
         parallel_smc(_problem(), key, num_runs=3, mesh=mesh)
 
 
+def test_parallel_smc_default_mesh_divisor(key):
+    # 12 runs on 8 devices: the default mesh picks the largest divisor (6)
+    # instead of failing the even-split check
+    r = parallel_smc(
+        _problem(), key, num_runs=12, n_particles=64, mcmc_steps=4
+    )
+    assert r.log_z_runs.shape == (12,)
+    assert np.all(np.isfinite(np.asarray(r.log_z_runs)))
+
+
 def test_parallel_hmc_smoke(key):
     # fast mesh smoke: shapes, finiteness, and the global (replicated)
     # step size; the statistical-agreement test below is marked slow
