@@ -55,16 +55,22 @@ def box_bijection(lower, upper) -> BoxBijection:
         )
         return jnp.where(pinned, lo_s, out)
 
+    # dtype-aware interior nudge: the clip bound must survive the
+    # arithmetic in this dtype (a 1e-9 nudge is invisible in f32:
+    # 1.0 - 1e-9 rounds back to 1.0, so boundary x mapped to z = +-inf
+    # and log_jacobian = -inf on TPU)
+    eps = jnp.maximum(jnp.asarray(jnp.finfo(dtype).eps, dtype), 1e-9)
+
     def _sp_inv(y):
-        y = jnp.maximum(y, jnp.asarray(1e-12, dtype))
+        y = jnp.maximum(y, eps)
         return y + jnp.log1p(-jnp.exp(-y))
 
     def to_z(x):
         x = jnp.asarray(x, dtype)
-        frac = jnp.clip((x - lo_s) / width, 1e-9, 1.0 - 1e-9)
+        frac = jnp.clip((x - lo_s) / width, eps, 1.0 - eps)
         z_both = jnp.log(frac) - jnp.log1p(-frac)
-        z_lo = _sp_inv(jnp.maximum(x - lo_s, 1e-9))
-        z_hi = _sp_inv(jnp.maximum(hi_s - x, 1e-9))
+        z_lo = _sp_inv(jnp.maximum(x - lo_s, eps))
+        z_hi = _sp_inv(jnp.maximum(hi_s - x, eps))
         return jnp.where(
             both, z_both, jnp.where(f_lo, z_lo, jnp.where(f_hi, z_hi, x))
         )

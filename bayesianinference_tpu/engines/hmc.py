@@ -34,6 +34,66 @@ from ..ops.hmc import warmup_and_sample
 __all__ = ["HMCResult", "hmc_sample"]
 
 
+def bijected_warmup_and_sample(
+    x0,
+    key,
+    problem: InferenceProblem,
+    *,
+    num_warmup,
+    num_samples,
+    num_leapfrog,
+    thinning,
+    target_accept,
+    initial_step_size,
+    axis_name=None,
+):
+    """z-space warmup + sampling through the shared box bijection — the
+    traced core of both the single-device program and the mesh-sharded
+    one (:func:`..parallel.parallel_hmc` passes ``axis_name`` so warmup
+    adaptation rides collectives).  Returns (constrained samples, final
+    states, step_size, inv_mass_diag)."""
+    bij = box_bijection(problem.lower, problem.upper)
+
+    def z_density(z):
+        x = bij.to_x(z)
+        return problem.log_posterior_density(x) + bij.log_jacobian(z)
+
+    z0 = jax.vmap(bij.to_z)(x0)
+    z_samples, states, step_size, inv_mass = warmup_and_sample(
+        key,
+        z0,
+        z_density,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        num_leapfrog=num_leapfrog,
+        thinning=thinning,
+        target_accept=target_accept,
+        initial_step_size=initial_step_size,
+        axis_name=axis_name,
+    )
+    samples = jax.vmap(jax.vmap(bij.to_x))(z_samples)
+    return samples, states, step_size, inv_mass
+
+
+def states_to_hmc_result(
+    samples, states, step_size, inv_mass, param_names
+) -> "HMCResult":
+    """Assemble the public result from kernel outputs — shared by the
+    single-device front-end and the mesh-parallel one."""
+    dtype = samples.dtype
+    acc = states.accepted.astype(dtype) / jnp.maximum(
+        states.proposed.astype(dtype), 1.0
+    )
+    return HMCResult(
+        samples=samples,
+        acceptance_rates=acc,
+        divergences=states.divergences,
+        step_size=step_size,
+        inv_mass_diag=inv_mass,
+        param_names=param_names,
+    )
+
+
 def _meta(default=None):
     return dataclasses.field(default=default, metadata=dict(static=True))
 
@@ -91,17 +151,10 @@ def _hmc_problem_program(
     target_accept,
     initial_step_size,
 ):
-    bij = box_bijection(problem.lower, problem.upper)
-
-    def z_density(z):
-        x = bij.to_x(z)
-        return problem.log_posterior_density(x) + bij.log_jacobian(z)
-
-    z0 = jax.vmap(bij.to_z)(x0)
-    z_samples, states, step_size, inv_mass = warmup_and_sample(
+    return bijected_warmup_and_sample(
+        x0,
         key,
-        z0,
-        z_density,
+        problem,
         num_warmup=num_warmup,
         num_samples=num_samples,
         num_leapfrog=num_leapfrog,
@@ -109,8 +162,6 @@ def _hmc_problem_program(
         target_accept=target_accept,
         initial_step_size=initial_step_size,
     )
-    samples = jax.vmap(jax.vmap(bij.to_x))(z_samples)
-    return samples, states, step_size, inv_mass
 
 
 @functools.lru_cache(maxsize=32)
@@ -202,6 +253,14 @@ def hmc_sample(
         starting_points = jnp.asarray(
             starting_points, jnp.result_type(float)
         )
+        if (
+            starting_points.ndim != 2
+            or starting_points.shape[0] != num_chains
+        ):
+            raise ValueError(
+                f"starting_points must be [{num_chains}, d], got shape "
+                f"{starting_points.shape}"
+            )
         prog = _hmc_density_program(
             as_hashable_fn(target),
             num_warmup,
@@ -216,15 +275,4 @@ def hmc_sample(
             f"x{i}" for i in range(starting_points.shape[-1])
         )
 
-    dtype = samples.dtype
-    acc = states.accepted.astype(dtype) / jnp.maximum(
-        states.proposed.astype(dtype), 1.0
-    )
-    return HMCResult(
-        samples=samples,
-        acceptance_rates=acc,
-        divergences=states.divergences,
-        step_size=step_size,
-        inv_mass_diag=inv_mass,
-        param_names=names,
-    )
+    return states_to_hmc_result(samples, states, step_size, inv_mass, names)

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,35 @@ __all__ = [
     "smc_log_evidence",
     "states_to_result",
 ]
+
+
+def prepare_smc_starting_points(
+    problem: InferenceProblem, k_start, starting_points, num_runs, n_particles
+):
+    """Resolve/validate the [num_runs, n_particles, d] starting array —
+    the shared front-end of :func:`smc_sampler` and
+    :func:`..parallel.parallel_smc` (one contract, one code path).
+
+    ``None`` draws prior points; a 2-D [n_particles, d] array is accepted
+    for ``num_runs == 1``; otherwise the leading axis must match
+    ``num_runs``.  Returns (points, n_particles)."""
+    if num_runs < 1:
+        raise ValueError("num_runs must be >= 1")
+    if starting_points is None:
+        from .nested_sampling import generate_starting_points
+
+        pts = generate_starting_points(problem, k_start, num_runs * n_particles)
+        return pts.reshape(num_runs, n_particles, -1), n_particles
+    starting_points = jnp.asarray(starting_points)
+    if starting_points.ndim == 2 and num_runs == 1:
+        starting_points = starting_points[None]
+    if starting_points.ndim != 3 or starting_points.shape[0] != num_runs:
+        raise ValueError(
+            f"starting_points must be [num_runs={num_runs}, n_particles, d] "
+            f"(or [n_particles, d] when num_runs == 1), got shape "
+            f"{starting_points.shape}"
+        )
+    return starting_points, starting_points.shape[1]
 
 
 class SMCConfig(NamedTuple):
@@ -119,9 +148,16 @@ def _find_delta(logl, beta, cfg: SMCConfig):
     )
     delta = jnp.where(full_ok, remaining, lo)
     # guard against a degenerate population (all weights on one particle
-    # even at tiny delta): force a minimal move so the ladder terminates
-    min_delta = remaining * jnp.asarray(2.0, dtype) ** (-cfg.bisection_iters)
-    return jnp.maximum(delta, min_delta), full_ok
+    # even at tiny delta): force a minimal move so the ladder terminates.
+    # The floor must survive the beta + delta addition in this dtype —
+    # remaining * 2^-50 alone underflows against f32's ~1.2e-7 eps, which
+    # would silently re-test the same beta for all max_stages stages
+    eps = jnp.finfo(dtype).eps
+    min_delta = jnp.maximum(
+        remaining * jnp.asarray(2.0, dtype) ** (-cfg.bisection_iters),
+        4.0 * eps * jnp.maximum(beta, jnp.asarray(0.5, dtype)),
+    )
+    return jnp.clip(jnp.maximum(delta, min_delta), 0.0, remaining), full_ok
 
 
 def _systematic_resample(key, log_w):
@@ -285,26 +321,11 @@ def smc_sampler(
     ``mcmc_steps`` block-AM rejuvenation steps run per stage; raise it
     (e.g. toward ~5x dimension) if the per-stage acceptance or the
     cross-engine logZ agreement degrades."""
-    if num_runs < 1:
-        raise ValueError("num_runs must be >= 1")
     key = jax.random.PRNGKey(0) if key is None else key
     k_start, k_runs = jax.random.split(key)
-    if starting_points is None:
-        from .nested_sampling import generate_starting_points
-
-        pts = generate_starting_points(
-            problem, k_start, num_runs * n_particles
-        )
-        starting_points = pts.reshape(num_runs, n_particles, -1)
-    else:
-        starting_points = jnp.asarray(starting_points)
-        if starting_points.ndim == 2:
-            starting_points = starting_points[None]
-        if starting_points.shape[0] != num_runs:
-            raise ValueError(
-                "starting_points must be [num_runs, n_particles, d]"
-            )
-        n_particles = starting_points.shape[1]
+    starting_points, n_particles = prepare_smc_starting_points(
+        problem, k_start, starting_points, num_runs, n_particles
+    )
     cfg = SMCConfig(
         max_stages=max_stages,
         mcmc_steps=mcmc_steps,

@@ -15,7 +15,6 @@ Sampling itself is collective-free.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from functools import partial
 from typing import Optional
@@ -24,10 +23,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.transforms import box_bijection
-from ..engines.hmc import HMCResult
+from ..engines.hmc import (
+    HMCResult,
+    bijected_warmup_and_sample,
+    states_to_hmc_result,
+)
 from ..models.problem import InferenceProblem
-from ..ops.hmc import warmup_and_sample
 
 __all__ = ["parallel_hmc"]
 
@@ -50,19 +51,12 @@ def _parallel_hmc_program(
         check_vma=False,
     )
     def sharded(x0_shard, keys_shard, problem):
-        bij = box_bijection(problem.lower, problem.upper)
-
-        def z_density(z):
-            x = bij.to_x(z)
-            return problem.log_posterior_density(x) + bij.log_jacobian(z)
-
-        z0 = jax.vmap(bij.to_z)(x0_shard)
         # one key per shard drives the local chains; warmup collectives
-        # ride the "chains" axis name
-        z_samples, states, step_size, inv_mass = warmup_and_sample(
+        # ride the "chains" axis name (shared core: engines/hmc.py)
+        return bijected_warmup_and_sample(
+            x0_shard,
             keys_shard[0],
-            z0,
-            z_density,
+            problem,
             num_warmup=num_warmup,
             num_samples=num_samples,
             num_leapfrog=num_leapfrog,
@@ -71,8 +65,6 @@ def _parallel_hmc_program(
             initial_step_size=initial_step_size,
             axis_name="chains",
         )
-        samples = jax.vmap(jax.vmap(bij.to_x))(z_samples)
-        return samples, states, step_size, inv_mass
 
     return jax.jit(sharded)
 
@@ -132,15 +124,6 @@ def parallel_hmc(
     samples, states, step_size, inv_mass = program(
         starting_points, keys, problem
     )
-    dtype = samples.dtype
-    acc = states.accepted.astype(dtype) / jnp.maximum(
-        states.proposed.astype(dtype), 1.0
-    )
-    return HMCResult(
-        samples=samples,
-        acceptance_rates=acc,
-        divergences=states.divergences,
-        step_size=step_size,
-        inv_mass_diag=inv_mass,
-        param_names=problem.param_names,
+    return states_to_hmc_result(
+        samples, states, step_size, inv_mass, problem.param_names
     )

@@ -17,10 +17,15 @@ from functools import partial
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engines.smc import SMCConfig, SMCResult, _smc_single, states_to_result
+from ..engines.smc import (
+    SMCConfig,
+    SMCResult,
+    _smc_single,
+    prepare_smc_starting_points,
+    states_to_result,
+)
 from ..models.problem import InferenceProblem
 
 __all__ = ["parallel_smc"]
@@ -75,17 +80,9 @@ def parallel_smc(
         )
     key = jax.random.PRNGKey(0) if key is None else key
     k_start, k_runs = jax.random.split(key)
-    if starting_points is None:
-        from ..engines.nested_sampling import generate_starting_points
-
-        pts = generate_starting_points(problem, k_start, num_runs * n_particles)
-        starting_points = pts.reshape(num_runs, n_particles, -1)
-    else:
-        starting_points = jnp.asarray(starting_points)
-        if starting_points.shape[0] != num_runs:
-            raise ValueError(
-                "starting_points must be [num_runs, n_particles, d]"
-            )
+    starting_points, n_particles = prepare_smc_starting_points(
+        problem, k_start, starting_points, num_runs, n_particles
+    )
     cfg = SMCConfig(
         max_stages=max_stages,
         mcmc_steps=mcmc_steps,

@@ -361,7 +361,9 @@ def test_model_weights_pseudo_bma_forms(rng, key):
     )
     np.testing.assert_allclose(wp.sum(), 1.0, atol=1e-6)
     assert wp[0] > wp[1]
-    assert wp[0] < w[0] + 1e-9 or abs(wp[0] - w[0]) < 0.2
+    # the bootstrap shrinks the winning weight toward 0.5 (never past
+    # the plain softmax)
+    assert 0.5 < wp[0] <= w[0] + 1e-9
 
 
 def test_model_weights_validation(rng):

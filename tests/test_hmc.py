@@ -164,3 +164,27 @@ def test_hmc_serving_cache(key):
 def test_hmc_raw_density_requires_starts(key):
     with pytest.raises(ValueError, match="starting_points"):
         hmc_sample(lambda x: -0.5 * jnp.sum(x**2), key)
+
+
+def test_box_bijection_f32_boundary_stays_finite():
+    """Regression: in f32 the old interior clip (1 - 1e-9) rounded back
+    to 1.0, mapping boundary x to z = +-inf and log_jacobian to -inf —
+    a chain started at a bound was permanently stuck on TPU."""
+    lo = jnp.zeros(3, jnp.float32)
+    hi = jnp.ones(3, jnp.float32)
+    bij = box_bijection(lo, hi)
+    for x in (hi, lo, jnp.asarray([0.0, 0.5, 1.0], jnp.float32)):
+        z = bij.to_z(x)
+        assert z.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(z))), (x, z)
+        assert np.isfinite(float(bij.log_jacobian(z)))
+        x_back = np.asarray(bij.to_x(z))
+        assert np.all(x_back >= 0.0) and np.all(x_back <= 1.0)
+    # one-sided bounds at the boundary, f32
+    bij1 = box_bijection(
+        jnp.asarray([0.0, -jnp.inf], jnp.float32),
+        jnp.asarray([jnp.inf, 2.0], jnp.float32),
+    )
+    z = bij1.to_z(jnp.asarray([0.0, 2.0], jnp.float32))
+    assert np.all(np.isfinite(np.asarray(z)))
+    assert np.isfinite(float(bij1.log_jacobian(z)))

@@ -186,3 +186,17 @@ def test_smc_serving_cache(key):
     m1 = float(r1.posterior_samples().mean()[0])
     m2 = float(r2.posterior_samples().mean()[0])
     assert 0.2 < m2 - m1 < 0.8
+
+
+def test_find_delta_progresses_in_f32():
+    """Regression: the degenerate-population floor remaining*2^-50
+    underflowed against f32 eps, so beta + delta == beta and the ladder
+    silently burned all max_stages stages on TPU."""
+    logl = jnp.asarray([-1e20] * 199 + [0.0], jnp.float32)
+    beta = jnp.asarray(0.5, jnp.float32)
+    delta, full = _find_delta(logl, beta, SMCConfig())
+    assert delta.dtype == jnp.float32
+    assert not bool(full)
+    assert float(beta + delta) > float(beta), float(delta)
+    # and the floor never overshoots the remaining temperature budget
+    assert float(delta) <= float(1.0 - beta)
