@@ -4,10 +4,10 @@ The SMC engine's replicate runs are fully independent (each ladder
 carries its own particles, temperatures, and logZ estimate), so the
 multi-chip form is collective-free — the exact analogue of
 ``parallel_nested_sampling``'s runs axis: R ladders execute as ONE
-``shard_map`` program over a ``runs`` mesh axis, vmapped within each
-device when R exceeds the device count.  Per-run RNG keys are split
-identically to the single-device path, so a mesh run reproduces
-``smc_sampler``'s output bit-for-bit given the same key.
+``shard_map`` program over a ``runs`` mesh axis, each device advancing
+its block of runs through the engine's flat-chain while_loop.  Per-run
+RNG keys are split identically to the single-device path, so a mesh run
+reproduces ``smc_sampler``'s output bit-for-bit given the same key.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..engines.smc import (
     SMCConfig,
     SMCResult,
-    _smc_single,
+    _smc_ladders,
     prepare_smc_starting_points,
     states_to_result,
 )
@@ -44,9 +44,10 @@ def _parallel_smc_program(mesh, cfg: SMCConfig):
         check_vma=False,
     )
     def sharded(keys_shard, particles_shard, problem):
-        return jax.vmap(
-            lambda k, p0: _smc_single(problem, p0, k, cfg)
-        )(keys_shard, particles_shard)
+        # each device advances its own run block in one flat-chain
+        # while_loop (shards terminate independently — no cross-device
+        # lockstep, since the ladders share nothing)
+        return _smc_ladders(problem, particles_shard, keys_shard, cfg)
 
     return jax.jit(sharded)
 
