@@ -201,6 +201,18 @@ def bench_blr(n=4096, reps=20):
     return 1.0 / best, fit()
 
 
+def bench_smc_hmc():
+    """Beyond-reference samplers, one number each (full configs +
+    methodology in benchmarks/smc_hmc_throughput.py): HMC density+
+    gradient evals/s (d=16, 8k chains) and SMC full-ladder likelihood
+    evals/s (d=2, 2x32k particles)."""
+    from benchmarks.smc_hmc_throughput import bench_hmc, bench_smc
+
+    heps, _, _ = bench_hmc()
+    seps, _, _ = bench_smc()
+    return heps, seps
+
+
 def bench_laplace_iris():
     """BASELINE config 3: Laplace fit of logistic regression on Fisher
     Iris (multi-start L-BFGS + exact AD Hessian) — wall ms per fit."""
@@ -297,6 +309,13 @@ def main():
         file=sys.stderr,
     )
 
+    hmc_eps, smc_eps = bench_smc_hmc()
+    print(
+        f"[bench] hmc d=16: {hmc_eps/1e6:.0f}M grad-evals/s; "
+        f"smc 2x32k: {smc_eps/1e6:.0f}M evals/s",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -311,6 +330,8 @@ def main():
                 "gp_logml_grad_tflops_n16k": round(gp_tflops, 2),
                 "blr_conjugate_fits_per_sec_n4k": round(blr_fps, 1),
                 "laplace_iris_ms_per_fit": round(lap_ms, 1),
+                "hmc_grad_evals_per_sec_d16": round(hmc_eps),
+                "smc_ladder_evals_per_sec": round(smc_eps),
             }
         )
     )
