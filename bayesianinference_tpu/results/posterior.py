@@ -24,47 +24,85 @@ __all__ = [
 ]
 
 
-def _select_samples(result: NestedSamplingResult, mode: Optional[str]):
-    thetas = result.points
-    log_w = result.crude_log_posterior_weights
+def _select_samples(result, mode: Optional[str]):
+    """Weighted posterior draws from any engine's output.
+
+    Accepts a :class:`NestedSamplingResult` (crude posterior weights,
+    BS:1419-1435), a raw :class:`..core.containers.WeightedSamples`, or
+    any result exposing ``posterior_samples()`` (SMC, HMC, VI — their
+    equal/importance-weighted pools feed the same mixtures)."""
+    from ..core.containers import WeightedSamples
+
+    if hasattr(result, "crude_log_posterior_weights"):
+        # NestedSamplingResult (or anything duck-typed like one)
+        thetas = result.points
+        log_w = result.crude_log_posterior_weights
+        log_l = result.log_likelihoods
+        log_post = result.log_likelihoods + result.log_priors
+    else:
+        if not isinstance(result, WeightedSamples):
+            if not hasattr(result, "posterior_samples"):
+                raise TypeError(
+                    "expected a NestedSamplingResult, WeightedSamples, or "
+                    f"a result with .posterior_samples(); got {type(result)}"
+                )
+            result = result.posterior_samples()
+        thetas = result.points
+        log_w = result.log_weights
+        log_l = result.log_likelihoods
+        log_post = None
     if mode is None:
         return thetas, log_w
     if mode == "MaximumLikelihood":
         # single best-likelihood sample (BS:1389-1402)
-        i = jnp.argmax(result.log_likelihoods)
+        if log_l is None:
+            raise ValueError(
+                "mode='MaximumLikelihood' needs per-sample log-likelihoods; "
+                "this result does not carry them"
+            )
+        i = jnp.argmax(log_l)
     elif mode == "MAP":
         # best posterior-density sample (BS:1404-1417)
-        i = jnp.argmax(result.log_likelihoods + result.log_priors)
+        if log_post is None:
+            raise ValueError(
+                "mode='MAP' needs per-sample log posterior densities; only "
+                "nested-sampling results carry (log_likelihoods, log_priors)"
+            )
+        i = jnp.argmax(log_post)
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return thetas[i : i + 1], jnp.zeros((1,), log_w.dtype)
 
 
 def predictive_distribution(
-    result: NestedSamplingResult,
+    result,
     dist_builder: Callable,
     mode: Optional[str] = None,
 ) -> Mixture:
     """Posterior predictive for an i.i.d. model:
     MixtureDistribution[weights, dist(theta_s)] (BS:1419-1435).
 
-    ``dist_builder(theta)`` must return the generating distribution; it is
-    vmapped over the sample axis, so the mixture component is one batched
-    distribution rather than a list."""
+    ``result`` is any engine output carrying weighted posterior draws —
+    a :class:`NestedSamplingResult`, a ``WeightedSamples``, or an
+    SMC/HMC/VI result (``posterior_samples()``).  ``dist_builder(theta)``
+    must return the generating distribution; it is vmapped over the
+    sample axis, so the mixture component is one batched distribution
+    rather than a list."""
     thetas, log_w = _select_samples(result, mode)
     component = jax.vmap(dist_builder)(thetas)
     return Mixture(log_weights=log_w, component=component)
 
 
 def regression_predictive_distribution(
-    result: NestedSamplingResult,
+    result,
     dist_builder: Callable,
     inputs,
     mode: Optional[str] = None,
 ) -> PointwiseMixture:
     """Posterior predictive for a regression model at ``inputs`` [m, d_in]
     (BS:1437-1483): a per-input-point mixture over the posterior samples,
-    batched as one [S, m, ...] component.
+    batched as one [S, m, ...] component.  ``result`` as in
+    :func:`predictive_distribution` — any engine's weighted draws.
 
     ``dist_builder(theta, x)`` must return the output distribution at
     inputs ``x``: scalar families map [m, d_in] -> params [m]; vector

@@ -306,3 +306,49 @@ def test_direct_with_data_serving_reuses_program(rng):
     assert _direct_eval_program._cache_size() == size1 > size0
     assert abs(float(d1.mean()[0]) - 1.0) < 0.5
     assert abs(float(d2.mean()[0]) + 1.5) < 0.5
+
+
+def test_predictive_from_smc_and_hmc_results(key):
+    """predictive_distribution accepts ANY engine's weighted draws: the
+    SMC/HMC pools feed the same mixture machinery as NS results."""
+    from bayesianinference_tpu.engines import hmc_sample, smc_sampler
+
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0), ("sigma", 0.1, 5.0)],
+        log_likelihood=lambda th: jnp.sum(
+            d.Normal(th[0], th[1]).log_prob(jnp.asarray([0.4, 0.6, 0.5, 0.7]))
+        ),
+        prior_distribution=["location", "scale"],
+        validate=False,
+    )
+    smc = smc_sampler(problem, key, n_particles=200, num_runs=2, mcmc_steps=8)
+    pred = predictive_distribution(smc, lambda th: d.Normal(th[0], th[1]))
+    assert np.isfinite(float(pred.log_prob(jnp.asarray(0.5))))
+    # equal-weight pool: predictive mean == pooled posterior mean of mu
+    np.testing.assert_allclose(
+        float(pred.mean()), float(smc.posterior_samples().mean()[0]),
+        atol=1e-9,
+    )
+    # ML mode works (SMC carries per-particle log-likelihoods)
+    ml = predictive_distribution(
+        smc, lambda th: d.Normal(th[0], th[1]), mode="MaximumLikelihood"
+    )
+    assert ml.num_components == 1
+
+    hmc = hmc_sample(
+        problem, key, num_chains=4, num_samples=50, num_warmup=60,
+        num_leapfrog=8,
+    )
+    pred_h = predictive_distribution(hmc, lambda th: d.Normal(th[0], th[1]))
+    assert np.isfinite(float(pred_h.log_prob(jnp.asarray(0.5))))
+    # HMC draws carry no log-likelihoods: ML/MAP modes give clear errors
+    with pytest.raises(ValueError, match="log-likelihood"):
+        predictive_distribution(
+            hmc, lambda th: d.Normal(th[0], th[1]), mode="MaximumLikelihood"
+        )
+    with pytest.raises(ValueError, match="MAP"):
+        predictive_distribution(
+            hmc, lambda th: d.Normal(th[0], th[1]), mode="MAP"
+        )
+    with pytest.raises(TypeError, match="posterior_samples"):
+        predictive_distribution(3.0, lambda th: d.Normal(th[0], th[1]))
