@@ -102,15 +102,17 @@ class SMCConfig(NamedTuple):
 
 
 class _SMCState(NamedTuple):
-    key: jnp.ndarray
-    particles: jnp.ndarray  # [n, d]
-    logl: jnp.ndarray  # [n] guarded log-likelihood at the particles
-    beta: jnp.ndarray  # scalar in [0, 1]
-    log_z: jnp.ndarray  # accumulated log-evidence estimate
-    stage: jnp.ndarray  # scalar int32: completed stages
-    betas: jnp.ndarray  # [max_stages] temperature after each stage
-    ess_hist: jnp.ndarray  # [max_stages] ESS fraction realized per stage
-    acc_hist: jnp.ndarray  # [max_stages] mean MH acceptance per stage
+    """Ladder state, batched over the replicate-run axis R."""
+
+    key: jnp.ndarray  # [R] per-run keys
+    particles: jnp.ndarray  # [R, n, d]
+    logl: jnp.ndarray  # [R, n] guarded log-likelihood at the particles
+    beta: jnp.ndarray  # [R] temperatures in [0, 1]
+    log_z: jnp.ndarray  # [R] accumulated log-evidence estimates
+    stage: jnp.ndarray  # [R] int32: completed stages
+    betas: jnp.ndarray  # [R, max_stages] temperature after each stage
+    ess_hist: jnp.ndarray  # [R, max_stages] ESS fraction per stage
+    acc_hist: jnp.ndarray  # [R, max_stages] mean MH acceptance per stage
 
 
 def _ess_fraction(delta, logl, n):

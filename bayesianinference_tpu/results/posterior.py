@@ -29,8 +29,9 @@ def _select_samples(result, mode: Optional[str]):
 
     Accepts a :class:`NestedSamplingResult` (crude posterior weights,
     BS:1419-1435), a raw :class:`..core.containers.WeightedSamples`, or
-    any result exposing ``posterior_samples()`` (SMC, HMC, VI — their
-    equal/importance-weighted pools feed the same mixtures)."""
+    any result whose ``posterior_samples()`` takes no arguments (SMC,
+    HMC — their pools feed the same mixtures).  VI posteriors need a
+    draw key: pass ``vi_result.posterior_samples(key)`` explicitly."""
     from ..core.containers import WeightedSamples
 
     if hasattr(result, "crude_log_posterior_weights"):
@@ -46,7 +47,15 @@ def _select_samples(result, mode: Optional[str]):
                     "expected a NestedSamplingResult, WeightedSamples, or "
                     f"a result with .posterior_samples(); got {type(result)}"
                 )
-            result = result.posterior_samples()
+            try:
+                result = result.posterior_samples()
+            except TypeError as e:
+                raise TypeError(
+                    "this result's posterior_samples() needs arguments "
+                    "(a VI posterior needs a draw key) — call it yourself "
+                    "and pass the WeightedSamples, e.g. "
+                    "predictive_distribution(res.posterior_samples(key), ...)"
+                ) from e
         thetas = result.points
         log_w = result.log_weights
         log_l = result.log_likelihoods
@@ -68,6 +77,13 @@ def _select_samples(result, mode: Optional[str]):
                 "mode='MAP' needs per-sample log posterior densities; only "
                 "nested-sampling results carry (log_likelihoods, log_priors)"
             )
+        if bool(jnp.all(jnp.isnan(log_post))):
+            # evidence_sampling results built without log_priors carry a
+            # NaN fill — argmax over it would silently pick sample 0
+            raise ValueError(
+                "mode='MAP' needs log_priors; this result was built "
+                "without them (NaN-filled)"
+            )
         i = jnp.argmax(log_post)
     else:
         raise ValueError(f"unknown mode {mode!r}")
@@ -84,7 +100,8 @@ def predictive_distribution(
 
     ``result`` is any engine output carrying weighted posterior draws —
     a :class:`NestedSamplingResult`, a ``WeightedSamples``, or an
-    SMC/HMC/VI result (``posterior_samples()``).  ``dist_builder(theta)``
+    SMC/HMC result (``posterior_samples()``; VI: pass
+    ``vi_result.posterior_samples(key)``).  ``dist_builder(theta)``
     must return the generating distribution; it is vmapped over the
     sample axis, so the mixture component is one batched distribution
     rather than a list."""

@@ -83,13 +83,17 @@ def bench_smc(dim=2, particles=32768, runs=2, mcmc_steps=100):
 
     r = run(0)
     float(r.log_evidence.mean)
-    best = float("inf")
+    # the adaptive ladder's stage count (hence eval count) is
+    # seed-dependent: keep (time, evals, result) from the SAME rep
+    best, best_r = float("inf"), None
     for rep in range(3):
         t0 = time.perf_counter()
         r = run(rep + 1)
         float(r.log_evidence.mean)
-        best = min(best, time.perf_counter() - t0)
-    return r.num_likelihood_evals / best, best, r
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, best_r = dt, r
+    return best_r.num_likelihood_evals / best, best, best_r
 
 
 def main():

@@ -1,7 +1,7 @@
 """Model comparison two ways: exact evidence vs predictive stacking.
 
 Two competing noise models for one regression dataset with heavy-tailed
-errors — Normal vs StudentT(4).  Nested sampling gives each model an
+(t(2)) errors — Normal vs StudentT(3).  Nested sampling gives each model an
 exact-evidence comparison (``log_bayes_factor``, the reference's only
 comparison tool, BS:1138-1156 + LR logZ machinery); the model-criticism
 toolkit then compares them by estimated OUT-OF-SAMPLE fit (PSIS-LOO)
