@@ -141,8 +141,10 @@ def resume_nested_sampling_loop(
 
 
 def save_result(path, result) -> None:
-    """Serialize a :class:`~.evidence.NestedSamplingResult` or
-    :class:`~.laplace.LaplaceFit` to a single ``.npz``.
+    """Serialize an engine result dataclass to a single ``.npz`` —
+    :class:`~.evidence.NestedSamplingResult`, :class:`~.laplace.LaplaceFit`,
+    :class:`~.smc.SMCResult`, :class:`~.hmc.HMCResult`, or
+    :class:`~.vi.VIResult`.
 
     Arrays and ``MeanAndError`` pairs round-trip exactly; static metadata
     goes to an embedded JSON header; callables (``predictive_builder``)
@@ -182,11 +184,17 @@ def load_result(path):
     """Load a result saved by :func:`save_result` (class chosen from the
     embedded header)."""
     from .evidence import MeanAndError, NestedSamplingResult
+    from .hmc import HMCResult
     from .laplace import LaplaceFit
+    from .smc import SMCResult
+    from .vi import VIResult
 
     classes = {
         "NestedSamplingResult": NestedSamplingResult,
         "LaplaceFit": LaplaceFit,
+        "SMCResult": SMCResult,
+        "HMCResult": HMCResult,
+        "VIResult": VIResult,
     }
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())

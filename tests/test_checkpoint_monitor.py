@@ -225,3 +225,60 @@ def test_load_ns_run_migrates_scalar_eval_counter(tmp_path, key):
         problem, loaded, extra_iterations=5, monte_carlo_steps=8
     )
     assert evals_to_int(more.state.num_likelihood_evals) > total
+
+
+def test_save_load_smc_hmc_vi_results(key, tmp_path):
+    """The beyond-reference engines' results serialize through the same
+    save_result/load_result path (storage/serving artifacts)."""
+    import jax.numpy as jnp
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines import (
+        advi_fit,
+        hmc_sample,
+        load_result,
+        save_result,
+        smc_sampler,
+    )
+    from bayesianinference_tpu.models import define_inference_problem
+
+    problem = define_inference_problem(
+        parameters=[("mu", -5.0, 5.0)],
+        log_likelihood=lambda th: d.Normal(0.3, 1.0).log_prob(th[0]),
+        prior_distribution=["location"],
+        validate=False,
+    )
+    smc = smc_sampler(problem, key, n_particles=100, num_runs=2, mcmc_steps=5)
+    save_result(tmp_path / "smc.npz", smc)
+    b = load_result(tmp_path / "smc.npz")
+    assert type(b).__name__ == "SMCResult"
+    np.testing.assert_array_equal(
+        np.asarray(b.particles), np.asarray(smc.particles)
+    )
+    np.testing.assert_allclose(
+        float(b.log_evidence.mean), float(smc.log_evidence.mean), rtol=0
+    )
+    assert b.param_names == smc.param_names
+    assert np.isfinite(float(b.posterior_samples().mean()[0]))
+
+    hmc = hmc_sample(
+        problem, key, num_chains=2, num_samples=20, num_warmup=30,
+        num_leapfrog=5,
+    )
+    save_result(tmp_path / "hmc.npz", hmc)
+    bh = load_result(tmp_path / "hmc.npz")
+    np.testing.assert_array_equal(
+        np.asarray(bh.samples), np.asarray(hmc.samples)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bh.inv_mass_diag), np.asarray(hmc.inv_mass_diag)
+    )
+
+    vi = advi_fit(problem, key, num_steps=50)
+    save_result(tmp_path / "vi.npz", vi)
+    bv = load_result(tmp_path / "vi.npz")
+    np.testing.assert_array_equal(np.asarray(bv.loc), np.asarray(vi.loc))
+    assert bv.family == vi.family
+    # loaded VI posterior still samples (bijection rebuilt from bounds)
+    s = bv.sample(key, 7)
+    assert s.shape == (7, 1)
