@@ -46,6 +46,7 @@ def bijected_warmup_and_sample(
     target_accept,
     initial_step_size,
     axis_name=None,
+    dense_mass=False,
 ):
     """z-space warmup + sampling through the shared box bijection — the
     traced core of both the single-device program and the mesh-sharded
@@ -70,6 +71,7 @@ def bijected_warmup_and_sample(
         target_accept=target_accept,
         initial_step_size=initial_step_size,
         axis_name=axis_name,
+        dense_mass=dense_mass,
     )
     samples = jax.vmap(jax.vmap(bij.to_x))(z_samples)
     return samples, states, step_size, inv_mass
@@ -107,7 +109,8 @@ class HMCResult:
     acceptance_rates: jnp.ndarray  # [chains] sampling-phase acceptance
     divergences: jnp.ndarray  # [chains] sampling-phase divergent trajectories
     step_size: jnp.ndarray  # adapted leapfrog step size
-    inv_mass_diag: jnp.ndarray  # [d] adapted inverse mass (z-space)
+    inv_mass_diag: jnp.ndarray  # [d] adapted inverse mass (z-space);
+    # the full [d, d] posterior covariance when fitted with dense_mass
     param_names: Tuple[str, ...] = _meta(())
 
     @property
@@ -138,6 +141,7 @@ class HMCResult:
         "thinning",
         "target_accept",
         "initial_step_size",
+        "dense_mass",
     ),
 )
 def _hmc_problem_program(
@@ -150,6 +154,7 @@ def _hmc_problem_program(
     thinning,
     target_accept,
     initial_step_size,
+    dense_mass,
 ):
     return bijected_warmup_and_sample(
         x0,
@@ -161,6 +166,7 @@ def _hmc_problem_program(
         thinning=thinning,
         target_accept=target_accept,
         initial_step_size=initial_step_size,
+        dense_mass=dense_mass,
     )
 
 
@@ -173,6 +179,7 @@ def _hmc_density_program(
     thinning,
     target_accept,
     initial_step_size,
+    dense_mass,
 ):
     """Jitted run for a raw (unbounded) density callable, bounded lru."""
 
@@ -187,6 +194,7 @@ def _hmc_density_program(
             thinning=thinning,
             target_accept=target_accept,
             initial_step_size=initial_step_size,
+            dense_mass=dense_mass,
         )
 
     return jax.jit(run)
@@ -204,6 +212,7 @@ def hmc_sample(
     target_accept: float = 0.8,
     starting_points=None,
     initial_step_size: float = 0.1,
+    dense_mass: bool = False,
 ) -> HMCResult:
     """Run ``num_chains`` vmapped HMC chains with windowed warmup.
 
@@ -214,9 +223,13 @@ def hmc_sample(
 
     ``num_leapfrog`` is the fixed trajectory length (step size adapts to
     ``target_accept``; the product eps*L should roughly cover the
-    posterior scale — raise L for very correlated targets).  Multi-chain
-    outputs feed ``results.diagnostics.gelman_rubin`` directly via
-    :meth:`HMCResult.per_parameter_chains`."""
+    posterior scale — raise L for very correlated targets).
+    ``dense_mass=True`` adapts the FULL posterior covariance as the
+    inverse mass (momentum decorrelation) instead of per-coordinate
+    variances — prefer it for strongly correlated posteriors at moderate
+    d, where it buys what longer trajectories otherwise would.
+    Multi-chain outputs feed ``results.diagnostics.gelman_rubin``
+    directly via :meth:`HMCResult.per_parameter_chains`."""
     key = jax.random.PRNGKey(0) if key is None else key
     k_start, k_run = jax.random.split(key)
 
@@ -242,6 +255,7 @@ def hmc_sample(
             thinning,
             float(target_accept),
             float(initial_step_size),
+            bool(dense_mass),
         )
         names = target.param_names
     else:
@@ -269,6 +283,7 @@ def hmc_sample(
             thinning,
             float(target_accept),
             float(initial_step_size),
+            bool(dense_mass),
         )
         samples, states, step_size, inv_mass = prog(starting_points, k_run)
         names = tuple(

@@ -17,9 +17,14 @@ TPU-first design choices:
   [0.8, 1.2]·eps, breaking periodic-orbit resonances) keeps every
   chain's work identical and every shape static.  This is the standard
   static-shape alternative (ChEES/jittered-HMC family).
-* **Diagonal mass matrix** adapted from Welford variances in a windowed
-  warmup (three fixed-length scan phases), dual-averaging step size to a
-  target acceptance (Hoffman & Gelman 2014, Algorithm 5).
+* **Diagonal (default) or dense mass matrix** adapted from Welford
+  moments in a windowed warmup (three fixed-length scan phases),
+  dual-averaging step size to a target acceptance (Hoffman & Gelman
+  2014, Algorithm 5).  The dense form stays MXU-shaped: the mass is ONE
+  shared [d, d] matrix, so every leapfrog touch is a [chains, d] @
+  [d, d] matmul — never a batched-tiny per-chain op (the TPU pathology
+  class, see CLAUDE.md) — and the momentum sampler is a precomputed
+  triangular inverse applied the same way.
 * The whole warmup + sampling run is one jitted program; chains vmap.
 
 Densities follow the library convention: out-of-support points return
@@ -77,10 +82,22 @@ def hmc_init(x0, log_density_fn: Callable) -> HMCState:
     )
 
 
+def _apply_inv_mass(inv_mass, p):
+    """M^-1 p for a diagonal ([d]) or dense ([d, d]) inverse mass.
+
+    ``inv_mass`` is SHARED across chains (closed over, unbatched), so
+    under vmap the dense form lowers to one [chains, d] @ [d, d] matmul
+    — the MXU-friendly shape — not a batched per-chain matvec."""
+    if inv_mass.ndim == 2:
+        return p @ inv_mass  # symmetric
+    return inv_mass * p
+
+
 def leapfrog(
-    x, p, grad, log_density_fn: Callable, step_size, inv_mass_diag, num_steps: int
+    x, p, grad, log_density_fn: Callable, step_size, inv_mass, num_steps: int
 ):
-    """``num_steps`` leapfrog steps with diagonal mass matrix.
+    """``num_steps`` leapfrog steps with a diagonal [d] or dense [d, d]
+    (inverse) mass matrix.
 
     Returns (x, p, log_density, grad) at the trajectory end.  The
     gradient at the start position must be supplied (cached in the
@@ -91,7 +108,7 @@ def leapfrog(
     def step(carry, _):
         x, p, g = carry
         p_half = p + 0.5 * step_size * g
-        x_new = x + step_size * inv_mass_diag * p_half
+        x_new = x + step_size * _apply_inv_mass(inv_mass, p_half)
         lp, g_new = jax.value_and_grad(log_density_fn)(x_new)
         g_new = jnp.where(jnp.isfinite(g_new), g_new, 0.0)
         p_new = p_half + 0.5 * step_size * g_new
@@ -103,8 +120,30 @@ def leapfrog(
     return x, p, lps[-1], g
 
 
-def _kinetic(p, inv_mass_diag):
-    return 0.5 * jnp.sum(p * p * inv_mass_diag, axis=-1)
+def _kinetic(p, inv_mass):
+    return 0.5 * jnp.sum(p * _apply_inv_mass(inv_mass, p), axis=-1)
+
+
+def _sample_momentum(key, d, dtype, p_chol):
+    """p ~ N(0, M): scale raw normals by the momentum factor — [d]
+    per-coordinate std for diagonal mass, or the [d, d] matrix U with
+    U^T U = M = Sigma^-1 (U = L^-1 for Sigma = L L^T) for dense."""
+    eps = jax.random.normal(key, (d,), dtype)
+    if p_chol.ndim == 2:
+        return eps @ p_chol
+    return eps * p_chol
+
+
+def momentum_factor(inv_mass):
+    """The factor feeding :func:`_sample_momentum` for a given inverse
+    mass: 1/sqrt(var) for diagonal, U = L^-1 (Sigma = L L^T) for dense.
+    ONE small [d, d] computation — do it once per phase, outside vmapped
+    chains."""
+    if inv_mass.ndim == 2:
+        lc = jnp.linalg.cholesky(inv_mass)
+        eye = jnp.eye(inv_mass.shape[-1], dtype=inv_mass.dtype)
+        return jax.scipy.linalg.solve_triangular(lc, eye, lower=True)
+    return 1.0 / jnp.sqrt(inv_mass)
 
 
 def hmc_step(
@@ -112,28 +151,33 @@ def hmc_step(
     state: HMCState,
     log_density_fn: Callable,
     step_size,
-    inv_mass_diag,
+    inv_mass,
     num_leapfrog: int,
     jitter: float = 0.2,
+    p_chol=None,
 ):
     """One HMC trajectory: momentum refresh, jittered-step leapfrog, MH
     accept.  Returns (state, accept_prob) — the realized acceptance
     PROBABILITY (not the binary outcome), which is what dual averaging
-    consumes."""
+    consumes.  ``inv_mass`` is the [d] variance vector or the [d, d]
+    posterior covariance (= M^-1); ``p_chol`` the matching momentum
+    factor (:func:`momentum_factor`, derived here when omitted)."""
     k_mom, k_eps, k_acc = jax.random.split(key, 3)
     d = state.x.shape[-1]
     dtype = state.x.dtype
 
-    # p ~ N(0, M) with M = diag(1/inv_mass_diag)
-    p0 = jax.random.normal(k_mom, (d,), dtype) / jnp.sqrt(inv_mass_diag)
+    if p_chol is None:
+        p_chol = momentum_factor(inv_mass)
+    # p ~ N(0, M) with M = inv_mass^-1
+    p0 = _sample_momentum(k_mom, d, dtype, p_chol)
     eps = step_size * (
         1.0 + jitter * jax.random.uniform(k_eps, (), dtype, minval=-1.0, maxval=1.0)
     )
     x_new, p_new, lp_new, g_new = leapfrog(
-        state.x, p0, state.grad, log_density_fn, eps, inv_mass_diag, num_leapfrog
+        state.x, p0, state.grad, log_density_fn, eps, inv_mass, num_leapfrog
     )
-    h0 = -state.log_density + _kinetic(p0, inv_mass_diag)
-    h1 = -lp_new + _kinetic(p_new, inv_mass_diag)
+    h0 = -state.log_density + _kinetic(p0, inv_mass)
+    h1 = -lp_new + _kinetic(p_new, inv_mass)
     energy_error = h1 - h0
     divergent = jnp.logical_or(
         ~jnp.isfinite(energy_error), energy_error > _DIVERGENCE_THRESHOLD
@@ -203,25 +247,31 @@ def _warmup_phase(
     states: HMCState,
     log_density_fn,
     da: DAState,
-    inv_mass_diag,
+    inv_mass,
     num_iters: int,
     num_leapfrog: int,
     target_accept: float,
     collect_welford: bool,
     axis_name=None,
+    dense: bool = False,
 ):
     """One warmup scan phase: chains step in lockstep (vmap), the MEAN
     acceptance probability across chains drives one shared dual-averaging
-    step-size, Welford variance accumulates across chains x iterations
-    when requested.  With ``axis_name`` (chains sharded over a mesh under
-    shard_map) the acceptance mean is a ``pmean`` across devices, so all
-    shards adapt ONE global step size in lockstep."""
+    step-size, and Welford moments ([d] variances, or the full [d, d]
+    covariance when ``dense``) accumulate across chains x iterations when
+    requested — each iteration's [chains, d] batch is folded in with ONE
+    exact Chan merge (a [d, chains] @ [chains, d] matmul for dense).
+    With ``axis_name`` (chains sharded over a mesh under shard_map) the
+    acceptance mean is a ``pmean`` across devices, so all shards adapt
+    ONE global step size in lockstep."""
     d = states.x.shape[-1]
     dtype = states.x.dtype
     n_chains = states.x.shape[0]
+    p_chol = momentum_factor(inv_mass)
+    m2_0 = jnp.zeros((d, d) if dense else (d,), dtype)
     w0 = (
         jnp.zeros((d,), dtype),
-        jnp.zeros((d,), dtype),
+        m2_0,
         jnp.asarray(0, jnp.int32),
     )  # mean, M2, count over chain-positions
 
@@ -231,7 +281,8 @@ def _warmup_phase(
         ks = jax.random.split(k, n_chains)
         states, aps = jax.vmap(
             lambda kk, st: hmc_step(
-                kk, st, log_density_fn, eps, inv_mass_diag, num_leapfrog
+                kk, st, log_density_fn, eps, inv_mass, num_leapfrog,
+                p_chol=p_chol,
             )
         )(ks, states)
         ap_mean = jnp.mean(aps)
@@ -239,20 +290,20 @@ def _warmup_phase(
             ap_mean = jax.lax.pmean(ap_mean, axis_name)
         da = dual_averaging_update(da, ap_mean, target_accept)
         if collect_welford:
-            # absorb all chains' positions this iteration (batched Welford:
-            # one mean/M2 update per chain, unrolled via a small scan)
-            def absorb(wc, x):
-                m, m2, n = wc
-                n = n + 1
-                nf = n.astype(dtype)
-                delta = x - m
-                m = m + delta / nf
-                m2 = m2 + delta * (x - m)
-                return (m, m2, n), None
-
-            (w_mean, w_m2, w_n), _ = jax.lax.scan(
-                absorb, (w_mean, w_m2, w_n), states.x
-            )
+            # exact Chan merge of this iteration's [chains, d] group into
+            # the running (mean, M2, n)
+            x = states.x
+            gm = jnp.mean(x, axis=0)
+            diff = x - gm
+            g_m2 = diff.T @ diff if dense else jnp.sum(diff * diff, axis=0)
+            nf = w_n.astype(dtype)
+            cf = jnp.asarray(n_chains, dtype)
+            tot = nf + cf
+            delta = gm - w_mean
+            corr = jnp.outer(delta, delta) if dense else delta * delta
+            w_m2 = w_m2 + g_m2 + corr * (nf * cf / tot)
+            w_mean = w_mean + delta * (cf / tot)
+            w_n = w_n + n_chains
         return (states, da, (w_mean, w_m2, w_n)), None
 
     (states, da, wf), _ = jax.lax.scan(
@@ -273,14 +324,17 @@ def warmup_and_sample(
     target_accept: float = 0.8,
     initial_step_size: float = 0.1,
     axis_name=None,
+    dense_mass: bool = False,
 ) -> Tuple[jnp.ndarray, HMCState, jnp.ndarray, jnp.ndarray]:
     """Full windowed-warmup HMC run, all chains vmapped in one program.
 
     Warmup = three fixed phases (static shapes): (1) step-size-only
     adaptation with unit mass, (2) continued adaptation while Welford
-    variance accumulates, (3) mass set to the estimated posterior
-    variances, dual averaging restarted.  Sampling then runs with frozen
-    (step_size, mass).
+    moments accumulate, (3) mass set to the estimated posterior
+    variances — or the full posterior COVARIANCE with ``dense_mass``
+    (decorrelates the momentum, the right choice for strongly
+    correlated targets) — dual averaging restarted.  Sampling then runs
+    with frozen (step_size, mass).
 
     With ``axis_name`` (the local chains are one shard of a mesh axis,
     under shard_map) adaptation is GLOBAL: acceptance means ride a
@@ -288,8 +342,9 @@ def warmup_and_sample(
     devices (Chan et al. parallel combine) before the mass is set, so
     every shard freezes identical (step_size, mass).
 
-    Returns (samples [chains, num_samples, d], final states,
-    step_size, inv_mass_diag)."""
+    Returns (samples [chains, num_samples, d], final states, step_size,
+    inv_mass) — inv_mass is the [d] variance vector, or the [d, d]
+    posterior covariance when ``dense_mass``."""
     x0 = jnp.asarray(x0)
     n_chains, d = x0.shape
     dtype = x0.dtype
@@ -310,22 +365,28 @@ def warmup_and_sample(
     states, da, (w_mean, w_m2, w_n) = _warmup_phase(
         k2, states, log_density_fn, da, inv_mass, p2, num_leapfrog,
         target_accept, collect_welford=True, axis_name=axis_name,
+        dense=dense_mass,
     )
     if axis_name is not None:
         # Chan et al. parallel Welford combine across equal-count shards
         nf_loc = w_n.astype(dtype)
         nf_tot = jax.lax.psum(nf_loc, axis_name)
         mean_g = jax.lax.psum(w_mean * nf_loc, axis_name) / nf_tot
-        w_m2 = jax.lax.psum(
-            w_m2 + nf_loc * (w_mean - mean_g) ** 2, axis_name
-        )
+        dm = w_mean - mean_g
+        corr = jnp.outer(dm, dm) if dense_mass else dm * dm
+        w_m2 = jax.lax.psum(w_m2 + nf_loc * corr, axis_name)
         w_mean = mean_g
         w_n = jax.lax.psum(w_n, axis_name)
-    var = w_m2 / jnp.maximum(w_n.astype(dtype) - 1.0, 1.0)
-    # regularize toward unit like Stan: shrink slightly for few samples
+    mom2 = w_m2 / jnp.maximum(w_n.astype(dtype) - 1.0, 1.0)
+    # regularize toward (a small multiple of) unit like Stan: shrink
+    # slightly for few samples; the identity floor also keeps the dense
+    # covariance positive definite
     nf = w_n.astype(dtype)
-    var = (nf / (nf + 5.0)) * var + (5.0 / (nf + 5.0)) * 1e-3
-    inv_mass = jnp.maximum(var, 1e-10)
+    shrink = (5.0 / (nf + 5.0)) * 1e-3
+    if dense_mass:
+        inv_mass = (nf / (nf + 5.0)) * mom2 + shrink * jnp.eye(d, dtype=dtype)
+    else:
+        inv_mass = jnp.maximum((nf / (nf + 5.0)) * mom2 + shrink, 1e-10)
     # restart dual averaging around the current step size
     da = dual_averaging_init(jnp.exp(da.log_eps_bar))
     states, da, _ = _warmup_phase(
@@ -341,10 +402,13 @@ def warmup_and_sample(
         divergences=jnp.zeros_like(states.divergences),
     )
 
+    p_chol = momentum_factor(inv_mass)
+
     def sample_body(states, k):
         def thin(st, kk):
             st, _ = hmc_step(
-                kk, st, log_density_fn, step_size, inv_mass, num_leapfrog
+                kk, st, log_density_fn, step_size, inv_mass, num_leapfrog,
+                p_chol=p_chol,
             )
             return st, None
 

@@ -42,6 +42,7 @@ def _parallel_hmc_program(
     thinning: int,
     target_accept: float,
     initial_step_size: float,
+    dense_mass: bool,
 ):
     @partial(
         jax.shard_map,
@@ -64,6 +65,7 @@ def _parallel_hmc_program(
             target_accept=target_accept,
             initial_step_size=initial_step_size,
             axis_name="chains",
+            dense_mass=dense_mass,
         )
 
     return jax.jit(sharded)
@@ -82,6 +84,7 @@ def parallel_hmc(
     mesh: Optional[Mesh] = None,
     starting_points=None,
     initial_step_size: float = 0.1,
+    dense_mass: bool = False,
 ) -> HMCResult:
     """HMC with the chain axis sharded over the mesh; same contract as
     :func:`..engines.hmc_sample`."""
@@ -117,6 +120,7 @@ def parallel_hmc(
         thinning,
         float(target_accept),
         float(initial_step_size),
+        bool(dense_mass),
     )
     # one key PER SHARD (each shard's local chains split it further)
     shard_keys = jax.random.split(k_run, n_shards)

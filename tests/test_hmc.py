@@ -188,3 +188,47 @@ def test_box_bijection_f32_boundary_stays_finite():
     z = bij1.to_z(jnp.asarray([0.0, 2.0], jnp.float32))
     assert np.all(np.isfinite(np.asarray(z)))
     assert np.isfinite(float(bij1.log_jacobian(z)))
+
+
+def test_hmc_dense_mass_correlated_gaussian(key):
+    """Dense mass matrix on a strongly correlated 2-D Gaussian: the
+    frozen inverse mass must approximate the true covariance, and the
+    pooled moments must match."""
+    rho = 0.9
+    cov = np.asarray([[1.0, rho * 2.0], [rho * 2.0, 4.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logdens(x):
+        return -0.5 * x @ prec @ x
+
+    x0 = jnp.asarray(np.random.default_rng(1).normal(size=(8, 2)))
+    r = hmc_sample(
+        logdens, key, num_chains=8, num_samples=500, num_warmup=400,
+        num_leapfrog=8, starting_points=x0, dense_mass=True,
+    )
+    assert r.inv_mass_diag.shape == (2, 2)
+    # adapted inverse mass ~ posterior covariance (loose: warmup draws)
+    m = np.asarray(r.inv_mass_diag)
+    assert abs(m[0, 1] / np.sqrt(m[0, 0] * m[1, 1]) - rho) < 0.2
+    pooled = np.asarray(r.samples).reshape(-1, 2)
+    np.testing.assert_allclose(pooled.mean(axis=0), 0.0, atol=0.2)
+    np.testing.assert_allclose(np.cov(pooled.T), cov, atol=0.6)
+    assert np.all(np.asarray(r.acceptance_rates) > 0.5)
+    assert int(np.asarray(r.divergences).sum()) == 0
+
+
+def test_hmc_dense_mass_problem_path(key):
+    # bijection path compiles and samples with a dense mass
+    problem = define_inference_problem(
+        parameters=[("x", -5.0, 5.0), ("y", -5.0, 5.0)],
+        log_likelihood=lambda th: d.Normal(0.0, 1.0).log_prob(th[0])
+        + d.Normal(0.0, 1.0).log_prob(th[1]),
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+    r = hmc_sample(
+        problem, key, num_chains=4, num_samples=60, num_warmup=90,
+        num_leapfrog=6, dense_mass=True,
+    )
+    assert r.inv_mass_diag.shape == (2, 2)
+    assert np.all(np.isfinite(np.asarray(r.samples)))

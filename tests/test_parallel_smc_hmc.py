@@ -128,3 +128,22 @@ def test_parallel_hmc_global_adaptation(key):
         np.asarray(r.inv_mass_diag), np.asarray(r1.inv_mass_diag),
         rtol=0.5,
     )
+
+
+def test_parallel_hmc_dense_mass(key):
+    # dense inverse mass merges globally (psum of [d, d] moments) and
+    # replicates across shards
+    r = parallel_hmc(
+        _problem(),
+        key,
+        num_chains=8,
+        num_samples=30,
+        num_warmup=60,
+        num_leapfrog=5,
+        mesh=make_mesh(("chains",)),
+        dense_mass=True,
+    )
+    assert r.inv_mass_diag.shape == (2, 2)
+    m = np.asarray(r.inv_mass_diag)
+    np.testing.assert_allclose(m, m.T, rtol=1e-12)  # symmetric covariance
+    assert np.all(np.isfinite(np.asarray(r.samples)))
