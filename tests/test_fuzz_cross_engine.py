@@ -1,12 +1,14 @@
-"""Seeded cross-engine fuzz: random 1-D problems where three independent
-evidence routes must agree.
+"""Seeded cross-engine fuzz: random 1-D problems where five independent
+routes must agree.
 
 For each generated problem (random data scale/size, random prior widths),
 the direct Gauss-Legendre quadrature logZ (exact to machine tolerance in
 1-D) is the oracle; nested sampling must land within its own reported
-error bars (x5) and the Laplace approximation within the usual
-O(1/n_data) distance for a unimodal posterior.  Complements the fixed
-oracle tests with randomized coverage of the problem-definition surface.
+error bars (x5), the Laplace approximation within the usual O(1/n_data)
+distance for a unimodal posterior, tempered SMC within its replicate
+error bars, the ADVI ELBO lower-bounds (and nearly attains) the exact
+logZ, and HMC recovers the closed-form posterior mean.  Complements the
+fixed oracle tests with randomized coverage of the problem surface.
 """
 
 import jax
@@ -51,7 +53,7 @@ def _random_problem(seed):
         pytest.param(47, marks=pytest.mark.slow),
     ],
 )
-def test_three_engines_agree_on_random_problem(seed):
+def test_engines_agree_on_random_problem(seed):
     problem, data, scale, prior_scale = _random_problem(seed)
 
     # closed form: x_i | mu ~ N(mu, scale), mu ~ N(0, prior_scale)
@@ -79,3 +81,32 @@ def test_three_engines_agree_on_random_problem(seed):
     err = max(float(res.log_evidence.standard_error), 1e-3)
     z = abs(float(res.log_evidence.mean) - exact) / err
     assert z < 5.0, (float(res.log_evidence.mean), exact, err)
+
+    # tempered SMC: an independent fourth evidence route
+    from bayesianinference_tpu.engines import advi_fit, hmc_sample, smc_sampler
+
+    smc = smc_sampler(
+        problem, jax.random.PRNGKey(seed + 1), n_particles=300, num_runs=4,
+        mcmc_steps=10,
+    )
+    sem = max(float(smc.log_evidence.standard_error), 5e-3)
+    zs = abs(float(smc.log_evidence.mean) - exact) / sem
+    assert zs < 6.0, (float(smc.log_evidence.mean), exact, sem)
+
+    # ADVI: the ELBO lower-bounds logZ and is tight for this Gaussian
+    # posterior (up to MC/optimizer noise)
+    vi = advi_fit(problem, jax.random.PRNGKey(seed + 2), num_steps=600)
+    elbo = float(vi.elbo)
+    assert elbo < exact + 0.1, (elbo, exact)
+    assert exact - elbo < 0.5, (elbo, exact)
+
+    # HMC: the posterior mean of mu has a closed form
+    prec_post = 1.0 / prior_scale**2 + n / scale**2
+    mean_post = float(np.sum(np.asarray(data)) / scale**2 / prec_post)
+    hmc = hmc_sample(
+        problem, jax.random.PRNGKey(seed + 3), num_chains=4,
+        num_samples=250, num_warmup=150, num_leapfrog=8,
+    )
+    mu_hat = float(hmc.posterior_samples().mean()[0])
+    mc_err = float(np.sqrt(1.0 / prec_post)) / np.sqrt(50.0)  # ~ESS floor
+    assert abs(mu_hat - mean_post) < 6.0 * mc_err, (mu_hat, mean_post)
