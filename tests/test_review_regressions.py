@@ -275,3 +275,43 @@ def test_summary_quantile_headers_distinct():
     t = summary(ws, quantiles=(0.975, 0.98))
     header = str(t).splitlines()[0]
     assert "q97.5" in header and "q98" in header
+
+
+def test_generative_problem_is_engine_agnostic(key):
+    """generative_model_problem returns a plain InferenceProblem: the
+    sampling engines (NS, HMC) consume it as readily as Laplace, and the
+    logZ matches the conjugate closed form."""
+    import scipy.stats as st
+
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.dists.combinators import ConditionalProduct
+    from bayesianinference_tpu.engines import hmc_sample, nested_sampling
+    from bayesianinference_tpu.models import generative_model_problem
+
+    rng = np.random.default_rng(2)
+    scale, prior_scale, n = 1.0, 3.0, 20
+    y = jnp.asarray(rng.normal(0.7, scale, size=n))
+    model = ConditionalProduct(
+        [
+            ("mu", lambda v: d.Normal(0.0, prior_scale)),
+            ("y", lambda v: d.Normal(v["mu"], scale)),
+        ]
+    )
+    problem = generative_model_problem(
+        model, data={"y": y}, parameters=[("mu", -12.0, 12.0)]
+    )
+    cov = scale**2 * np.eye(n) + prior_scale**2
+    exact = st.multivariate_normal(np.zeros(n), cov).logpdf(np.asarray(y))
+
+    res = nested_sampling(problem, key, sample_pool_size=150)
+    zerr = max(float(res.log_evidence.standard_error), 1e-3)
+    assert abs(float(res.log_evidence.mean) - exact) < 5 * zerr
+
+    prec_post = 1.0 / prior_scale**2 + n / scale**2
+    mean_post = float(np.sum(np.asarray(y)) / scale**2 / prec_post)
+    hmc = hmc_sample(
+        problem, key, num_chains=4, num_samples=200, num_warmup=120,
+        num_leapfrog=8,
+    )
+    mu_hat = float(hmc.posterior_samples().mean()[0])
+    assert abs(mu_hat - mean_post) < 0.15, (mu_hat, mean_post)
