@@ -32,6 +32,7 @@ __all__ = [
     "posterior_bubble_chart",
     "regression_plot_1d",
     "calculation_report_plot",
+    "smc_report_plot",
     "trace_plot",
 ]
 
@@ -340,3 +341,51 @@ def trace_plot(chains, param_names: Sequence[str] = (), max_lag: int = 50):
     fig.tight_layout()
     return fig
 
+
+
+def smc_report_plot(result):
+    """Three-panel diagnostics of an :class:`..engines.smc.SMCResult` —
+    the SMC analogue of :func:`calculation_report_plot`: per-run
+    temperature ladders beta_s, realized ESS fractions, and rejuvenation
+    acceptance per stage.  NaN-padded history slots (after each run's
+    termination) are simply not drawn."""
+    import numpy as np
+
+    plt = _plt()
+    betas = np.asarray(result.betas)
+    ess = np.asarray(result.ess_fractions)
+    acc = np.asarray(result.acceptance_rates)
+    n_stages = np.asarray(result.n_stages)
+    num_runs = betas.shape[0]
+
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.4))
+    panels = (
+        (axes[0], betas, "temperature beta", "log"),
+        (axes[1], ess, "ESS fraction", "linear"),
+        (axes[2], acc, "MH acceptance", "linear"),
+    )
+    for ax, hist, label, yscale in panels:
+        for r in range(num_runs):
+            s = int(n_stages[r])
+            ax.plot(
+                np.arange(1, s + 1), hist[r, :s], marker="o", ms=3,
+                alpha=0.8, label=f"run {r}" if num_runs <= 8 else None,
+            )
+        ax.set_xlabel("stage")
+        ax.set_ylabel(label)
+        if yscale == "log":
+            ax.set_yscale("log")
+    z = result.log_evidence
+    fig.suptitle(
+        f"SMC: logZ = {float(z.mean):.3f} "
+        + (
+            f"± {float(z.standard_error):.3f}"
+            if np.isfinite(float(z.standard_error))
+            else "(single run)"
+        ),
+        fontsize=10,
+    )
+    if num_runs <= 8:
+        axes[0].legend(fontsize=7)
+    fig.tight_layout()
+    return fig

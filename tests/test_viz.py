@@ -59,3 +59,21 @@ def test_trace_plot_renders(rng):
     import matplotlib.pyplot as plt
 
     plt.close(fig)
+
+
+def test_smc_report_plot(key):
+    from bayesianinference_tpu.engines import smc_sampler
+    from bayesianinference_tpu.viz import smc_report_plot
+
+    problem = define_inference_problem(
+        parameters=[("x", -5.0, 5.0), ("y", -5.0, 5.0)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+    r = smc_sampler(problem, key, n_particles=120, num_runs=3, mcmc_steps=5)
+    fig = smc_report_plot(r)
+    assert len(fig.axes) == 3
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
