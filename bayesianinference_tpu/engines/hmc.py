@@ -34,10 +34,10 @@ from ..ops.hmc import warmup_and_sample
 __all__ = ["HMCResult", "hmc_sample"]
 
 
-def bijected_warmup_and_sample(
-    x0,
+def _run_kernel(
     key,
-    problem: InferenceProblem,
+    z0,
+    z_density,
     *,
     num_warmup,
     num_samples,
@@ -45,21 +45,30 @@ def bijected_warmup_and_sample(
     thinning,
     target_accept,
     initial_step_size,
-    axis_name=None,
-    dense_mass=False,
+    axis_name,
+    dense_mass,
+    max_leapfrog,
 ):
-    """z-space warmup + sampling through the shared box bijection — the
-    traced core of both the single-device program and the mesh-sharded
-    one (:func:`..parallel.parallel_hmc` passes ``axis_name`` so warmup
-    adaptation rides collectives).  Returns (constrained samples, final
-    states, step_size, inv_mass_diag)."""
-    bij = box_bijection(problem.lower, problem.upper)
+    """Dispatch fixed-length vs ChEES-adaptive trajectories; uniform
+    5-tuple return (samples, states, step_size, inv_mass, traj_len) —
+    for the fixed kernel the reported trajectory length is the realized
+    ``num_leapfrog * step_size``."""
+    if num_leapfrog == "auto":
+        from ..ops.chees import chees_warmup_and_sample
 
-    def z_density(z):
-        x = bij.to_x(z)
-        return problem.log_posterior_density(x) + bij.log_jacobian(z)
-
-    z0 = jax.vmap(bij.to_z)(x0)
+        return chees_warmup_and_sample(
+            key,
+            z0,
+            z_density,
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            max_leapfrog=max_leapfrog,
+            thinning=thinning,
+            target_accept=target_accept,
+            initial_step_size=initial_step_size,
+            axis_name=axis_name,
+            dense_mass=dense_mass,
+        )
     z_samples, states, step_size, inv_mass = warmup_and_sample(
         key,
         z0,
@@ -73,12 +82,58 @@ def bijected_warmup_and_sample(
         axis_name=axis_name,
         dense_mass=dense_mass,
     )
+    return z_samples, states, step_size, inv_mass, num_leapfrog * step_size
+
+
+def bijected_warmup_and_sample(
+    x0,
+    key,
+    problem: InferenceProblem,
+    *,
+    num_warmup,
+    num_samples,
+    num_leapfrog,
+    thinning,
+    target_accept,
+    initial_step_size,
+    axis_name=None,
+    dense_mass=False,
+    max_leapfrog=256,
+):
+    """z-space warmup + sampling through the shared box bijection — the
+    traced core of both the single-device program and the mesh-sharded
+    one (:func:`..parallel.parallel_hmc` passes ``axis_name`` so warmup
+    adaptation rides collectives).  ``num_leapfrog="auto"`` learns the
+    trajectory length by ChEES ascent (:mod:`..ops.chees`) capped at
+    ``max_leapfrog`` steps.  Returns (constrained samples, final
+    states, step_size, inv_mass_diag, trajectory_length)."""
+    bij = box_bijection(problem.lower, problem.upper)
+
+    def z_density(z):
+        x = bij.to_x(z)
+        return problem.log_posterior_density(x) + bij.log_jacobian(z)
+
+    z0 = jax.vmap(bij.to_z)(x0)
+    z_samples, states, step_size, inv_mass, traj_len = _run_kernel(
+        key,
+        z0,
+        z_density,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        num_leapfrog=num_leapfrog,
+        thinning=thinning,
+        target_accept=target_accept,
+        initial_step_size=initial_step_size,
+        axis_name=axis_name,
+        dense_mass=dense_mass,
+        max_leapfrog=max_leapfrog,
+    )
     samples = jax.vmap(jax.vmap(bij.to_x))(z_samples)
-    return samples, states, step_size, inv_mass
+    return samples, states, step_size, inv_mass, traj_len
 
 
 def states_to_hmc_result(
-    samples, states, step_size, inv_mass, param_names
+    samples, states, step_size, inv_mass, param_names, trajectory_length=None
 ) -> "HMCResult":
     """Assemble the public result from kernel outputs — shared by the
     single-device front-end and the mesh-parallel one."""
@@ -93,6 +148,7 @@ def states_to_hmc_result(
         step_size=step_size,
         inv_mass_diag=inv_mass,
         param_names=param_names,
+        trajectory_length=trajectory_length,
     )
 
 
@@ -112,6 +168,9 @@ class HMCResult:
     inv_mass_diag: jnp.ndarray  # [d] adapted inverse mass (z-space);
     # the full [d, d] posterior covariance when fitted with dense_mass
     param_names: Tuple[str, ...] = _meta(())
+    # realized trajectory time eps*L — ChEES-learned for
+    # num_leapfrog="auto", else the fixed product (z-space units)
+    trajectory_length: jnp.ndarray = None
 
     @property
     def num_chains(self) -> int:
@@ -142,6 +201,7 @@ class HMCResult:
         "target_accept",
         "initial_step_size",
         "dense_mass",
+        "max_leapfrog",
     ),
 )
 def _hmc_problem_program(
@@ -155,6 +215,7 @@ def _hmc_problem_program(
     target_accept,
     initial_step_size,
     dense_mass,
+    max_leapfrog,
 ):
     return bijected_warmup_and_sample(
         x0,
@@ -167,6 +228,7 @@ def _hmc_problem_program(
         target_accept=target_accept,
         initial_step_size=initial_step_size,
         dense_mass=dense_mass,
+        max_leapfrog=max_leapfrog,
     )
 
 
@@ -180,11 +242,12 @@ def _hmc_density_program(
     target_accept,
     initial_step_size,
     dense_mass,
+    max_leapfrog,
 ):
     """Jitted run for a raw (unbounded) density callable, bounded lru."""
 
     def run(x0, key):
-        return warmup_and_sample(
+        return _run_kernel(
             key,
             x0,
             log_density,
@@ -194,7 +257,9 @@ def _hmc_density_program(
             thinning=thinning,
             target_accept=target_accept,
             initial_step_size=initial_step_size,
+            axis_name=None,
             dense_mass=dense_mass,
+            max_leapfrog=max_leapfrog,
         )
 
     return jax.jit(run)
@@ -207,12 +272,13 @@ def hmc_sample(
     num_chains: int = 4,
     num_samples: int = 1000,
     num_warmup: int = 500,
-    num_leapfrog: int = 32,
+    num_leapfrog: Union[int, str] = 32,
     thinning: int = 1,
     target_accept: float = 0.8,
     starting_points=None,
     initial_step_size: float = 0.1,
     dense_mass: bool = False,
+    max_leapfrog: int = 256,
 ) -> HMCResult:
     """Run ``num_chains`` vmapped HMC chains with windowed warmup.
 
@@ -223,13 +289,25 @@ def hmc_sample(
 
     ``num_leapfrog`` is the fixed trajectory length (step size adapts to
     ``target_accept``; the product eps*L should roughly cover the
-    posterior scale — raise L for very correlated targets).
+    posterior scale — raise L for very correlated targets), or
+    ``"auto"`` to LEARN the trajectory length during warmup by ChEES
+    gradient ascent (:mod:`..ops.chees`; capped at ``max_leapfrog``
+    steps per trajectory) — the no-tuning default for unfamiliar
+    targets; the learned eps*L is reported as
+    :attr:`HMCResult.trajectory_length`.
     ``dense_mass=True`` adapts the FULL posterior covariance as the
     inverse mass (momentum decorrelation) instead of per-coordinate
     variances — prefer it for strongly correlated posteriors at moderate
     d, where it buys what longer trajectories otherwise would.
     Multi-chain outputs feed ``results.diagnostics.gelman_rubin``
     directly via :meth:`HMCResult.per_parameter_chains`."""
+    if num_leapfrog != "auto" and (
+        not isinstance(num_leapfrog, int) or num_leapfrog < 1
+    ):
+        raise ValueError(
+            f'num_leapfrog must be a positive int or "auto", got '
+            f"{num_leapfrog!r}"
+        )
     key = jax.random.PRNGKey(0) if key is None else key
     k_start, k_run = jax.random.split(key)
 
@@ -245,7 +323,7 @@ def hmc_sample(
             raise ValueError(
                 f"starting_points must be [{num_chains}, {target.dim}]"
             )
-        samples, states, step_size, inv_mass = _hmc_problem_program(
+        samples, states, step_size, inv_mass, traj_len = _hmc_problem_program(
             starting_points,
             k_run,
             target,
@@ -256,6 +334,7 @@ def hmc_sample(
             float(target_accept),
             float(initial_step_size),
             bool(dense_mass),
+            int(max_leapfrog),
         )
         names = target.param_names
     else:
@@ -284,10 +363,15 @@ def hmc_sample(
             float(target_accept),
             float(initial_step_size),
             bool(dense_mass),
+            int(max_leapfrog),
         )
-        samples, states, step_size, inv_mass = prog(starting_points, k_run)
+        samples, states, step_size, inv_mass, traj_len = prog(
+            starting_points, k_run
+        )
         names = tuple(
             f"x{i}" for i in range(starting_points.shape[-1])
         )
 
-    return states_to_hmc_result(samples, states, step_size, inv_mass, names)
+    return states_to_hmc_result(
+        samples, states, step_size, inv_mass, names, traj_len
+    )

@@ -38,22 +38,24 @@ def _parallel_hmc_program(
     mesh,
     num_warmup: int,
     num_samples: int,
-    num_leapfrog: int,
+    num_leapfrog,  # positive int, or "auto" for ChEES adaptation
     thinning: int,
     target_accept: float,
     initial_step_size: float,
     dense_mass: bool,
+    max_leapfrog: int,
 ):
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("chains"), P("chains"), P()),
-        out_specs=(P("chains"), P("chains"), P(), P()),
+        out_specs=(P("chains"), P("chains"), P(), P(), P()),
         check_vma=False,
     )
     def sharded(x0_shard, keys_shard, problem):
         # one key per shard drives the local chains; warmup collectives
-        # ride the "chains" axis name (shared core: engines/hmc.py)
+        # ride the "chains" axis name (shared core: engines/hmc.py) —
+        # including the ChEES trajectory-length gradient when "auto"
         return bijected_warmup_and_sample(
             x0_shard,
             keys_shard[0],
@@ -66,6 +68,7 @@ def _parallel_hmc_program(
             initial_step_size=initial_step_size,
             axis_name="chains",
             dense_mass=dense_mass,
+            max_leapfrog=max_leapfrog,
         )
 
     return jax.jit(sharded)
@@ -78,16 +81,20 @@ def parallel_hmc(
     num_chains: int = 8,
     num_samples: int = 1000,
     num_warmup: int = 500,
-    num_leapfrog: int = 32,
+    num_leapfrog=32,  # positive int, or "auto" (ChEES adaptation)
     thinning: int = 1,
     target_accept: float = 0.8,
     mesh: Optional[Mesh] = None,
     starting_points=None,
     initial_step_size: float = 0.1,
     dense_mass: bool = False,
+    max_leapfrog: int = 256,
 ) -> HMCResult:
     """HMC with the chain axis sharded over the mesh; same contract as
-    :func:`..engines.hmc_sample`."""
+    :func:`..engines.hmc_sample` (including ``num_leapfrog="auto"`` —
+    the ChEES criterion's chain means and acceptance-weighted gradient
+    ride mesh collectives, so all shards learn ONE trajectory
+    length)."""
     if mesh is None:
         # largest device count that divides the chains evenly
         n_dev = max(1, min(num_chains, len(jax.devices())))
@@ -112,6 +119,13 @@ def parallel_hmc(
         raise ValueError(
             f"starting_points must be [{num_chains}, {problem.dim}]"
         )
+    if num_leapfrog != "auto" and (
+        not isinstance(num_leapfrog, int) or num_leapfrog < 1
+    ):
+        raise ValueError(
+            f'num_leapfrog must be a positive int or "auto", got '
+            f"{num_leapfrog!r}"
+        )
     program = _parallel_hmc_program(
         mesh,
         num_warmup,
@@ -121,13 +135,14 @@ def parallel_hmc(
         float(target_accept),
         float(initial_step_size),
         bool(dense_mass),
+        int(max_leapfrog),
     )
     # one key PER SHARD (each shard's local chains split it further)
     shard_keys = jax.random.split(k_run, n_shards)
     keys = jnp.repeat(shard_keys, num_chains // n_shards, axis=0)
-    samples, states, step_size, inv_mass = program(
+    samples, states, step_size, inv_mass, traj_len = program(
         starting_points, keys, problem
     )
     return states_to_hmc_result(
-        samples, states, step_size, inv_mass, problem.param_names
+        samples, states, step_size, inv_mass, problem.param_names, traj_len
     )

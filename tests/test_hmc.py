@@ -232,3 +232,102 @@ def test_hmc_dense_mass_problem_path(key):
     )
     assert r.inv_mass_diag.shape == (2, 2)
     assert np.all(np.isfinite(np.asarray(r.samples)))
+
+
+# ---------------------------------------------------------------------------
+# ChEES trajectory-length adaptation (num_leapfrog="auto", ops/chees.py)
+# ---------------------------------------------------------------------------
+
+
+def test_halton_base2_stratification():
+    from bayesianinference_tpu.ops.chees import halton_base2
+
+    h = np.asarray([float(halton_base2(i)) for i in range(1, 17)])
+    # van der Corput base 2: 1/2, 1/4, 3/4, 1/8, 5/8, ...
+    np.testing.assert_allclose(h[:5], [0.5, 0.25, 0.75, 0.125, 0.625])
+    # the first 16 values stratify: exactly one per sixteenth of (0, 1)
+    assert sorted(np.floor(h * 16).astype(int)) == list(range(16))
+
+
+def test_chees_learns_long_trajectories_on_correlated_gaussian(key):
+    """On a strongly correlated Gaussian with a DIAGONAL mass, a single
+    leapfrog step cannot decorrelate — ChEES must learn a multi-step
+    trajectory (eps * L >> eps) and still recover the exact moments."""
+    rho = 0.9
+    cov = np.asarray([[1.0, rho], [rho, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logdens(x):
+        return -0.5 * x @ prec @ x
+
+    x0 = jnp.asarray(np.random.default_rng(2).normal(size=(32, 2)))
+    r = hmc_sample(
+        logdens, key, num_chains=32, num_samples=400, num_warmup=450,
+        num_leapfrog="auto", starting_points=x0,
+    )
+    tl = float(r.trajectory_length)
+    eps = float(r.step_size)
+    assert np.isfinite(tl) and tl > 0
+    # learned trajectory spans several steps (the knob actually adapted
+    # away from trivial single-step proposals)
+    assert tl / eps > 4.0, (tl, eps)
+    acc = np.asarray(r.acceptance_rates)
+    assert acc.mean() > 0.55, acc.mean()
+    pooled = np.asarray(r.samples).reshape(-1, 2)
+    np.testing.assert_allclose(pooled.mean(axis=0), 0.0, atol=0.15)
+    np.testing.assert_allclose(np.cov(pooled.T), cov, atol=0.2)
+
+
+def test_chees_problem_path_conjugate_oracle(key):
+    # mu-only Normal model through the box bijection with "auto":
+    # exact conjugate posterior, trajectory length reported
+    rng = np.random.default_rng(5)
+    data = rng.normal(1.2, 1.0, 40)
+    tau0, mu0 = 3.0, 0.0
+    problem = define_inference_problem(
+        parameters=[("mu", -10.0, 10.0)],
+        likelihood=lambda th: d.Normal(th[0], 1.0),
+        data=jnp.asarray(data),
+        prior_distribution=[d.Normal(mu0, tau0)],
+        validate=False,
+    )
+    post_prec = 1 / tau0**2 + len(data)
+    post_mean = (mu0 / tau0**2 + data.sum()) / post_prec
+    post_sd = post_prec**-0.5
+
+    r = hmc_sample(
+        problem, key, num_chains=8, num_samples=400, num_warmup=300,
+        num_leapfrog="auto",
+    )
+    assert float(r.trajectory_length) > 0
+    pooled = np.asarray(r.samples).reshape(-1)
+    assert pooled.min() > -10.0 and pooled.max() < 10.0
+    se = post_sd / np.sqrt(200)
+    assert abs(pooled.mean() - post_mean) < 5 * se + 0.01
+    np.testing.assert_allclose(pooled.std(), post_sd, rtol=0.15)
+
+
+def test_hmc_num_leapfrog_validation(key):
+    with pytest.raises(ValueError, match="num_leapfrog"):
+        hmc_sample(
+            lambda x: -0.5 * jnp.sum(x**2), key, num_chains=2,
+            num_samples=5, num_warmup=5, num_leapfrog="automatic",
+            starting_points=jnp.zeros((2, 1)),
+        )
+    with pytest.raises(ValueError, match="num_leapfrog"):
+        hmc_sample(
+            lambda x: -0.5 * jnp.sum(x**2), key, num_chains=2,
+            num_samples=5, num_warmup=5, num_leapfrog=0,
+            starting_points=jnp.zeros((2, 1)),
+        )
+
+
+def test_fixed_path_reports_trajectory_length(key):
+    r = hmc_sample(
+        lambda x: -0.5 * jnp.sum(x**2), key, num_chains=2,
+        num_samples=10, num_warmup=20, num_leapfrog=7,
+        starting_points=jnp.zeros((2, 2)),
+    )
+    np.testing.assert_allclose(
+        float(r.trajectory_length), 7 * float(r.step_size), rtol=1e-6
+    )

@@ -147,3 +147,21 @@ def test_parallel_hmc_dense_mass(key):
     m = np.asarray(r.inv_mass_diag)
     np.testing.assert_allclose(m, m.T, rtol=1e-12)  # symmetric covariance
     assert np.all(np.isfinite(np.asarray(r.samples)))
+
+
+def test_parallel_hmc_chees_auto(key):
+    # num_leapfrog="auto": the ChEES gradient and chain means ride mesh
+    # collectives, so all shards freeze ONE global trajectory length
+    r = parallel_hmc(
+        _problem(),
+        key,
+        num_chains=8,
+        num_samples=60,
+        num_warmup=120,
+        num_leapfrog="auto",
+        mesh=make_mesh(("chains",)),
+    )
+    assert r.samples.shape == (8, 60, 2)
+    assert r.trajectory_length.shape == ()
+    assert float(r.trajectory_length) > 0
+    assert np.all(np.isfinite(np.asarray(r.samples)))
