@@ -12,6 +12,7 @@ from .posterior import (
     regression_predictive_distribution,
 )
 from .report import CalculationReport, calculation_report
+from .sbc import SBCResult, sbc_ranks, sbc_uniformity_pvalues
 from .summary import ParameterSummary, SummaryTable, summary
 
 __all__ = [
@@ -31,6 +32,9 @@ __all__ = [
     "regression_predictive_distribution",
     "CalculationReport",
     "calculation_report",
+    "SBCResult",
+    "sbc_ranks",
+    "sbc_uniformity_pvalues",
     "ParameterSummary",
     "SummaryTable",
     "summary",

@@ -7,6 +7,7 @@ from .plots import (
     posterior_marginal_pdf_density_plot_2d,
     posterior_marginal_pdf_plot_1d,
     regression_plot_1d,
+    sbc_rank_plot,
     smc_report_plot,
     trace_plot,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "posterior_marginal_pdf_density_plot_2d",
     "posterior_marginal_pdf_plot_1d",
     "regression_plot_1d",
+    "sbc_rank_plot",
     "smc_report_plot",
     "trace_plot",
 ]

@@ -33,6 +33,7 @@ __all__ = [
     "regression_plot_1d",
     "calculation_report_plot",
     "smc_report_plot",
+    "sbc_rank_plot",
     "trace_plot",
 ]
 
@@ -341,6 +342,49 @@ def trace_plot(chains, param_names: Sequence[str] = (), max_lag: int = 50):
     fig.tight_layout()
     return fig
 
+
+
+def sbc_rank_plot(result, num_bins: int = 0, columns: int = 3):
+    """The classic SBC rank-histogram panel (Talts et al. 2018, fig. 1)
+    for a :class:`..results.sbc.SBCResult` — one histogram per
+    parameter with the 99% uniform band shaded, plus the chi-squared
+    uniformity p-value in each title.  Beyond-reference diagnostics
+    (the reference validates calibration only via error-bar studies,
+    BS:1209-1291).  Bars escaping the band flag miscalibration:
+    U-shapes mean under-dispersed posteriors, humps over-dispersed,
+    slopes biased."""
+    plt = _plt()
+    pvals = np.asarray(result.uniformity_pvalues(num_bins=num_bins))
+    d = result.ranks.shape[1]
+    rows = -(-d // columns)
+    fig, axes = plt.subplots(
+        rows, columns, figsize=(3.4 * columns, 2.6 * rows), squeeze=False
+    )
+    n = result.num_replications
+    for i in range(d):
+        ax = axes[i // columns][i % columns]
+        edges, counts = result.histogram(i, num_bins=num_bins)
+        b = len(counts)
+        # 99% band for Binomial(n, 1/b) counts (normal approximation)
+        mean = n / b
+        half = 2.576 * np.sqrt(n * (1.0 / b) * (1.0 - 1.0 / b))
+        ax.axhspan(mean - half, mean + half, color="0.85", zorder=0)
+        ax.axhline(mean, color="0.6", lw=0.8, zorder=1)
+        ax.bar(
+            0.5 * (edges[:-1] + edges[1:]),
+            counts,
+            width=edges[1] - edges[0],
+            zorder=2,
+            alpha=0.85,
+        )
+        ax.set_title(
+            f"{result.param_names[i]}   p = {pvals[i]:.3f}", fontsize=9
+        )
+        ax.set_xlabel("rank of true value")
+    for j in range(d, rows * columns):
+        axes[j // columns][j % columns].set_visible(False)
+    fig.tight_layout()
+    return fig
 
 
 def smc_report_plot(result):
