@@ -46,6 +46,7 @@ from .laplace import (
 from .mcmc import MCMCChain, create_mcmc_chain, iterate_mcmc
 from .smc import SMCConfig, SMCResult, smc_log_evidence, smc_sampler
 from .hmc import HMCResult, hmc_sample
+from .pathfinder import PathfinderResult, pathfinder_fit
 from .vi import VIResult, advi_fit
 from .nested_sampling import (
     NSState,
@@ -102,6 +103,8 @@ __all__ = [
     "smc_sampler",
     "HMCResult",
     "hmc_sample",
+    "PathfinderResult",
+    "pathfinder_fit",
     "VIResult",
     "advi_fit",
     "NSState",

@@ -143,13 +143,15 @@ def resume_nested_sampling_loop(
 def save_result(path, result) -> None:
     """Serialize an engine result dataclass to a single ``.npz`` —
     :class:`~.evidence.NestedSamplingResult`, :class:`~.laplace.LaplaceFit`,
-    :class:`~.smc.SMCResult`, :class:`~.hmc.HMCResult`, or
-    :class:`~.vi.VIResult`.
+    :class:`~.smc.SMCResult`, :class:`~.hmc.HMCResult`,
+    :class:`~.vi.VIResult`, or :class:`~.pathfinder.PathfinderResult`.
 
-    Arrays and ``MeanAndError`` pairs round-trip exactly; static metadata
-    goes to an embedded JSON header; callables (``predictive_builder``)
-    and non-array diagnostics (``hyper_path``, a ragged tuple) are
-    dropped — re-attach after loading if needed."""
+    Arrays, ``MeanAndError`` pairs, and ``WeightedSamples`` pools
+    round-trip exactly; static metadata goes to an embedded JSON header;
+    callables (``predictive_builder``) and non-array diagnostics
+    (``hyper_path``, a ragged tuple) are dropped — re-attach after
+    loading if needed."""
+    from ..core.containers import WeightedSamples
     from .evidence import MeanAndError
 
     arrays = {}
@@ -158,7 +160,14 @@ def save_result(path, result) -> None:
         v = getattr(result, f.name)
         if v is None or callable(v):
             continue
-        if isinstance(v, MeanAndError):
+        if isinstance(v, WeightedSamples):
+            arrays[f.name + ".points"] = np.asarray(v.points)
+            arrays[f.name + ".log_weights"] = np.asarray(v.log_weights)
+            if v.log_likelihoods is not None:
+                arrays[f.name + ".log_likelihoods"] = np.asarray(
+                    v.log_likelihoods
+                )
+        elif isinstance(v, MeanAndError):
             arrays[f.name + ".mean"] = np.asarray(v.mean)
             arrays[f.name + ".standard_error"] = np.asarray(v.standard_error)
         elif isinstance(v, (int, float, str, bool)):
@@ -183,9 +192,11 @@ def save_result(path, result) -> None:
 def load_result(path):
     """Load a result saved by :func:`save_result` (class chosen from the
     embedded header)."""
+    from ..core.containers import WeightedSamples
     from .evidence import MeanAndError, NestedSamplingResult
     from .hmc import HMCResult
     from .laplace import LaplaceFit
+    from .pathfinder import PathfinderResult
     from .smc import SMCResult
     from .vi import VIResult
 
@@ -195,6 +206,7 @@ def load_result(path):
         "SMCResult": SMCResult,
         "HMCResult": HMCResult,
         "VIResult": VIResult,
+        "PathfinderResult": PathfinderResult,
     }
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
@@ -204,6 +216,17 @@ def load_result(path):
             if f.name in meta:
                 v = meta[f.name]
                 kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+            elif f.name + ".points" in z:
+                ll = (
+                    jnp.asarray(z[f.name + ".log_likelihoods"])
+                    if f.name + ".log_likelihoods" in z
+                    else None
+                )
+                kwargs[f.name] = WeightedSamples(
+                    points=jnp.asarray(z[f.name + ".points"]),
+                    log_weights=jnp.asarray(z[f.name + ".log_weights"]),
+                    log_likelihoods=ll,
+                )
             elif f.name + ".mean" in z:
                 kwargs[f.name] = MeanAndError(
                     mean=jnp.asarray(z[f.name + ".mean"]),

@@ -282,3 +282,22 @@ def test_save_load_smc_hmc_vi_results(key, tmp_path):
     # loaded VI posterior still samples (bijection rebuilt from bounds)
     s = bv.sample(key, 7)
     assert s.shape == (7, 1)
+
+    from bayesianinference_tpu.engines import pathfinder_fit
+
+    pf = pathfinder_fit(
+        problem, key, num_paths=2, maxiter=15, num_draws_per_path=64
+    )
+    save_result(tmp_path / "pf.npz", pf)
+    bp = load_result(tmp_path / "pf.npz")
+    assert type(bp).__name__ == "PathfinderResult"
+    # the nested WeightedSamples pool round-trips exactly
+    np.testing.assert_array_equal(
+        np.asarray(bp.samples.points), np.asarray(pf.samples.points)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bp.samples.log_weights), np.asarray(pf.samples.log_weights)
+    )
+    assert bp.param_names == pf.param_names
+    ps = bp.posterior_samples(key, 9)
+    assert ps.points.shape == (9, 1)
