@@ -287,6 +287,13 @@ def hmc_sample(
     draws) or a raw ``log_density(theta)`` callable over R^d (then
     ``starting_points`` [chains, d] is required).
 
+    ``starting_points="pathfinder"`` seeds the chains from a quick
+    multi-path Pathfinder fit (:func:`.pathfinder.pathfinder_fit`)
+    instead of the prior — posterior-typical initial points, so the
+    warmup no longer has to walk in from the prior and ``num_warmup``
+    can often be cut several-fold on hard targets (Zhang et al. 2022's
+    production use).  Problem targets only.
+
     ``num_leapfrog`` is the fixed trajectory length (step size adapts to
     ``target_accept``; the product eps*L should roughly cover the
     posterior scale — raise L for very correlated targets), or
@@ -310,6 +317,28 @@ def hmc_sample(
         )
     key = jax.random.PRNGKey(0) if key is None else key
     k_start, k_run = jax.random.split(key)
+
+    if isinstance(starting_points, str):
+        if starting_points != "pathfinder":
+            raise ValueError(
+                f"unknown starting_points {starting_points!r}; expected "
+                'an array or "pathfinder"'
+            )
+        if not isinstance(target, InferenceProblem):
+            raise ValueError(
+                'starting_points="pathfinder" needs an InferenceProblem '
+                "target"
+            )
+        from .pathfinder import pathfinder_fit
+
+        k_pf, k_draw = jax.random.split(k_start)
+        pf = pathfinder_fit(
+            target,
+            k_pf,
+            num_paths=min(max(num_chains, 4), 8),
+            num_draws_per_path=128,
+        )
+        starting_points = pf.posterior_samples(k_draw, num_chains).points
 
     if isinstance(target, InferenceProblem):
         if starting_points is None:

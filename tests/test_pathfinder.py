@@ -130,3 +130,24 @@ def test_pathfinder_options(key):
     np.testing.assert_allclose(m, post_mean, atol=0.05)
     with pytest.raises(ValueError):
         pathfinder_fit(problem, key, num_paths=3, initial_points=inits)
+
+
+def test_hmc_pathfinder_init(key):
+    """starting_points="pathfinder" seeds HMC chains near the posterior,
+    so a SHORT warmup already yields calibrated moments."""
+    from bayesianinference_tpu.engines import hmc_sample
+
+    problem, post_mean, post_sd, _ = _conjugate_problem_and_truth()
+    r = hmc_sample(
+        problem, key, num_chains=4, num_samples=250, num_warmup=100,
+        num_leapfrog=8, starting_points="pathfinder",
+    )
+    draws = np.asarray(r.samples).reshape(-1)
+    np.testing.assert_allclose(draws.mean(), post_mean, atol=0.05)
+    np.testing.assert_allclose(draws.std(), post_sd, rtol=0.25)
+    with pytest.raises(ValueError):
+        hmc_sample(problem, key, starting_points="bogus")
+    with pytest.raises(ValueError):
+        hmc_sample(
+            lambda th: -jnp.sum(th**2), key, starting_points="pathfinder"
+        )
