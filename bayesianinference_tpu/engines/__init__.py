@@ -46,6 +46,7 @@ from .laplace import (
 from .mcmc import MCMCChain, create_mcmc_chain, iterate_mcmc
 from .smc import SMCConfig, SMCResult, smc_log_evidence, smc_sampler
 from .hmc import HMCResult, hmc_sample
+from .bridge import BridgeResult, bridge_sampling_evidence
 from .pathfinder import PathfinderResult, pathfinder_fit
 from .vi import VIResult, advi_fit
 from .nested_sampling import (
@@ -103,6 +104,8 @@ __all__ = [
     "smc_sampler",
     "HMCResult",
     "hmc_sample",
+    "BridgeResult",
+    "bridge_sampling_evidence",
     "PathfinderResult",
     "pathfinder_fit",
     "VIResult",
