@@ -47,6 +47,13 @@ from .mcmc import MCMCChain, create_mcmc_chain, iterate_mcmc
 from .smc import SMCConfig, SMCResult, smc_log_evidence, smc_sampler
 from .hmc import HMCResult, hmc_sample
 from .bridge import BridgeResult, bridge_sampling_evidence
+from .dynamic_ns import (
+    NSSegment,
+    dynamic_nested_sampling,
+    merge_segments,
+    merged_evidence_sampling,
+    segment_from_run,
+)
 from .pathfinder import PathfinderResult, pathfinder_fit
 from .vi import VIResult, advi_fit
 from .nested_sampling import (
@@ -105,6 +112,11 @@ __all__ = [
     "HMCResult",
     "hmc_sample",
     "BridgeResult",
+    "NSSegment",
+    "dynamic_nested_sampling",
+    "merge_segments",
+    "merged_evidence_sampling",
+    "segment_from_run",
     "bridge_sampling_evidence",
     "PathfinderResult",
     "pathfinder_fit",

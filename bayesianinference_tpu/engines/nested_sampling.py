@@ -252,6 +252,7 @@ def nested_sampling_loop(
     progress_interval: int = 0,
     interrupt_check: Optional[Callable] = None,
     monte_carlo_method: str = "auto",
+    stop_at_log_likelihood: Optional[float] = None,
 ) -> NSRunData:
     """Run the main loop (semantics of ``nestedSamplingInternal``,
     BS:859-1040) fully on device as ONE cached-jit program — repeated runs
@@ -302,6 +303,7 @@ def nested_sampling_loop(
         progress_interval=progress_interval,
         interrupt_check=interrupt_check,
         monte_carlo_method=monte_carlo_method,
+        stop_at_log_likelihood=stop_at_log_likelihood,
     )
     state = _ns_loop_jit(problem, starting_points, key, cfg)
     return NSRunData(
@@ -326,6 +328,7 @@ def make_loop_config(
     progress_interval: int = 0,
     interrupt_check=None,
     monte_carlo_method: str = "auto",
+    stop_at_log_likelihood=None,
 ) -> "_LoopConfig":
     """Canonicalize the loop options into the hashable static config (the
     jit cache key) — shared by the single-device front-end and the
@@ -348,6 +351,11 @@ def make_loop_config(
         progress_interval=progress_interval,
         interrupt_check=interrupt_check,
         monte_carlo_method=monte_carlo_method,
+        stop_at_log_likelihood=(
+            float(stop_at_log_likelihood)
+            if stop_at_log_likelihood is not None
+            else None
+        ),
     )
 
 
@@ -366,6 +374,9 @@ class _LoopConfig(NamedTuple):
     progress_interval: int = 0
     interrupt_check: Optional[Callable] = None
     monte_carlo_method: str = "adaptive_metropolis"
+    # dynamic-NS batch runs: iterate while the NEXT deletion threshold is
+    # still <= this level (replaces the missing-evidence criterion)
+    stop_at_log_likelihood: Optional[float] = None
 
 
 def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig):
@@ -382,6 +393,14 @@ def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig)
     log_term = jnp.log(jnp.asarray(cfg.termination_fraction, dtype))
 
     def cond(s: NSState):
+        if cfg.stop_at_log_likelihood is not None:
+            # dynamic-NS batch segment: march the threshold up to the
+            # target level, ignore the evidence criterion
+            keep_going = s.live_logl[cfg.num_delete - 1] <= jnp.asarray(
+                cfg.stop_at_log_likelihood, dtype
+            )
+        else:
+            keep_going = s.log_missing > s.log_z + log_term
         return jnp.logical_and(
             jnp.logical_and(
                 jnp.logical_not(s.interrupted), s.iteration <= cfg.max_iterations
@@ -390,7 +409,7 @@ def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig)
                 s.iteration == 1,
                 jnp.logical_or(
                     s.iteration <= cfg.min_iterations,
-                    s.log_missing > s.log_z + log_term,
+                    keep_going,
                 ),
             ),
         )
