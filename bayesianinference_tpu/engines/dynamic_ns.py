@@ -327,6 +327,7 @@ def dynamic_nested_sampling(
     sample_pool_size: int = 100,
     num_batches: int = 4,
     batch_size: Optional[int] = None,
+    target_posterior_ess: Optional[float] = None,
     posterior_fraction: float = 1.0,
     importance_fraction: float = 0.8,
     monte_carlo_steps=200,
@@ -351,6 +352,11 @@ def dynamic_nested_sampling(
     0.0 targets the evidence (more points early, tighter logZ error);
     intermediate values mix linearly (dynesty's ``80/20`` default is
     ``posterior_fraction=0.8``).
+
+    ``target_posterior_ess`` stops adding batches once the merged run's
+    posterior effective sample size ``1 / sum(w^2)`` reaches the target
+    (``num_batches`` stays the hard cap) — the practical way to ask for
+    "enough posterior samples" instead of guessing a batch count.
 
     All segments merge exactly (see :func:`merge_segments`) and
     post-process through the variable-pool evidence machinery, so the
@@ -393,6 +399,11 @@ def dynamic_nested_sampling(
         ) + logl
         log_z = float(logsumexp(jnp.asarray(lw)))
         w_post = np.exp(lw - log_z)  # posterior importance
+        if (
+            target_posterior_ess
+            and 1.0 / np.sum(w_post**2) >= target_posterior_ess
+        ):
+            break
         z_frac = np.cumsum(w_post)
         imp_z = 1.0 - z_frac  # evidence importance: what's still missing
         g = posterior_fraction

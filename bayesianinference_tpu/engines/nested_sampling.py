@@ -79,13 +79,16 @@ _AUTO_SLICE_DIM = 16
 def resolve_monte_carlo_method(method: str, dim: int) -> str:
     """Resolve ``"auto"`` to the measured-best chain kernel for ``dim``
     (adaptive-Metropolis at low d, slice above ``_AUTO_SLICE_DIM``);
-    explicit method names pass through unchanged."""
+    explicit method names pass through unchanged.  ``"chmc"``
+    (constrained HMC, :mod:`..ops.chmc`) is opt-in only: it needs a
+    differentiable likelihood and pays ~2x per evaluation for the
+    gradient, buying HMC-class mixing at high d."""
     if method == "auto":
         return "adaptive_metropolis" if dim <= _AUTO_SLICE_DIM else "slice"
-    if method not in ("adaptive_metropolis", "slice"):
+    if method not in ("adaptive_metropolis", "slice", "chmc"):
         raise ValueError(
             f"unknown monte_carlo_method {method!r}; expected 'auto', "
-            "'adaptive_metropolis' or 'slice'"
+            "'adaptive_metropolis', 'slice' or 'chmc'"
         )
     return method
 
@@ -253,6 +256,8 @@ def nested_sampling_loop(
     interrupt_check: Optional[Callable] = None,
     monte_carlo_method: str = "auto",
     stop_at_log_likelihood: Optional[float] = None,
+    chmc_step_size: float = 0.4,
+    chmc_num_leapfrog: int = 16,
 ) -> NSRunData:
     """Run the main loop (semantics of ``nestedSamplingInternal``,
     BS:859-1040) fully on device as ONE cached-jit program — repeated runs
@@ -304,6 +309,8 @@ def nested_sampling_loop(
         interrupt_check=interrupt_check,
         monte_carlo_method=monte_carlo_method,
         stop_at_log_likelihood=stop_at_log_likelihood,
+        chmc_step_size=chmc_step_size,
+        chmc_num_leapfrog=chmc_num_leapfrog,
     )
     state = _ns_loop_jit(problem, starting_points, key, cfg)
     return NSRunData(
@@ -329,6 +336,8 @@ def make_loop_config(
     interrupt_check=None,
     monte_carlo_method: str = "auto",
     stop_at_log_likelihood=None,
+    chmc_step_size: float = 0.4,
+    chmc_num_leapfrog: int = 16,
 ) -> "_LoopConfig":
     """Canonicalize the loop options into the hashable static config (the
     jit cache key) — shared by the single-device front-end and the
@@ -356,6 +365,8 @@ def make_loop_config(
             if stop_at_log_likelihood is not None
             else None
         ),
+        chmc_step_size=float(chmc_step_size),
+        chmc_num_leapfrog=int(chmc_num_leapfrog),
     )
 
 
@@ -377,6 +388,9 @@ class _LoopConfig(NamedTuple):
     # dynamic-NS batch runs: iterate while the NEXT deletion threshold is
     # still <= this level (replaces the missing-evidence criterion)
     stop_at_log_likelihood: Optional[float] = None
+    # chmc kernel tuning (ignored by the other methods)
+    chmc_step_size: float = 0.4
+    chmc_num_leapfrog: int = 16
 
 
 def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig):
@@ -452,6 +466,37 @@ def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig)
                 )
                 moved_frac = st.moved.astype(x0_i.dtype) / num_steps
                 return st.x, s.mean_est, cov_est, moved_frac, st.evals
+        elif cfg.monte_carlo_method == "chmc":
+            from ..ops.chmc import run_chmc_chain
+
+            mass_chol = _cholesky(
+                cov_est + 1e-10 * jnp.eye(dim, dtype=cov_est.dtype)
+            )
+            mass_chol = jnp.where(
+                jnp.isfinite(mass_chol).all(),
+                mass_chol,
+                jnp.eye(dim, dtype=cov_est.dtype),
+            )
+            n_leap = cfg.chmc_num_leapfrog
+            n_traj = max(1, num_steps // n_leap)
+
+            def one_chain(ck, x0_i):
+                st = run_chmc_chain(
+                    ck,
+                    x0_i,
+                    log_likelihood,
+                    log_prior,
+                    threshold,
+                    mass_chol,
+                    problem.lower,
+                    problem.upper,
+                    n_traj,
+                    n_leap,
+                    cfg.chmc_step_size,
+                    in_support=problem.in_support,
+                )
+                acc = st.accepted.astype(x0_i.dtype) / n_traj
+                return st.x, s.mean_est, cov_est, acc, st.evals
         else:
             # factorize the SHARED seed covariance once, outside the vmap
             chol0 = proposal_chol(cov_est)

@@ -243,6 +243,56 @@ def check_ns_bookkeeping(dtype):
     return got, ref
 
 
+def check_merged_ns_bookkeeping(dtype):
+    """Dynamic-NS merged crude logZ (variable-pool schedule) vs an
+    independent dense numpy trapezoid on X_i = exp(-sum 1/m_j) — the
+    merged analogue of ``ns_crude_bookkeeping``.  Two synthetic
+    segments: a base run and a batch constrained at its median level."""
+    from bayesianinference_tpu.engines.dynamic_ns import (
+        NSSegment,
+        merge_segments,
+        merged_evidence_sampling,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def synth(n_live, k, n_dead, lo, hi, constraint):
+        levels = np.sort(rng.uniform(lo, hi, n_dead + n_live))
+        return NSSegment(
+            points=levels[:, None].copy(),
+            log_likelihoods=levels,
+            log_priors=np.zeros_like(levels),
+            n_live=n_live,
+            num_delete=k,
+            n_dead=n_dead,
+            constraint_logl=constraint,
+        )
+
+    base = synth(60, 1, 240, -40.0, -5.0, -np.inf)
+    mid = float(np.median(base.log_likelihoods))
+    batch = synth(40, 4, 120, mid + 1e-6, -5.0, mid)
+    pts, logl, logp, m = merge_segments([base, batch])
+    res = merged_evidence_sampling(
+        points=jnp.asarray(pts, dtype),
+        log_likelihoods=jnp.asarray(logl, dtype),
+        log_priors=jnp.asarray(logp, dtype),
+        schedule=jnp.asarray(m, dtype),
+        num_runs=None,
+    )
+    got = float(res.crude_log_evidence)
+
+    # dense f64 reference
+    xs = np.exp(-np.cumsum(1.0 / m))
+    prev = np.concatenate([[2.0 - xs[0]], xs[:-1]])
+    nxt = np.concatenate([xs[1:], [0.0]])
+    w = 0.5 * (prev - nxt)
+    w[-1] = 0.5 * (xs[-2] + xs[-1])
+    ref = float(
+        np.log(np.sum(w * np.exp(logl - logl.max()))) + logl.max()
+    )
+    return got, ref
+
+
 CHECKS = [
     ("blr_exact_logz", check_blr),
     ("conjugate_normal_logz", check_conjugate_normal),
@@ -250,6 +300,7 @@ CHECKS = [
     ("laplace_exact_gaussian", check_laplace),
     ("gp_direct_vs_mvn", check_gp),
     ("ns_crude_bookkeeping", check_ns_bookkeeping),
+    ("merged_ns_bookkeeping", check_merged_ns_bookkeeping),
 ]
 
 

@@ -9,6 +9,7 @@ import scipy.stats as st
 
 from bayesianinference_tpu import dists as d
 from bayesianinference_tpu.engines import (
+    NSSegment,
     combine_runs,
     dynamic_nested_sampling,
     generate_starting_points,
@@ -183,3 +184,67 @@ def test_dynamic_validation():
         )
     with pytest.raises(ValueError):
         merge_segments([])
+
+
+def test_target_posterior_ess_stops_early(conjugate_runs):
+    """With a trivially-met ESS target, no batches are added — the
+    result equals a pure base run's merged form (same sample count)."""
+    problem, *_ = conjugate_runs
+    dyn = dynamic_nested_sampling(
+        problem, jax.random.PRNGKey(20), sample_pool_size=64,
+        num_batches=5, target_posterior_ess=1.0, monte_carlo_steps=60,
+    )
+    base = nested_sampling_loop(
+        problem,
+        generate_starting_points(problem, jax.random.PRNGKey(21), 64),
+        jax.random.PRNGKey(22),
+        monte_carlo_steps=60,
+    )
+    # one base-run's worth of samples, not five batches' worth
+    assert dyn.total_samples < int(base.state.n_dead) + 64 + 200
+
+
+def test_merge_matches_explicit_birth_death_simulation():
+    """Ground truth for the event accounting: simulate a toy NS process
+    tracking every point's (birth, death) interval EXPLICITLY, then
+    check the segment-summary reconstruction (which never sees births)
+    produces the identical alive-count at every death."""
+    rng = np.random.default_rng(9)
+    n, k, iters = 20, 3, 15
+    live = np.sort(rng.uniform(0.0, 1.0, n))
+    birth = np.full(n, -np.inf)
+    dead_levels, dead_births = [], []
+    for _ in range(iters):
+        thr = live[k - 1]
+        dead_levels.extend(live[:k])
+        dead_births.extend(birth[:k])
+        new = thr + rng.uniform(0.01, 1.0, k)
+        live = np.concatenate([new, live[k:]])
+        birth = np.concatenate([np.full(k, thr), birth[k:]])
+        order = np.argsort(live, kind="stable")
+        live, birth = live[order], birth[order]
+    order = np.argsort(live, kind="stable")
+    levels = np.concatenate([dead_levels, live[order]])
+    births = np.concatenate([dead_births, birth[order]])
+
+    # ground truth: j is alive at death i iff its birth activates at or
+    # before position i and it dies at or after position i
+    pos = np.argsort(levels, kind="stable")
+    L, B = levels[pos], births[pos]
+    nn = len(L)
+    birth_pos = np.searchsorted(L, B, side="right")
+    m_true = np.array(
+        [np.sum((birth_pos <= i) & (np.arange(nn) >= i)) for i in range(nn)]
+    )
+
+    seg = NSSegment(
+        points=levels[:, None].copy(),
+        log_likelihoods=levels,
+        log_priors=np.zeros_like(levels),
+        n_live=n,
+        num_delete=k,
+        n_dead=len(dead_levels),
+        constraint_logl=-np.inf,
+    )
+    _, _, _, m = merge_segments([seg])
+    np.testing.assert_array_equal(m, m_true)

@@ -290,8 +290,68 @@ def test_monte_carlo_method_auto_dispatch():
         resolve_monte_carlo_method("adaptive_metropolis", 64)
         == "adaptive_metropolis"
     )
+    # constrained HMC is opt-in only (needs a differentiable likelihood)
+    assert resolve_monte_carlo_method("chmc", 64) == "chmc"
     with pytest.raises(ValueError, match="unknown monte_carlo_method"):
         resolve_monte_carlo_method("hmc", 4)
+
+
+def test_chmc_chain_preserves_constraint(key):
+    """Kernel-level invariants of constrained HMC (ops/chmc.py): every
+    chain ends strictly above the likelihood threshold, inside the box,
+    and actually moves from its start when trajectories are accepted."""
+    from bayesianinference_tpu.ops.chmc import run_chmc_chain
+
+    dim, n_chains = 4, 64
+    lower = jnp.full((dim,), -5.0)
+    upper = jnp.full((dim,), 5.0)
+
+    def log_likelihood(x):
+        return -0.5 * jnp.sum(x * x)
+
+    def log_prior(x):
+        return jnp.asarray(0.0, x.dtype)
+
+    threshold = jnp.asarray(-4.0)  # a mid-run iso-contour
+    k0, k1 = jax.random.split(key)
+    # starting points uniform inside the constraint ball |x|^2 < 8
+    x0 = jax.random.ball(k0, dim, shape=(n_chains,)) * jnp.sqrt(8.0) * 0.99
+    chol = jnp.eye(dim) * 0.8
+    st_ = jax.vmap(
+        lambda ck, xi: run_chmc_chain(
+            ck, xi, log_likelihood, log_prior, threshold, chol,
+            lower, upper, num_trajectories=8, num_leapfrog=8,
+            step_size=0.3,
+        )
+    )(jax.random.split(k1, n_chains), x0)
+    assert bool(jnp.all(st_.logl > threshold))
+    assert bool(jnp.all((st_.x >= lower) & (st_.x <= upper)))
+    np.testing.assert_allclose(
+        np.asarray(st_.logl),
+        np.asarray(jax.vmap(log_likelihood)(st_.x)),
+        rtol=1e-6,
+    )
+    # with a well-scaled step most trajectories accept and chains move
+    acc = np.asarray(st_.accepted, float) / 8
+    assert acc.mean() > 0.5, acc.mean()
+    moved = np.linalg.norm(np.asarray(st_.x - x0), axis=1)
+    assert (moved > 1e-3).mean() > 0.9
+
+
+@pytest.mark.slow
+def test_ns_chmc_method_logz(key):
+    """The constrained-HMC kernel recovers the analytic evidence through
+    the full NS loop (same oracle as the MH/slice kernels)."""
+    problem = _problem()
+    result = nested_sampling(
+        problem, key, sample_pool_size=100, max_iterations=2000,
+        min_iterations=100, monte_carlo_steps=64,
+        monte_carlo_method="chmc",
+    )
+    want = _analytic_log_z()
+    got = float(result.log_evidence.mean)
+    err = float(result.log_evidence.standard_error)
+    assert abs(got - want) < 4 * err, (got, want, err)
 
 
 @pytest.mark.slow
