@@ -25,6 +25,11 @@ from .gp import (
     define_gaussian_process,
     predict_from_gaussian_process,
 )
+from .sparse_gp import (
+    SGPRModel,
+    define_sparse_gaussian_process,
+    select_inducing_points,
+)
 from .evidence import (
     MeanAndError,
     NestedSamplingResult,
@@ -94,6 +99,9 @@ __all__ = [
     "direct_posterior_distribution",
     "gauss_legendre_grid",
     "GPModel",
+    "SGPRModel",
+    "define_sparse_gaussian_process",
+    "select_inducing_points",
     "coordinate_bounds_grid",
     "define_gaussian_process",
     "predict_from_gaussian_process",

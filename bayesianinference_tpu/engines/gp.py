@@ -132,6 +132,13 @@ class GPModel:
             query_nugget=query_nugget,
         )
 
+    def predict_bytes_per_sample(self) -> int:
+        """Peak f32 bytes per vmapped posterior sample (the [n, n]
+        covariance stack dominates) — drives the sample chunking in
+        ``predict_from_gaussian_process``; the sparse model
+        (``sparse_gp.SGPRModel``) overrides with its O(m n) footprint."""
+        return 4 * self.x.shape[0] * self.x.shape[0]
+
 
 def define_gaussian_process(
     x,
@@ -261,12 +268,15 @@ def predict_from_gaussian_process(
     def one(theta):
         return model.posterior_moments(theta, points, query_nugget)
 
-    n_train = model.x.shape[0]
     n_samp = thetas.shape[0]
     if sample_chunk is None:
-        # keep the [chunk, n, n] covariance stack under ~4 GB (f32)
-        budget = int(4e9) // max(4 * n_train * n_train, 1)
-        sample_chunk = max(1, min(n_samp, budget))
+        # keep the per-sample working set (model-reported: [n, n] dense,
+        # [m, n] sparse) under ~4 GB (f32)
+        per = getattr(
+            model, "predict_bytes_per_sample",
+            lambda: 4 * model.x.shape[0] ** 2,
+        )()
+        sample_chunk = max(1, min(n_samp, int(4e9) // max(per, 1)))
     if sample_chunk >= n_samp:
         means, stds = jax.vmap(one)(thetas)  # [S, m], [S, m]
     else:
