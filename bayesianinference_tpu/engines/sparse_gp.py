@@ -34,7 +34,9 @@ from ..ops.sgpr import (
 
 __all__ = [
     "SGPRModel",
+    "SGPROptimization",
     "define_sparse_gaussian_process",
+    "optimize_sparse_gp",
     "select_inducing_points",
 ]
 
@@ -173,6 +175,126 @@ def _sharded_bound_fn(model: SGPRModel, mesh, axis_name: str):
     return bound
 
 
+@dataclasses.dataclass(frozen=True)
+class SGPROptimization:
+    """Result of a type-II maximum-likelihood SGPR fit.
+
+    ``problem`` is a fresh :class:`InferenceProblem` whose likelihood
+    closes over the OPTIMIZED inducing points — hand it to any engine
+    (NS/HMC/Laplace) for full hyperparameter posteriors around the tuned
+    sparse approximation."""
+
+    theta: jnp.ndarray  # [d] hyperparameters at the optimum
+    z: jnp.ndarray  # [m, q] optimized inducing inputs
+    bound: jnp.ndarray  # scalar final collapsed bound
+    bound_trace: jnp.ndarray  # [steps] bound per Adam step
+    problem: InferenceProblem
+
+
+def optimize_sparse_gp(
+    problem: InferenceProblem,
+    *,
+    steps: int = 300,
+    learning_rate: float = 0.05,
+    optimize_inducing: bool = True,
+    initial_theta=None,
+    include_prior: bool = False,
+) -> SGPROptimization:
+    """Type-II maximum likelihood for a sparse GP: maximize the collapsed
+    Titsias bound jointly over the hyperparameters AND (by default) the
+    inducing inputs z with Adam, in ONE jitted ``lax.scan``.
+
+    The reference has no sparse path (its logML is the dense Cholesky,
+    GP:161-199); gradient-tuned inducing points are the standard
+    variational-sparse-GP practice the bound was designed for (Titsias
+    2009 sec. 3).  Box constraints on the hyperparameters are honored by
+    optimizing in the problem's unconstrained bijection space; z is a
+    free [m, q] array.  ``include_prior=True`` adds the problem's log
+    prior (MAP-II instead of ML-II).
+
+    Every Adam step is O(n m^2) MXU matmuls — at n = 262k, m = 512 one
+    step is the same program as one bound+grad evaluation
+    (PERFORMANCE.md "SGPR scaling")."""
+    from ..core.transforms import box_bijection
+
+    model: Optional[SGPRModel] = (problem.metadata or {}).get(
+        "gaussian_process"
+    )
+    if not isinstance(model, SGPRModel):
+        raise ValueError(
+            "optimize_sparse_gp needs a problem built by "
+            "define_sparse_gaussian_process"
+        )
+    import optax
+
+    bij = box_bijection(problem.lower, problem.upper)
+    if initial_theta is not None:
+        u0 = bij.to_z(jnp.asarray(initial_theta, model.y.dtype))
+    else:
+        u0 = jnp.zeros((problem.dim,), model.y.dtype)  # box midpoint
+    params0 = {"u": u0, "z": model.z}
+
+    def objective(params):
+        theta = bij.to_x(params["u"])
+        z = params["z"] if optimize_inducing else model.z
+        kernel, noise, mean_fn = model._pieces(theta)
+        bound = sgpr_state(
+            kernel, model.x, model.y, z, noise,
+            mean_fn=mean_fn, jitter=model.jitter,
+        ).bound
+        total = (
+            bound + problem.log_prior(theta) if include_prior else bound
+        )
+        return -total, bound
+
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def run(params):
+        state = opt.init(params)
+
+        def step(carry, _):
+            params, state = carry
+            (_, bound), g = jax.value_and_grad(objective, has_aux=True)(
+                params
+            )
+            if not optimize_inducing:
+                g = {"u": g["u"], "z": jnp.zeros_like(g["z"])}
+            updates, state = opt.update(g, state, params)
+            return (optax.apply_updates(params, updates), state), bound
+
+        (params, _), trace = jax.lax.scan(
+            step, (params, state), None, length=steps
+        )
+        # trace[i] is the bound BEFORE update i; report the bound AT the
+        # returned parameters so .bound matches problem.log_likelihood
+        return params, trace, objective(params)[1]
+
+    params, trace, final_bound = run(params0)
+    theta = bij.to_x(params["u"])
+    z_opt = params["z"] if optimize_inducing else model.z
+    new_model = dataclasses.replace(model, z=z_opt)
+    # preserve the original problem's data-sharded likelihood, if any
+    mesh_spec = (problem.metadata or {}).get("sgpr_mesh")
+    new_ll = (
+        _sharded_bound_fn(new_model, *mesh_spec)
+        if mesh_spec is not None
+        else new_model.log_marginal_likelihood
+    )
+    new_problem = dataclasses.replace(
+        problem,
+        log_likelihood=new_ll,
+        metadata={**(problem.metadata or {}), "gaussian_process": new_model},
+    )
+    return SGPROptimization(
+        theta=theta,
+        z=z_opt,
+        bound=final_bound,
+        bound_trace=trace,
+        problem=new_problem,
+    )
+
+
 def define_sparse_gaussian_process(
     x,
     y,
@@ -251,4 +373,5 @@ def define_sparse_gaussian_process(
         key=key,
         gaussian_process=model,
         data_preprocessors=norm,
+        sgpr_mesh=(mesh, axis_name) if mesh is not None else None,
     )

@@ -14,7 +14,8 @@ m << n inducing points:
 
 computable with ONE m x m Cholesky plus [m, n] matmuls — O(n m^2) flops
 on the MXU and O(n m) memory, so n = 1M+ fits on a chip and the n axis
-shards across a mesh with two psums (``parallel/sharded_sgpr.py``).
+shards across a mesh with one psum of ([m, m], [m], scalar) statistics
+(``engines/sparse_gp._sharded_bound_fn``).
 
 TPU-first construction:
 

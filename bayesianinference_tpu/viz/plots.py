@@ -203,7 +203,7 @@ def posterior_bubble_chart(
 
 
 def regression_plot_1d(
-    result: NestedSamplingResult,
+    result,  # NestedSamplingResult | LaplaceFit | None
     predictive,  # PointwiseMixture over x_query
     x_query,
     *,
@@ -211,10 +211,14 @@ def regression_plot_1d(
     y_data=None,
     percentiles: Sequence[float] = (0.95, 0.5, 0.05),
     moments: bool = False,
+    title: str = None,
 ):
     """Predictive percentile bands + data overlay + logZ title
     (``regressionPlot1D``, VZ:292-388).  With ``moments=True`` plots
-    mean +- stdv instead of percentile curves (the "Moments" spec)."""
+    mean +- stdv instead of percentile curves (the "Moments" spec).
+    ``result`` supplies the logZ title: a MeanAndError-carrying engine
+    result, anything with a scalar ``log_evidence`` (e.g. a LaplaceFit),
+    or ``None`` (pass ``title=`` instead)."""
     plt = _plt()
     xq = np.asarray(x_query).reshape(-1)
     fig, ax = plt.subplots()
@@ -234,10 +238,17 @@ def regression_plot_1d(
             np.asarray(x_data).reshape(-1), np.asarray(y_data).reshape(-1),
             color="k", s=12, zorder=5, label="data",
         )
-    lz = result.log_evidence
-    ax.set_title(
-        f"log evidence: {float(lz.mean):.2f} ± {float(lz.standard_error):.2f}"
-    )
+    if title is not None:
+        ax.set_title(title)
+    else:
+        lz = getattr(result, "log_evidence", None)
+        if hasattr(lz, "mean") and hasattr(lz, "standard_error"):
+            ax.set_title(
+                f"log evidence: {float(lz.mean):.2f} ± "
+                f"{float(lz.standard_error):.2f}"
+            )
+        elif lz is not None:
+            ax.set_title(f"log evidence: {float(lz):.2f}")
     ax.legend()
     return fig
 

@@ -30,6 +30,39 @@ except Exception:
     pass
 
 
+def bench_sgpr(n=262144, m=512, reps=4):
+    """Time value+grad of the collapsed SGPR bound at n = 16x the dense
+    single-chip ceiling (PERFORMANCE.md "GP logML"); returns ms/eval."""
+    from bayesianinference_tpu.ops.gp_kernels import se_kernel
+    from bayesianinference_tpu.ops.sgpr import sgpr_bound
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, 4), jnp.float32)
+    y = jnp.sin(x[:, 0]) + 0.1 * jax.random.normal(key, (n,), jnp.float32)
+    z = x[:: n // m][:m]
+
+    def f(th):
+        k = se_kernel(jnp.exp(th[0]), jnp.exp(th[1]))
+        return sgpr_bound(k, x, y, z, jnp.exp(th[2]))
+
+    thetas = jnp.asarray([0.0, 0.0, -2.0], jnp.float32) + 1e-4 * jnp.arange(
+        reps, dtype=jnp.float32
+    )[:, None]
+
+    @jax.jit
+    def many_grad(ths):
+        def step(c, t):
+            v, g = jax.value_and_grad(f)(t)
+            return c + v + jnp.sum(g), None
+
+        return jax.lax.scan(step, 0.0, ths)[0]
+
+    float(many_grad(thetas))  # compile + warm
+    t0 = time.perf_counter()
+    float(many_grad(thetas))
+    return (time.perf_counter() - t0) * 1e3 / reps
+
+
 def bench_gp(n=16384, reps=4):
     """Time the SE-kernel logML forward and value+grad at ``n``; returns
     (fwd_ms, grad_ms, grad_tflops).  Reps run inside one jitted scan so the
@@ -316,6 +349,13 @@ def main():
         file=sys.stderr,
     )
 
+    sgpr_grad_ms = bench_sgpr()
+    print(
+        f"[bench] sgpr n=262k m=512 bound+grad: {sgpr_grad_ms:.1f} ms "
+        f"(dense ceiling is n=16k)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -332,6 +372,7 @@ def main():
                 "laplace_iris_ms_per_fit": round(lap_ms, 1),
                 "hmc_grad_evals_per_sec_d16": round(hmc_eps),
                 "smc_ladder_evals_per_sec": round(smc_eps),
+                "sgpr_bound_grad_ms_n262k_m512": round(sgpr_grad_ms, 1),
             }
         )
     )

@@ -17,6 +17,7 @@ from bayesianinference_tpu.core.numerics import is_log_zero
 from bayesianinference_tpu.engines import (
     define_sparse_gaussian_process,
     laplace_posterior_fit,
+    optimize_sparse_gp,
     predict_from_gaussian_process,
     select_inducing_points,
 )
@@ -148,6 +149,69 @@ def test_scalar_noise_enforced(gp_data):
         problem.log_likelihood(jnp.asarray([1.0]))
 
 
+def test_optimize_sparse_gp_tightens_bound(gp_data):
+    """Adam over (hypers, z) from m = 12 random-ish inducing points: the
+    bound improves monotonically-ish, ends ABOVE the fixed-z bound at the
+    same hyperparameters (moving z can only help), stays below the dense
+    logML, and the returned problem carries the optimized z."""
+    x, y, k, sig2, kmat = gp_data
+    problem = define_sparse_gaussian_process(
+        x,
+        y,
+        lambda th: se_kernel(variance=th[0], lengthscale=th[1]),
+        parameters=[("v", 0.05, 20.0), ("l", 0.05, 20.0), ("s2", 1e-3, 2.0)],
+        nugget_builder=lambda th: th[2],
+        inducing=12,
+        prior_distribution=["scale", "scale", "scale"],
+        validate=False,
+        jitter=1e-10,
+    )
+    opt = optimize_sparse_gp(problem, steps=250, learning_rate=0.03)
+    theta = jnp.asarray(opt.theta)
+    # lower-bound property holds vs the dense logML at the SAME theta
+    # (comparing against the generating theta would be wrong: the ML-II
+    # optimum may exceed the generating hyperparameters' logML)
+    kmat_opt = covariance_matrix(
+        se_kernel(variance=theta[0], lengthscale=theta[1]), x, theta[2]
+    )
+    exact_at_theta = float(gp_log_marginal_likelihood(kmat_opt, y))
+    fixed_z_bound = float(problem.log_likelihood(theta))
+    final = float(opt.bound)
+    assert final <= exact_at_theta + 1e-6, (final, exact_at_theta)
+    assert final > fixed_z_bound + 0.5, (final, fixed_z_bound)
+    assert final > float(opt.bound_trace[0]) + 1.0
+    # the returned problem evaluates the bound at the optimized z
+    np.testing.assert_allclose(
+        float(opt.problem.log_likelihood(theta)), final, rtol=1e-6
+    )
+    assert opt.z.shape == (12, x.shape[1])
+    # hyperparameters land near the generating values
+    v, l, s2 = np.asarray(theta)
+    assert 0.01 < s2 < 0.3 and 0.2 < l < 3.0, theta
+
+
+def test_optimize_fixed_inducing(gp_data):
+    """optimize_inducing=False leaves z untouched and still improves the
+    hyperparameters."""
+    x, y = gp_data[:2]
+    problem = define_sparse_gaussian_process(
+        x,
+        y,
+        lambda th: se_kernel(variance=th[0], lengthscale=th[1]),
+        parameters=[("v", 0.05, 20.0), ("l", 0.05, 20.0), ("s2", 1e-3, 2.0)],
+        nugget_builder=lambda th: th[2],
+        inducing=16,
+        prior_distribution=["scale", "scale", "scale"],
+        validate=False,
+    )
+    z0 = (problem.metadata["gaussian_process"]).z
+    opt = optimize_sparse_gp(
+        problem, steps=120, learning_rate=0.05, optimize_inducing=False
+    )
+    np.testing.assert_array_equal(np.asarray(opt.z), np.asarray(z0))
+    assert float(opt.bound) > float(opt.bound_trace[0])
+
+
 def test_sharded_bound_matches_single_device(gp_data):
     """Data axis over the 8-device CPU mesh; n = 150 is not a multiple
     of 8, so the padding mask is exercised.  Agreement to f64 roundoff,
@@ -174,3 +238,9 @@ def test_sharded_bound_matches_single_device(gp_data):
     g1 = jax.grad(single.log_likelihood)(theta)
     g2 = jax.jit(jax.grad(sharded.log_likelihood))(theta)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-8)
+
+    # optimize_sparse_gp on a sharded problem returns a problem whose
+    # likelihood is STILL data-sharded and consistent with the final bound
+    opt = optimize_sparse_gp(sharded, steps=25, learning_rate=0.05)
+    got = float(jax.jit(opt.problem.log_likelihood)(jnp.asarray(opt.theta)))
+    np.testing.assert_allclose(got, float(opt.bound), rtol=1e-8)
