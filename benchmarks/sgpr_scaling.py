@@ -49,7 +49,12 @@ def bench_sgpr(n, m=512, d=4, reps=4):
     def many_fwd(ths):
         return jax.lax.scan(lambda c, t: (c + f(t), None), 0.0, ths)[0]
 
-    for fn, name in ((many_fwd, "fwd"), (many_grad, "grad")):
+    # grad-only: each (n, program) pays a minutes-long remote compile, and
+    # value+grad is the engine hot path anyway
+    fns = ((many_grad, "grad"),) if n > 20_000 else (
+        (many_fwd, "fwd"), (many_grad, "grad"),
+    )
+    for fn, name in fns:
         float(fn(thetas))  # compile + warm
         t0 = time.perf_counter()
         float(fn(thetas))  # host fetch forces completion through the tunnel
@@ -59,15 +64,19 @@ def bench_sgpr(n, m=512, d=4, reps=4):
         flops = 6.0 * n * m * m * (3.0 if name == "grad" else 1.0)
         print(
             f"[sgpr] n={n:>9,} m={m} {name}: {ms:8.1f} ms/eval  "
-            f"~{flops / ms / 1e9:6.1f} TF/s effective"
+            f"~{flops / ms / 1e9:6.1f} TF/s effective",
+            flush=True,
         )
 
 
 if __name__ == "__main__":
-    print(f"devices: {jax.devices()}")
+    print(f"devices: {jax.devices()}", flush=True)
     for n in (16_384, 262_144, 1_048_576, 4_194_304):
         try:
             bench_sgpr(n)
         except Exception as e:  # remote compile OOM at some ceiling
-            print(f"[sgpr] n={n:,} FAILED: {type(e).__name__}: {str(e)[:200]}")
+            print(
+                f"[sgpr] n={n:,} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                flush=True,
+            )
             break

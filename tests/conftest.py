@@ -29,8 +29,25 @@ jax.config.update("jax_enable_x64", True)
 # The suite is compile-dominated (~8 min cold on this single-core box);
 # a persistent cache makes repeat runs pay device time only.  Separate
 # dir from the TPU bench cache to avoid any cross-backend confusion.
+# The dir is keyed by a host-CPU fingerprint: XLA:CPU caches AOT machine
+# code, and executing a blob compiled on a host with different ISA
+# features SIGILL/aborts the process (observed: a suite run died at ~90%
+# with "Fatal Python error: Aborted" after loading stale AOT results
+# carrying +prefer-no-scatter/+amx flags this host lacks).
 try:
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_tests")
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _cpu = [l for l in _f if l.startswith("flags")][0]
+    except Exception:
+        import platform
+
+        _cpu = platform.processor() or "unknown"
+    _tag = hashlib.md5(_cpu.encode()).hexdigest()[:10]
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/root/.jax_cache_tests_{_tag}"
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
