@@ -1,0 +1,240 @@
+"""GP classification / count regression via the latent-GP Laplace bridge.
+
+Beyond-reference capability: the reference's GP stack is regression-only
+(``defineGaussianProcess`` hard-requires a Gaussian observation model,
+BayesianGaussianProcess.wl:161-199, 201-330).  Here
+``define_gp_classifier`` builds the same kind of
+:class:`~..models.problem.InferenceProblem` — likelihood = the
+Laplace-approximate log marginal of a latent GP (:mod:`..ops.gp_laplace`)
+— so Bernoulli (logit/probit) classification and Poisson count
+regression get full hyperparameter posteriors from ANY engine
+(NS/HMC/SMC/Laplace), mirroring the regression-GP surface
+(``engines.gp``).
+
+Prediction follows ``predict_from_gaussian_process``'s batched design:
+one vmapped latent-moment pass over the posterior hyperparameter
+samples, then Gauss-Hermite averaging of the link under each latent
+Gaussian, mixed with the crude posterior weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dists.pointwise import PointwiseMixture
+from ..models.problem import InferenceProblem, define_inference_problem
+from ..ops.gp_kernels import covariance_matrix
+from ..ops.gp_laplace import (
+    LatentLikelihood,
+    bernoulli_logit_likelihood,
+    bernoulli_probit_likelihood,
+    gauss_hermite_expectation,
+    gp_laplace_latent_moments,
+    gp_laplace_log_marginal,
+    poisson_log_likelihood,
+)
+
+__all__ = [
+    "GPClassifierModel",
+    "GPClassPrediction",
+    "define_gp_classifier",
+    "predict_from_gp_classifier",
+]
+
+_NAMED_LIKELIHOODS = {
+    "bernoulli_logit": bernoulli_logit_likelihood,
+    "bernoulli_probit": bernoulli_probit_likelihood,
+    "poisson_log": poisson_log_likelihood,
+}
+
+
+def _f(x):
+    return jnp.asarray(x, jnp.result_type(jnp.asarray(x).dtype, float))
+
+
+@dataclasses.dataclass(frozen=True)
+class GPClassifierModel:
+    """Model functions attached to a latent-GP problem — the
+    classification analogue of :class:`.gp.GPModel`."""
+
+    x: jnp.ndarray  # [n, d]
+    y: jnp.ndarray  # [n] targets on the likelihood's scale
+    kernel_builder: Callable
+    likelihood: LatentLikelihood
+    jitter: float = 1e-6
+    maxiter: int = 50
+
+    def _k(self, theta):
+        kernel = self.kernel_builder(theta)
+        return covariance_matrix(
+            kernel, self.x, self.jitter,
+            symmetrize=not kernel.exactly_symmetric,
+        )
+
+    def log_marginal_likelihood(self, theta) -> jnp.ndarray:
+        """Laplace-approximate log q(y | X, theta) (GPML eq. 3.32)."""
+        return gp_laplace_log_marginal(
+            self._k(theta), self.y, self.likelihood, maxiter=self.maxiter
+        )
+
+    def latent_moments(self, theta, x_query):
+        """Latent predictive (mu*, var*) at query points for one theta."""
+        kernel = self.kernel_builder(theta)
+        k = covariance_matrix(
+            kernel, self.x, self.jitter,
+            symmetrize=not kernel.exactly_symmetric,
+        )
+        k_cross = kernel.matrix(self.x, x_query)
+        k_qdiag = kernel.diag(x_query) + self.jitter
+        return gp_laplace_latent_moments(
+            k, self.y, self.likelihood, k_cross, k_qdiag,
+            maxiter=self.maxiter,
+        )
+
+    def predict_bytes_per_sample(self) -> int:
+        return 4 * self.x.shape[0] * self.x.shape[0]
+
+
+class GPClassPrediction(NamedTuple):
+    """Posterior-averaged latent-GP predictions at m query points.
+
+    ``mean`` is the posterior expectation of the link (class probability
+    for Bernoulli, rate for Poisson); ``latent`` a
+    :class:`~..dists.pointwise.PointwiseMixture` over the latent f* —
+    quantiles/samples of the latent function come from there."""
+
+    mean: jnp.ndarray  # [m]
+    latent: PointwiseMixture
+
+
+def define_gp_classifier(
+    x,
+    y,
+    kernel_builder: Callable,
+    parameters,
+    *,
+    likelihood="bernoulli_logit",
+    jitter: float = 1e-6,
+    maxiter: int = 50,
+    prior_distribution=None,
+    log_prior: Optional[Callable] = None,
+    validate: bool = True,
+    key=None,
+) -> InferenceProblem:
+    """Hyperparameter-inference problem for a latent (non-Gaussian
+    likelihood) GP — the classification/count counterpart of
+    :func:`.gp.define_gaussian_process`.
+
+    ``likelihood``: "bernoulli_logit" (y in {0,1}), "bernoulli_probit",
+    "poisson_log" (y counts), or any :class:`..ops.gp_laplace.LatentLikelihood`
+    (must be log-concave in f).  A failed Newton/Cholesky from absurd
+    hyperparameters yields NaN, mapped to the log-zero sentinel by the
+    problem layer's density guard."""
+    if isinstance(likelihood, str):
+        try:
+            likelihood = _NAMED_LIKELIHOODS[likelihood]()
+        except KeyError:
+            raise ValueError(
+                f"unknown likelihood {likelihood!r}; expected one of "
+                f"{sorted(_NAMED_LIKELIHOODS)} or a LatentLikelihood"
+            ) from None
+    x = jnp.atleast_2d(_f(x))
+    y = _f(y)
+    if y.ndim != 1 or x.shape[0] != y.shape[0]:
+        raise ValueError(
+            f"need x [n, d] and y [n]; got {x.shape} and {y.shape}"
+        )
+    if likelihood.name.startswith("bernoulli") and bool(
+        jnp.any((y != 0) & (y != 1))
+    ):
+        raise ValueError("Bernoulli likelihoods need y in {0, 1}")
+
+    model = GPClassifierModel(
+        x=x,
+        y=y,
+        kernel_builder=kernel_builder,
+        likelihood=likelihood,
+        jitter=float(jitter),
+        maxiter=int(maxiter),
+    )
+    return define_inference_problem(
+        parameters=parameters,
+        log_likelihood=model.log_marginal_likelihood,
+        prior_distribution=prior_distribution,
+        log_prior=log_prior,
+        validate=validate,
+        key=key,
+        gp_classifier=model,
+    )
+
+
+def predict_from_gp_classifier(
+    result,
+    problem: InferenceProblem,
+    points,
+    *,
+    num_quad_points: int = 32,
+    max_samples: Optional[int] = 256,
+    sample_chunk: Optional[int] = None,
+) -> GPClassPrediction:
+    """Posterior-averaged predictions at query points.
+
+    ``result``: a NestedSamplingResult (crude posterior weights), any
+    weighted-sample carrier, a plain [S, d] array of posterior draws, or
+    a single theta vector [d] (e.g. the Laplace mean).  Per sample the
+    latent moments come from ONE batched pass
+    (:func:`..ops.gp_laplace.gp_laplace_latent_moments`), the link
+    expectation from Gauss-Hermite quadrature (GPML eq. 3.25)."""
+    model: GPClassifierModel = (problem.metadata or {}).get("gp_classifier")
+    if model is None:
+        raise ValueError("problem has no attached GPClassifierModel metadata")
+    points = jnp.atleast_2d(_f(points))
+
+    from .gp import NestedSamplingResult  # re-exported there
+
+    if isinstance(result, NestedSamplingResult):
+        thetas = result.points
+        log_w = result.crude_log_posterior_weights
+    else:
+        thetas = jnp.asarray(getattr(result, "points", result))
+        if thetas.ndim == 1:
+            thetas = thetas[None, :]
+        lw = getattr(result, "log_weights", None)
+        log_w = (
+            jnp.asarray(lw)
+            if lw is not None
+            else jnp.zeros((thetas.shape[0],), thetas.dtype)
+        )
+    if max_samples is not None and thetas.shape[0] > max_samples:
+        order = jnp.argsort(-log_w)[:max_samples]
+        thetas, log_w = thetas[order], log_w[order]
+
+    def one(theta):
+        mu, var = model.latent_moments(theta, points)
+        p = gauss_hermite_expectation(
+            model.likelihood.link, mu, var, num_quad_points
+        )
+        return mu, jnp.sqrt(var), p
+
+    n_samp = thetas.shape[0]
+    if sample_chunk is None:
+        per = model.predict_bytes_per_sample()
+        sample_chunk = max(1, min(n_samp, int(4e9) // max(per, 1)))
+    if sample_chunk >= n_samp:
+        mus, stds, probs = jax.vmap(one)(thetas)
+    else:
+        mus, stds, probs = jax.lax.map(one, thetas, batch_size=sample_chunk)
+
+    from ..dists.scalar import Normal
+
+    w = jax.nn.softmax(log_w)
+    mean_pred = jnp.sum(w[:, None] * probs, axis=0)
+    latent = PointwiseMixture(
+        log_weights=log_w,
+        component=Normal(loc=mus, scale=jnp.maximum(stds, 1e-12)),
+    )
+    return GPClassPrediction(mean=mean_pred, latent=latent)
