@@ -64,6 +64,8 @@ __all__ = [
     "LatentLikelihood",
     "bernoulli_logit_likelihood",
     "bernoulli_probit_likelihood",
+    "binomial_logit_likelihood",
+    "negative_binomial_likelihood",
     "poisson_log_likelihood",
     "latent_likelihood",
     "gp_laplace_mode",
@@ -130,6 +132,47 @@ def poisson_log_likelihood() -> LatentLikelihood:
         return y * f - jnp.exp(f) - jax.lax.lgamma(y + 1.0)
 
     return LatentLikelihood(lp, jnp.exp, "poisson_log")
+
+
+def negative_binomial_likelihood(dispersion: float) -> LatentLikelihood:
+    """y in {0, 1, ...}; y | f ~ NegBinomial(mean = exp(f), dispersion r):
+    overdispersed GP count regression, Var = mu + mu^2/r.  Log-concave in
+    f for any r > 0 (the Hessian is -(y+r) r e^f / (r+e^f)^2)."""
+    import math
+
+    r = float(dispersion)
+    if r <= 0:
+        raise ValueError(f"dispersion must be positive, got {r}")
+    const = -math.lgamma(r) + r * math.log(r)
+
+    def lp(f, y):
+        return (
+            jax.lax.lgamma(y + r)
+            - jax.lax.lgamma(y + 1.0)
+            + const
+            + y * f
+            - (y + r) * jnp.logaddexp(math.log(r), f)
+        )
+
+    return LatentLikelihood(lp, jnp.exp, "negative_binomial")
+
+
+def binomial_logit_likelihood() -> LatentLikelihood:
+    """Per-point binomial counts: each target row is ``[successes,
+    trials]`` (pass y as an [n, 2] array to ``define_gp_classifier``);
+    p(success | f) = sigmoid(f).  Log-concave in f."""
+
+    def lp(f, y):
+        s, t = y[0], y[1]
+        return (
+            jax.lax.lgamma(t + 1.0)
+            - jax.lax.lgamma(s + 1.0)
+            - jax.lax.lgamma(t - s + 1.0)
+            + s * jax.nn.log_sigmoid(f)
+            + (t - s) * jax.nn.log_sigmoid(-f)
+        )
+
+    return LatentLikelihood(lp, jax.nn.sigmoid, "binomial_logit")
 
 
 def _default_tol(dtype) -> float:

@@ -17,6 +17,7 @@ import pytest
 from bayesianinference_tpu.core.numerics import is_log_zero
 from bayesianinference_tpu.engines.gp_classify import (
     define_gp_classifier,
+    optimize_gp_classifier,
     predict_from_gp_classifier,
 )
 from bayesianinference_tpu.engines.laplace import (
@@ -258,6 +259,38 @@ def test_end_to_end_laplace_fit_and_prediction(classify_problem):
     np.testing.assert_allclose(np.asarray(pred2.mean), p, atol=0.1)
 
 
+def test_type_ii_ml_fit_improves_and_matches_gridded_optimum(classify_problem):
+    problem, _, _ = classify_problem
+    opt = optimize_gp_classifier(problem, steps=150, learning_rate=0.1)
+    theta = np.asarray(opt.theta)
+    assert np.all(theta > np.asarray(problem.lower))
+    assert np.all(theta < np.asarray(problem.upper))
+    # monotone-ish improvement: the final logML beats the first step's
+    trace = np.asarray(opt.trace)
+    assert float(opt.log_marginal) > trace[0]
+    # Adam's optimum is a stationary point: logML gradient ~ 0 there
+    g = jax.grad(problem.log_likelihood)(opt.theta)
+    assert float(jnp.max(jnp.abs(g))) < 0.3
+    # and no grid point on a coarse box grid beats it by more than noise
+    amps = np.linspace(0.3, 4.0, 10)
+    lss = np.linspace(0.2, 3.0, 10)
+    grid = jnp.asarray([[a, l] for a in amps for l in lss])
+    vals = jax.vmap(problem.log_likelihood)(grid)
+    assert float(opt.log_marginal) >= float(jnp.max(vals)) - 0.1
+    with pytest.raises(ValueError, match="define_gp_classifier"):
+        from bayesianinference_tpu.models.problem import (
+            define_inference_problem,
+        )
+
+        optimize_gp_classifier(
+            define_inference_problem(
+                parameters=[("a", 0.0, 1.0)],
+                log_likelihood=lambda th: -jnp.sum(th**2),
+                validate=False,
+            )
+        )
+
+
 def test_poisson_count_regression_end_to_end():
     rng = np.random.default_rng(9)
     n = 50
@@ -277,6 +310,74 @@ def test_poisson_count_regression_end_to_end():
     pred = predict_from_gp_classifier(fit.mean, problem, x)
     # predicted rates correlate strongly with the generating rates
     assert np.corrcoef(np.asarray(pred.mean), rate)[0, 1] > 0.9
+
+
+def test_negative_binomial_likelihood_tiny_n_and_scipy():
+    from scipy.stats import nbinom
+
+    from bayesianinference_tpu.ops.gp_laplace import (
+        negative_binomial_likelihood,
+    )
+
+    lik = negative_binomial_likelihood(3.0)
+    # scalar log_prob matches scipy's nbinom pmf: r=3, mean mu=e^f,
+    # scipy parameterization p = r / (r + mu)
+    for f, y in [(0.3, 2.0), (-1.0, 0.0), (1.2, 7.0)]:
+        mu = np.exp(f)
+        ref = nbinom.logpmf(int(y), 3.0, 3.0 / (3.0 + mu))
+        np.testing.assert_allclose(
+            float(lik.log_prob(jnp.asarray(f), jnp.asarray(y))), ref,
+            rtol=1e-10,
+        )
+    # log-concavity at a few points (W >= 0)
+    d2 = jax.grad(jax.grad(lik.log_prob, argnums=0), argnums=0)
+    for f in (-2.0, 0.0, 2.0):
+        assert float(d2(jnp.asarray(f), jnp.asarray(5.0))) < 0
+    with pytest.raises(ValueError, match="dispersion"):
+        negative_binomial_likelihood(-1.0)
+    # Laplace logML near the exact tensor-GH marginal at n=3
+    x = jnp.asarray([[-1.0], [0.2], [1.4]])
+    y = jnp.asarray([0.0, 2.0, 5.0])
+    k = covariance_matrix(se_kernel(1.2, 1.0), x, 1e-8)
+    from tests.test_gp_ep import _exact_logz_gh
+
+    exact = _exact_logz_gh(k, y, lik)
+    logz = float(gp_laplace_log_marginal(k, y, lik))
+    assert abs(logz - exact) < 0.05, (logz, exact)
+
+
+def test_binomial_counts_end_to_end():
+    rng = np.random.default_rng(11)
+    n = 40
+    x = np.sort(rng.uniform(-2, 2, size=(n, 1)), axis=0)
+    p = 1 / (1 + np.exp(-2.0 * np.sin(2.0 * x[:, 0])))
+    trials = rng.integers(5, 20, size=n)
+    succ = rng.binomial(trials, p)
+    y = np.stack([succ, trials], axis=-1).astype(float)
+    problem = define_gp_classifier(
+        x,
+        y,
+        lambda th: se_kernel(th[0] ** 2, th[1]),
+        parameters=[("amp", 0.05, 10.0), ("ls", 0.1, 5.0)],
+        likelihood="binomial_logit",
+        prior_distribution=["scale", "scale"],
+        validate=False,
+    )
+    assert np.isfinite(float(problem.log_likelihood(jnp.asarray([1.5, 0.8]))))
+    pred = predict_from_gp_classifier(
+        jnp.asarray([1.5, 0.8]), problem, x
+    )
+    # binomial likelihoods pin the latent well: predictions track p(x)
+    assert np.corrcoef(np.asarray(pred.mean), p)[0, 1] > 0.9
+    # validation: successes must not exceed trials
+    bad = y.copy()
+    bad[0, 0] = bad[0, 1] + 1
+    with pytest.raises(ValueError, match="successes"):
+        define_gp_classifier(
+            x, bad, lambda th: se_kernel(1.0, th[0]),
+            parameters=[("ls", 0.1, 5.0)], likelihood="binomial_logit",
+            validate=False,
+        )
 
 
 def test_bernoulli_target_validation():
