@@ -55,6 +55,43 @@ except Exception:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# vm.max_map_count exhaustion guard.  Every XLA:CPU compile maps several
+# code/data regions and they accumulate for the process lifetime; at ~300
+# tests the suite crosses Linux's default 65,530-mapping budget and the
+# NEXT compile SEGFAULTS inside backend_compile_and_load (diagnosed round
+# 3: /proc/<pid>/maps grew past 63k right before the crash, reproducibly
+# at the same test).  Raise the budget when we can (root); otherwise
+# clear JAX's executable caches when the count gets close — recompiles
+# mostly re-read the persistent cache, so the fallback costs seconds.
+# ---------------------------------------------------------------------------
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _MAP_BUDGET = int(_f.read())
+    if _MAP_BUDGET < 262144:
+        try:
+            with open("/proc/sys/vm/max_map_count", "w") as _f:
+                _f.write("262144")
+            _MAP_BUDGET = 262144
+        except OSError:
+            pass
+except OSError:  # non-Linux: no budget to manage
+    _MAP_BUDGET = None
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_runtest_teardown(item):
+    if _MAP_BUDGET is not None and _map_count() > _MAP_BUDGET - 12_000:
+        jax.clear_caches()
+
 
 @pytest.fixture
 def rng():
