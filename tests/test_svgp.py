@@ -1,0 +1,182 @@
+"""SVGP (ops/svgp.py + engines/svgp.py).
+
+Oracles: (1) the ELBO must LOWER-BOUND the exact marginal (tensor
+Gauss-Hermite at n=3) and, optimized with M = n inducing at the data,
+approach it; (2) the whitened KL must match the dense closed form;
+(3) latent moments must match explicit dense algebra; (4) the
+full-batch fit must agree with the exact Laplace/EP bridge predictions
+on a small problem; (5) minibatch ELBO estimates must be unbiased for
+the full-batch ELBO.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesianinference_tpu.engines.svgp import (
+    fit_svgp,
+    predict_from_svgp,
+)
+from bayesianinference_tpu.ops.gp_kernels import covariance_matrix, se_kernel
+from bayesianinference_tpu.ops.gp_laplace import bernoulli_logit_likelihood
+from bayesianinference_tpu.ops.svgp import (
+    SVGPVariational,
+    svgp_elbo,
+    svgp_init_variational,
+    svgp_kl,
+    svgp_latent_moments,
+)
+
+
+def _toy(n=30, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(-3, 3, size=(n, 1)), axis=0)
+    p = 1 / (1 + np.exp(-3.0 * np.sin(1.5 * x[:, 0])))
+    y = (rng.uniform(size=n) < p).astype(float)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_kl_matches_dense_closed_form():
+    rng = np.random.default_rng(1)
+    m_dim = 6
+    raw = jnp.asarray(rng.normal(size=(m_dim, m_dim)))
+    mvec = jnp.asarray(rng.normal(size=m_dim))
+    var = SVGPVariational(m=mvec, raw_scale=raw)
+    got = float(svgp_kl(var))
+    # dense KL(N(m, LL^T) || N(0, I))
+    l = np.tril(np.asarray(raw), -1) + np.diag(
+        np.log1p(np.exp(np.diagonal(np.asarray(raw))))
+    )
+    s = l @ l.T
+    ref = 0.5 * (
+        np.trace(s) + mvec @ mvec - m_dim - np.linalg.slogdet(s)[1]
+    )
+    np.testing.assert_allclose(got, float(ref), rtol=1e-10)
+
+
+def test_latent_moments_match_dense_algebra():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, size=(9, 1)), axis=0))
+    z = jnp.asarray(np.linspace(-2, 2, 4)[:, None])
+    kern = se_kernel(1.5, 0.8)
+    m_dim = 4
+    raw = jnp.asarray(rng.normal(size=(m_dim, m_dim)) * 0.3)
+    mvec = jnp.asarray(rng.normal(size=m_dim))
+    var = SVGPVariational(m=mvec, raw_scale=raw)
+    mu, s2 = svgp_latent_moments(kern, x, z, var, jitter=1e-8)
+    # dense reference (jitter is RELATIVE to the mean prior variance)
+    kzz_raw = np.asarray(kern.matrix(z, z))
+    kzz = kzz_raw + 1e-8 * np.mean(np.diagonal(kzz_raw)) * np.eye(4)
+    kzx = np.asarray(kern.matrix(z, x))
+    lzz = np.linalg.cholesky(kzz)
+    a = np.linalg.solve(lzz, kzx)
+    lv = np.tril(np.asarray(raw), -1) + np.diag(
+        np.log1p(np.exp(np.diagonal(np.asarray(raw))))
+    )
+    np.testing.assert_allclose(np.asarray(mu), a.T @ np.asarray(mvec),
+                               atol=1e-10)
+    ref_s2 = (
+        np.asarray(kern.diag(x))
+        - np.sum(a * a, axis=0)
+        + np.sum((lv.T @ a) ** 2, axis=0)
+    )
+    np.testing.assert_allclose(np.asarray(s2), ref_s2, atol=1e-10)
+
+
+def test_elbo_lower_bounds_exact_marginal_and_tightens():
+    """n=3, M=3 inducing AT the data: the optimized ELBO must sit below
+    the exact marginal and get within 0.05 nats of it."""
+    from tests.test_gp_ep import _exact_logz_gh
+
+    lik = bernoulli_logit_likelihood()
+    x = jnp.asarray([[-1.0], [0.2], [1.4]])
+    y = jnp.asarray([0.0, 1.0, 1.0])
+    k = covariance_matrix(se_kernel(1.5, 1.0), x, 1e-8)
+    exact = _exact_logz_gh(k, y, lik)
+    fit = fit_svgp(
+        x, y, lambda th: se_kernel(1.5, 1.0), [("dummy", 0.5, 2.0)],
+        likelihood="bernoulli_logit", inducing=np.asarray(x),
+        optimize_inducing=False, steps=1500, learning_rate=0.03,
+        jitter=1e-8, num_quad_points=40,
+    )
+    elbo = float(fit.elbo)
+    assert elbo <= exact + 1e-3, (elbo, exact)
+    assert exact - elbo < 0.05, (elbo, exact)
+
+
+def test_fit_matches_laplace_bridge_predictions():
+    x, y = _toy(n=40, seed=3)
+    fit = fit_svgp(
+        x, y, lambda th: se_kernel(th[0] ** 2, th[1]),
+        [("amp", 0.05, 10.0), ("ls", 0.1, 5.0)],
+        inducing=12, steps=400, learning_rate=0.05,
+    )
+    assert np.all(np.isfinite(np.asarray(fit.elbo_trace)))
+    xq = jnp.asarray(np.linspace(-3, 3, 21)[:, None])
+    p_svgp, mu, sd = predict_from_svgp(fit, xq)
+    assert np.all((np.asarray(p_svgp) >= 0) & (np.asarray(p_svgp) <= 1))
+    # reference: exact Laplace bridge at the SVGP's fitted theta
+    from bayesianinference_tpu.engines.gp_classify import (
+        define_gp_classifier,
+        predict_from_gp_classifier,
+    )
+
+    prob = define_gp_classifier(
+        np.asarray(x), np.asarray(y),
+        lambda th: se_kernel(th[0] ** 2, th[1]),
+        parameters=[("amp", 0.05, 10.0), ("ls", 0.1, 5.0)],
+        validate=False,
+    )
+    p_ref = predict_from_gp_classifier(fit.theta, prob, np.asarray(xq))
+    np.testing.assert_allclose(
+        np.asarray(p_svgp), np.asarray(p_ref.mean), atol=0.08
+    )
+
+
+def test_minibatch_elbo_unbiased_and_fit_consistent():
+    x, y = _toy(n=60, seed=4)
+    kern = se_kernel(2.0, 1.0)
+    lik = bernoulli_logit_likelihood()
+    z = jnp.asarray(np.linspace(-3, 3, 8)[:, None])
+    var = svgp_init_variational(8, x.dtype)
+    full = float(svgp_elbo(kern, x, y, z, lik, var))
+    # average of per-batch scaled ELBOs over a disjoint partition equals
+    # the full ELBO up to the KL (which is identical in each term):
+    # E[scaled ell] = full ell, so mean of batch elbos = full elbo
+    batches = [slice(0, 20), slice(20, 40), slice(40, 60)]
+    vals = [
+        float(
+            svgp_elbo(kern, x[b], y[b], z, lik, var, data_scale=3.0)
+        )
+        for b in batches
+    ]
+    np.testing.assert_allclose(np.mean(vals), full, rtol=1e-10)
+    # stochastic fit converges to the same neighborhood as full batch
+    fit_fb = fit_svgp(
+        x, y, lambda th: se_kernel(th[0] ** 2, th[1]),
+        [("amp", 0.05, 10.0), ("ls", 0.1, 5.0)],
+        inducing=8, steps=300, learning_rate=0.05,
+        key=jax.random.PRNGKey(1),
+    )
+    fit_mb = fit_svgp(
+        x, y, lambda th: se_kernel(th[0] ** 2, th[1]),
+        [("amp", 0.05, 10.0), ("ls", 0.1, 5.0)],
+        inducing=8, steps=900, learning_rate=0.05, minibatch=20,
+        key=jax.random.PRNGKey(1),
+    )
+    assert abs(float(fit_fb.elbo) - float(fit_mb.elbo)) < 2.0
+    xq = jnp.asarray(np.linspace(-3, 3, 15)[:, None])
+    p_fb, _, _ = predict_from_svgp(fit_fb, xq)
+    p_mb, _, _ = predict_from_svgp(fit_mb, xq)
+    np.testing.assert_allclose(np.asarray(p_fb), np.asarray(p_mb), atol=0.15)
+
+
+def test_validation_errors():
+    x, y = _toy(n=10)
+    with pytest.raises(ValueError, match="unknown likelihood"):
+        fit_svgp(x, y, lambda th: se_kernel(1.0, th[0]),
+                 [("ls", 0.1, 5.0)], likelihood="nope")
+    with pytest.raises(ValueError, match="minibatch"):
+        fit_svgp(x, y, lambda th: se_kernel(1.0, th[0]),
+                 [("ls", 0.1, 5.0)], minibatch=99)
