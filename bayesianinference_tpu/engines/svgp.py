@@ -27,7 +27,9 @@ from ..ops.gp_laplace import LatentLikelihood, gauss_hermite_expectation
 from ..ops.svgp import (
     SVGPVariational,
     svgp_elbo,
+    svgp_expected_loglik,
     svgp_init_variational,
+    svgp_kl,
     svgp_latent_moments,
 )
 from .gp_classify import _NAMED_LIKELIHOODS
@@ -83,6 +85,8 @@ def fit_svgp(
     optimize_inducing: bool = True,
     initial_theta=None,
     key=None,
+    mesh=None,
+    axis_name: str = "data",
 ) -> SVGPFit:
     """Train an SVGP (hyperparameters + inducing inputs + variational
     posterior jointly, Adam in one jitted scan).
@@ -93,7 +97,14 @@ def fit_svgp(
     the data by ``inducing_method``) or an explicit [M, q] array.
     ``minibatch``: batch size B for stochastic steps (default: full
     batch); the final reported ``elbo`` is always recomputed on the full
-    data."""
+    data.
+
+    ``mesh``: a ``jax.sharding.Mesh`` to shard the DATA axis over
+    ``axis_name`` — each device computes the expected log-likelihood of
+    its n/P points (one [M, M] Cholesky replicated + [M, n/P] local
+    matmuls) and ONE scalar psum per step rides the ICI; the KL runs
+    replicated.  Mutually exclusive with ``minibatch`` (each device's
+    shard already is the batch)."""
     from ..core.transforms import box_bijection
 
     if isinstance(likelihood, str):
@@ -127,6 +138,11 @@ def fit_svgp(
     var0 = svgp_init_variational(z0.shape[0], x.dtype)
     if minibatch is not None and not 0 < minibatch <= n:
         raise ValueError(f"minibatch must be in (0, {n}], got {minibatch}")
+    if mesh is not None and minibatch is not None:
+        raise ValueError(
+            "minibatch and mesh are mutually exclusive (a device's data "
+            "shard already is its batch)"
+        )
     scale = 1.0 if minibatch is None else n / minibatch
     key = key if key is not None else jax.random.PRNGKey(0)
 
@@ -135,15 +151,59 @@ def fit_svgp(
     params0 = {"u": u0, "z": z0, "m": var0.m, "raw": var0.raw_scale}
     opt = optax.adam(learning_rate)
 
-    def batch_elbo(params, xb, yb):
-        theta = bij.to_x(params["u"])
-        var = SVGPVariational(m=params["m"], raw_scale=params["raw"])
-        z = params["z"] if optimize_inducing else z0
-        return svgp_elbo(
-            kernel_builder(theta), xb, yb, z, likelihood, var,
-            jitter=jitter, num_quad_points=num_quad_points,
-            data_scale=scale,
+    if mesh is not None:
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        n_shards = mesh.shape[axis_name]
+        n_pad = ((n + n_shards - 1) // n_shards) * n_shards
+        w_pad = jnp.zeros((n_pad,), x.dtype).at[:n].set(1.0)
+        x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        y_pad = jnp.pad(
+            y, ((0, n_pad - n),) + ((0, 0),) * (y.ndim - 1)
         )
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name), P(), P(),
+                      P(), P()),
+            out_specs=P(),
+        )
+        def _ell_psum(xs, ys, ws, theta, z, m_v, raw):
+            # everything theta/variational-dependent is rebuilt INSIDE
+            # the manual-mesh context (closed-over tracers would drag
+            # auto-mesh shardings in)
+            ell_loc = svgp_expected_loglik(
+                kernel_builder(theta), xs, ys, z, likelihood,
+                SVGPVariational(m=m_v, raw_scale=raw),
+                jitter=jitter, num_quad_points=num_quad_points,
+                point_weights=ws,
+            )
+            return jax.lax.psum(ell_loc, axis_name)
+
+        def sharded_elbo(params, _xb, _yb):
+            theta = bij.to_x(params["u"])
+            var = SVGPVariational(m=params["m"], raw_scale=params["raw"])
+            z = params["z"] if optimize_inducing else z0
+            ell = _ell_psum(
+                x_pad, y_pad, w_pad, theta, z, var.m, var.raw_scale
+            )
+            return ell - svgp_kl(var)
+
+        batch_elbo = sharded_elbo
+    else:
+
+        def batch_elbo(params, xb, yb):
+            theta = bij.to_x(params["u"])
+            var = SVGPVariational(m=params["m"], raw_scale=params["raw"])
+            z = params["z"] if optimize_inducing else z0
+            return svgp_elbo(
+                kernel_builder(theta), xb, yb, z, likelihood, var,
+                jitter=jitter, num_quad_points=num_quad_points,
+                data_scale=scale,
+            )
 
     @jax.jit
     def run(params, key):
@@ -165,13 +225,16 @@ def fit_svgp(
 
         keys = jax.random.split(key, steps)
         (params, _), trace = jax.lax.scan(step, (params, state), keys)
-        theta = bij.to_x(params["u"])
-        var = SVGPVariational(m=params["m"], raw_scale=params["raw"])
-        z = params["z"] if optimize_inducing else z0
-        full = svgp_elbo(
-            kernel_builder(theta), x, y, z, likelihood, var,
-            jitter=jitter, num_quad_points=num_quad_points,
-        )
+        if mesh is not None:
+            full = batch_elbo(params, x, y)  # sharded full-data bound
+        else:
+            theta = bij.to_x(params["u"])
+            var = SVGPVariational(m=params["m"], raw_scale=params["raw"])
+            z = params["z"] if optimize_inducing else z0
+            full = svgp_elbo(
+                kernel_builder(theta), x, y, z, likelihood, var,
+                jitter=jitter, num_quad_points=num_quad_points,
+            )
         return params, trace, full
 
     params, trace, full_elbo = run(params0, key)

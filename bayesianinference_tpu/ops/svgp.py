@@ -51,6 +51,7 @@ __all__ = [
     "SVGPVariational",
     "svgp_init_variational",
     "svgp_latent_moments",
+    "svgp_expected_loglik",
     "svgp_elbo",
     "svgp_kl",
 ]
@@ -137,6 +138,35 @@ def _gh(num_points, dtype):
     return jnp.asarray(nodes, dtype), jnp.asarray(weights, dtype)
 
 
+def svgp_expected_loglik(
+    kernel: Kernel,
+    x,
+    y,
+    z,
+    lik: LatentLikelihood,
+    var: SVGPVariational,
+    jitter=None,
+    num_quad_points: int = 20,
+    point_weights=None,
+) -> jnp.ndarray:
+    """sum_i w_i E_{q(f_i)}[log p(y_i | f_i)] by Gauss-Hermite.
+
+    ``point_weights`` (0/1 masks for padding, or fractional weights)
+    make this the per-shard kernel of the data-parallel ELBO."""
+    mu, s2 = svgp_latent_moments(kernel, x, z, var, jitter)
+    # floor keeps d(sqrt)/ds2 finite when cancellation clamps s2 to 0
+    s2 = jnp.maximum(s2, jnp.asarray(jnp.finfo(mu.dtype).eps, mu.dtype))
+    nodes, weights = _gh(num_quad_points, mu.dtype)
+    f = mu[:, None] + jnp.sqrt(s2)[:, None] * nodes[None, :]  # [n, Q]
+    lp = jax.vmap(
+        jax.vmap(lik.log_prob, in_axes=(0, None)), in_axes=(0, 0)
+    )(f, y)  # [n, Q]
+    per_point = lp @ weights
+    if point_weights is not None:
+        per_point = per_point * point_weights
+    return jnp.sum(per_point)
+
+
 def svgp_elbo(
     kernel: Kernel,
     x,
@@ -153,13 +183,7 @@ def svgp_elbo(
     ``data_scale`` multiplies the expected-log-likelihood sum — pass
     n_total / batch_size for an unbiased minibatch estimate; the KL is
     never scaled."""
-    mu, s2 = svgp_latent_moments(kernel, x, z, var, jitter)
-    # floor keeps d(sqrt)/ds2 finite when cancellation clamps s2 to 0
-    s2 = jnp.maximum(s2, jnp.asarray(jnp.finfo(mu.dtype).eps, mu.dtype))
-    nodes, weights = _gh(num_quad_points, mu.dtype)
-    f = mu[:, None] + jnp.sqrt(s2)[:, None] * nodes[None, :]  # [n, Q]
-    lp = jax.vmap(
-        jax.vmap(lik.log_prob, in_axes=(0, None)), in_axes=(0, 0)
-    )(f, y)  # [n, Q]
-    ell = jnp.sum(lp @ weights)
+    ell = svgp_expected_loglik(
+        kernel, x, y, z, lik, var, jitter, num_quad_points
+    )
     return data_scale * ell - svgp_kl(var)

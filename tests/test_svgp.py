@@ -172,6 +172,37 @@ def test_minibatch_elbo_unbiased_and_fit_consistent():
     np.testing.assert_allclose(np.asarray(p_fb), np.asarray(p_mb), atol=0.15)
 
 
+def test_sharded_fit_matches_single_device():
+    """8-device CPU mesh: the data-sharded ELBO program must reproduce
+    the single-device fit exactly (same init, same full-batch steps)."""
+    from bayesianinference_tpu.parallel.sharding import make_mesh
+
+    x, y = _toy(n=50, seed=5)  # 50 pads to 56 over 8 shards
+    mesh = make_mesh(("data",))
+    kwargs = dict(
+        likelihood="bernoulli_logit", inducing=8, steps=120,
+        learning_rate=0.05, key=jax.random.PRNGKey(2),
+    )
+    fit_1 = fit_svgp(x, y, lambda th: se_kernel(th[0] ** 2, th[1]),
+                     [("amp", 0.05, 10.0), ("ls", 0.1, 5.0)], **kwargs)
+    fit_8 = fit_svgp(x, y, lambda th: se_kernel(th[0] ** 2, th[1]),
+                     [("amp", 0.05, 10.0), ("ls", 0.1, 5.0)],
+                     mesh=mesh, **kwargs)
+    np.testing.assert_allclose(
+        float(fit_8.elbo), float(fit_1.elbo), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(fit_8.theta), np.asarray(fit_1.theta), rtol=1e-6
+    )
+    xq = jnp.asarray(np.linspace(-3, 3, 9)[:, None])
+    p1, _, _ = predict_from_svgp(fit_1, xq)
+    p8, _, _ = predict_from_svgp(fit_8, xq)
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-6)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        fit_svgp(x, y, lambda th: se_kernel(1.0, th[0]),
+                 [("ls", 0.1, 5.0)], mesh=mesh, minibatch=10)
+
+
 def test_validation_errors():
     x, y = _toy(n=10)
     with pytest.raises(ValueError, match="unknown likelihood"):
