@@ -12,6 +12,15 @@ from .posterior import (
     regression_predictive_distribution,
 )
 from .report import CalculationReport, calculation_report
+from .scoring import (
+    crps,
+    crps_ensemble,
+    crps_gaussian_mixture,
+    dawid_sebastiani_score,
+    interval_coverage,
+    log_score,
+    pit,
+)
 from .sbc import SBCResult, sbc_ranks, sbc_uniformity_pvalues
 from .summary import ParameterSummary, SummaryTable, summary
 
@@ -27,6 +36,13 @@ __all__ = [
     "model_weights",
     "psis_loo",
     "waic",
+    "crps",
+    "crps_ensemble",
+    "crps_gaussian_mixture",
+    "dawid_sebastiani_score",
+    "interval_coverage",
+    "log_score",
+    "pit",
     "posterior_predictive_check",
     "predictive_distribution",
     "regression_predictive_distribution",
