@@ -31,11 +31,20 @@ from ..ops.svgp import (
     svgp_init_variational,
     svgp_kl,
     svgp_latent_moments,
+    svgp_multiclass_elbo,
+    svgp_multiclass_latent_moments,
 )
 from .gp_classify import _NAMED_LIKELIHOODS
 from .sparse_gp import select_inducing_points
 
-__all__ = ["SVGPFit", "fit_svgp", "predict_from_svgp"]
+__all__ = [
+    "SVGPFit",
+    "SVGPMulticlassFit",
+    "fit_svgp",
+    "fit_svgp_multiclass",
+    "predict_from_svgp",
+    "predict_from_svgp_multiclass",
+]
 
 
 def _f(x):
@@ -263,3 +272,163 @@ def predict_from_svgp(
         fit.likelihood.link, mu, s2, num_quad_points
     )
     return p, mu, jnp.sqrt(s2)
+
+
+@dataclasses.dataclass(frozen=True)
+class SVGPMulticlassFit:
+    """A trained softmax SVGP: C shared-kernel latents, one variational
+    Gaussian per class."""
+
+    theta: jnp.ndarray  # [d]
+    z: jnp.ndarray  # [M, q]
+    m: jnp.ndarray  # [C, M]
+    raw_scale: jnp.ndarray  # [C, M, M]
+    elbo: jnp.ndarray  # scalar, full data (fresh MC draws)
+    elbo_trace: jnp.ndarray  # [steps]
+    num_classes: int
+    kernel_builder: Callable = dataclasses.field(repr=False)
+    jitter: Optional[float] = None
+
+    def latent_moments(self, x_query):
+        kernel = self.kernel_builder(self.theta)
+        return svgp_multiclass_latent_moments(
+            kernel, jnp.atleast_2d(_f(x_query)), self.z, self.m,
+            self.raw_scale, self.jitter,
+        )
+
+
+def fit_svgp_multiclass(
+    x,
+    y,
+    kernel_builder: Callable,
+    parameters,
+    *,
+    num_classes: Optional[int] = None,
+    inducing=128,
+    inducing_method: str = "farthest",
+    steps: int = 500,
+    learning_rate: float = 0.05,
+    minibatch: Optional[int] = None,
+    num_mc: int = 8,
+    jitter: Optional[float] = None,
+    optimize_inducing: bool = True,
+    initial_theta=None,
+    key=None,
+) -> SVGPMulticlassFit:
+    """Multiclass GP classification: C latent GPs (one shared kernel) +
+    softmax likelihood, trained as an SVGP (ops docstring).  ``y``:
+    integer class labels [n] in [0, C).  The expected log-softmax uses
+    ``num_mc`` reparameterized draws per step (unbiased; no C-dim
+    quadrature exists), with FRESH draws each Adam step."""
+    from ..core.transforms import box_bijection
+
+    x = jnp.atleast_2d(_f(x))
+    y = jnp.asarray(y)
+    if y.ndim != 1 or y.shape[0] != x.shape[0]:
+        raise ValueError(
+            f"need x [n, d] and integer labels y [n]; got {x.shape} "
+            f"and {y.shape}"
+        )
+    if num_classes is None:
+        if y.size == 0:
+            raise ValueError("empty y needs explicit num_classes")
+        num_classes = int(jnp.max(y)) + 1
+    if num_classes < 2:
+        raise ValueError(f"need at least 2 classes, got {num_classes}")
+    if bool(jnp.any((y < 0) | (y >= num_classes))):
+        raise ValueError(f"labels must lie in [0, {num_classes})")
+    y = y.astype(jnp.int32)
+    n = x.shape[0]
+    specs = _as_param_specs(parameters)
+    lower = jnp.asarray([s.low for s in specs], x.dtype)
+    upper = jnp.asarray([s.high for s in specs], x.dtype)
+    bij = box_bijection(lower, upper)
+    u0 = (
+        bij.to_z(jnp.asarray(initial_theta, x.dtype))
+        if initial_theta is not None
+        else jnp.zeros((len(specs),), x.dtype)
+    )
+    if isinstance(inducing, int):
+        z0 = select_inducing_points(x, inducing, inducing_method, key=key)
+    else:
+        z0 = jnp.atleast_2d(_f(inducing))
+    m_ind = z0.shape[0]
+    var0 = svgp_init_variational(m_ind, x.dtype)
+    m0 = jnp.zeros((num_classes, m_ind), x.dtype)
+    raw0 = jnp.broadcast_to(
+        var0.raw_scale, (num_classes, m_ind, m_ind)
+    ).copy()
+    if minibatch is not None and not 0 < minibatch <= n:
+        raise ValueError(f"minibatch must be in (0, {n}], got {minibatch}")
+    scale = 1.0 if minibatch is None else n / minibatch
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    import optax
+
+    params0 = {"u": u0, "z": z0, "m": m0, "raw": raw0}
+    opt = optax.adam(learning_rate)
+
+    def batch_elbo(params, xb, yb, k):
+        theta = bij.to_x(params["u"])
+        z = params["z"] if optimize_inducing else z0
+        return svgp_multiclass_elbo(
+            kernel_builder(theta), xb, yb, z, params["m"], params["raw"],
+            k, num_mc=num_mc, jitter=jitter, data_scale=scale,
+        )
+
+    @jax.jit
+    def run(params, key):
+        state = opt.init(params)
+
+        def step(carry, k):
+            params, state = carry
+            k_batch, k_mc = jax.random.split(k)
+            if minibatch is None:
+                xb, yb = x, y
+            else:
+                idx = jax.random.randint(k_batch, (minibatch,), 0, n)
+                xb, yb = x[idx], y[idx]
+            elbo, g = jax.value_and_grad(batch_elbo)(params, xb, yb, k_mc)
+            g = jax.tree_util.tree_map(lambda v: -v, g)
+            if not optimize_inducing:
+                g = {**g, "z": jnp.zeros_like(g["z"])}
+            updates, state = opt.update(g, state, params)
+            return (optax.apply_updates(params, updates), state), elbo
+
+        k_run, k_final = jax.random.split(key)
+        keys = jax.random.split(k_run, steps)
+        (params, _), trace = jax.lax.scan(step, (params, state), keys)
+        theta = bij.to_x(params["u"])
+        z = params["z"] if optimize_inducing else z0
+        full = svgp_multiclass_elbo(
+            kernel_builder(theta), x, y, z, params["m"], params["raw"],
+            k_final, num_mc=64, jitter=jitter,
+        )
+        return params, trace, full
+
+    params, trace, full_elbo = run(params0, key)
+    return SVGPMulticlassFit(
+        theta=bij.to_x(params["u"]),
+        z=params["z"] if optimize_inducing else z0,
+        m=params["m"],
+        raw_scale=params["raw"],
+        elbo=full_elbo,
+        elbo_trace=trace,
+        num_classes=int(num_classes),
+        kernel_builder=kernel_builder,
+        jitter=None if jitter is None else float(jitter),
+    )
+
+
+def predict_from_svgp_multiclass(
+    fit: SVGPMulticlassFit, points, *, num_mc: int = 512, key=None
+):
+    """Class probabilities at query points: E[softmax(f*)] over the
+    latent posterior by Monte Carlo (``num_mc`` draws).  Returns
+    (probs [m, C], latent mu [m, C], latent sd [m, C])."""
+    mu, s2 = fit.latent_moments(points)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    eps = jax.random.normal(key, (num_mc,) + mu.shape, mu.dtype)
+    f = mu[None] + jnp.sqrt(s2)[None] * eps
+    probs = jnp.mean(jax.nn.softmax(f, axis=-1), axis=0)
+    return probs, mu, jnp.sqrt(s2)

@@ -54,6 +54,8 @@ __all__ = [
     "svgp_expected_loglik",
     "svgp_elbo",
     "svgp_kl",
+    "svgp_multiclass_latent_moments",
+    "svgp_multiclass_elbo",
 ]
 
 
@@ -165,6 +167,79 @@ def svgp_expected_loglik(
     if point_weights is not None:
         per_point = per_point * point_weights
     return jnp.sum(per_point)
+
+
+def svgp_multiclass_latent_moments(
+    kernel: Kernel, x, z, m_all, raw_all, jitter=None
+):
+    """Per-class marginals of C independent latent GPs SHARING one
+    kernel: ONE [M, M] Cholesky + one [M, n] solve serve every class
+    (the whitening matrix `a` is class-independent); only the
+    [C, M, M] variational scales differ.
+
+    ``m_all`` [C, M], ``raw_all`` [C, M, M] -> (mu [n, C], s2 [n, C])."""
+    dtype = jnp.result_type(z.dtype, float)
+    if jitter is None:
+        jitter = default_jitter(dtype)
+    k_zz = kernel.matrix(z, z)
+    scale = jnp.mean(jnp.diagonal(k_zz)) + jnp.asarray(
+        jnp.finfo(dtype).tiny, dtype
+    )
+    k_zz = k_zz + (jitter * scale) * jnp.eye(z.shape[0], dtype=dtype)
+    l_zz = jnp.linalg.cholesky(k_zz)
+    a = jax.scipy.linalg.solve_triangular(
+        l_zz, kernel.matrix(z, x), lower=True
+    )  # [M, n]
+    mu = jnp.einsum("mn,cm->nc", a, m_all)
+    l_all = jax.vmap(_chol_from_raw)(raw_all)  # [C, M, M]
+    la = jnp.einsum("cjm,jn->cmn", l_all, a)  # L_c^T a per class
+    base = kernel.diag(x) - jnp.sum(a * a, axis=0)  # [n]
+    s2 = base[:, None] + jnp.sum(la**2, axis=1).T  # [n, C]
+    return mu, jnp.maximum(s2, 0.0)
+
+
+def svgp_multiclass_elbo(
+    kernel: Kernel,
+    x,
+    y_labels,
+    z,
+    m_all,
+    raw_all,
+    key,
+    num_mc: int = 8,
+    jitter=None,
+    data_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Softmax-likelihood SVGP bound for C shared-kernel latents.
+
+    E_{q(f_i)}[log softmax_{y_i}(f_i)] has no quadrature form in C
+    dimensions; the reparameterized Monte-Carlo estimate (``num_mc``
+    standard-normal draws, unbiased in value and gradient) is used —
+    the standard SVGP-multiclass practice.  KL sums the per-class
+    whitened closed forms."""
+    mu, s2 = svgp_multiclass_latent_moments(
+        kernel, x, z, m_all, raw_all, jitter
+    )
+    s = jnp.sqrt(
+        jnp.maximum(s2, jnp.asarray(jnp.finfo(mu.dtype).eps, mu.dtype))
+    )
+    eps = jax.random.normal(key, (num_mc,) + mu.shape, mu.dtype)
+    f = mu[None] + s[None] * eps  # [S, n, C]
+    logp = jax.nn.log_softmax(f, axis=-1)
+    ell = jnp.mean(
+        jnp.sum(
+            jnp.take_along_axis(
+                logp, y_labels[None, :, None].astype(jnp.int32), axis=-1
+            )[..., 0],
+            axis=-1,
+        )
+    )
+    kl = jnp.sum(
+        jax.vmap(lambda m, r: svgp_kl(SVGPVariational(m, r)))(
+            m_all, raw_all
+        )
+    )
+    return data_scale * ell - kl
 
 
 def svgp_elbo(
