@@ -39,10 +39,13 @@ from .sparse_gp import select_inducing_points
 
 __all__ = [
     "SVGPFit",
+    "SVGPHeteroFit",
     "SVGPMulticlassFit",
     "fit_svgp",
+    "fit_svgp_heteroscedastic",
     "fit_svgp_multiclass",
     "predict_from_svgp",
+    "predict_from_svgp_heteroscedastic",
     "predict_from_svgp_multiclass",
 ]
 
@@ -432,3 +435,177 @@ def predict_from_svgp_multiclass(
     f = mu[None] + jnp.sqrt(s2)[None] * eps
     probs = jnp.mean(jax.nn.softmax(f, axis=-1), axis=0)
     return probs, mu, jnp.sqrt(s2)
+
+
+@dataclasses.dataclass(frozen=True)
+class SVGPHeteroFit:
+    """A trained heteroscedastic GP: latent mean GP f + latent log-noise
+    GP g, shared inducing locations."""
+
+    theta: jnp.ndarray  # [d]
+    z: jnp.ndarray  # [M, q]
+    var_f: SVGPVariational
+    var_g: SVGPVariational
+    noise_bias: jnp.ndarray  # scalar learned log-noise intercept
+    elbo: jnp.ndarray  # scalar, full data
+    elbo_trace: jnp.ndarray  # [steps]
+    mean_kernel_builder: Callable = dataclasses.field(repr=False)
+    noise_kernel_builder: Callable = dataclasses.field(repr=False)
+    jitter: Optional[float] = None
+
+    def latent_moments(self, x_query):
+        """((mu_f, s2_f), (mu_g, s2_g)) at query points."""
+        xq = jnp.atleast_2d(_f(x_query))
+        mk = self.mean_kernel_builder(self.theta)
+        nk = self.noise_kernel_builder(self.theta)
+        return (
+            svgp_latent_moments(mk, xq, self.z, self.var_f, self.jitter),
+            svgp_latent_moments(nk, xq, self.z, self.var_g, self.jitter),
+        )
+
+
+def fit_svgp_heteroscedastic(
+    x,
+    y,
+    mean_kernel_builder: Callable,
+    noise_kernel_builder: Callable,
+    parameters,
+    *,
+    inducing=64,
+    inducing_method: str = "farthest",
+    steps: int = 800,
+    learning_rate: float = 0.03,
+    minibatch: Optional[int] = None,
+    jitter: Optional[float] = None,
+    optimize_inducing: bool = True,
+    initial_theta=None,
+    key=None,
+) -> SVGPHeteroFit:
+    """Heteroscedastic GP regression y_i ~ N(f(x_i), exp(g(x_i))^2)
+    with independent latent GPs for the mean (f) and the log noise (g),
+    sharing inducing locations — the variational-heteroscedastic model
+    (ops.svgp.svgp_hetero_elbo); the reference's closest analogue is
+    the heteroscedastic regression net (BayesianNeuralNetworks.wl:
+    139-198), which this replaces with calibrated GP uncertainty.
+
+    Both kernel builders read the SAME theta vector — slice your
+    parameter box as needed (e.g. th[0:2] mean kernel, th[2:4] noise
+    kernel)."""
+    from ..core.transforms import box_bijection
+
+    x = jnp.atleast_2d(_f(x))
+    y = _f(y)
+    if y.ndim != 1 or y.shape[0] != x.shape[0]:
+        raise ValueError(
+            f"need x [n, d] and y [n]; got {x.shape} and {y.shape}"
+        )
+    n = x.shape[0]
+    specs = _as_param_specs(parameters)
+    lower = jnp.asarray([s.low for s in specs], x.dtype)
+    upper = jnp.asarray([s.high for s in specs], x.dtype)
+    bij = box_bijection(lower, upper)
+    u0 = (
+        bij.to_z(jnp.asarray(initial_theta, x.dtype))
+        if initial_theta is not None
+        else jnp.zeros((len(specs),), x.dtype)
+    )
+    if isinstance(inducing, int):
+        z0 = select_inducing_points(x, inducing, inducing_method, key=key)
+    else:
+        z0 = jnp.atleast_2d(_f(inducing))
+    m_ind = z0.shape[0]
+    vf0 = svgp_init_variational(m_ind, x.dtype)
+    # the log-noise latent sits inside e^{2 s2} moments: start its
+    # variational scale SMALL and carry the average log noise in a
+    # learned scalar intercept initialized at log std(y)
+    vg0 = svgp_init_variational(m_ind, x.dtype, scale=0.01)
+    bg0 = jnp.log(jnp.std(y) + jnp.asarray(1e-12, x.dtype))
+    if minibatch is not None and not 0 < minibatch <= n:
+        raise ValueError(f"minibatch must be in (0, {n}], got {minibatch}")
+    scale = 1.0 if minibatch is None else n / minibatch
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    import optax
+
+    from ..ops.svgp import svgp_hetero_elbo
+
+    params0 = {
+        "u": u0, "z": z0, "bg": bg0,
+        "mf": vf0.m, "rawf": vf0.raw_scale,
+        "mg": vg0.m, "rawg": vg0.raw_scale,
+    }
+    opt = optax.adam(learning_rate)
+
+    def batch_elbo(params, xb, yb):
+        theta = bij.to_x(params["u"])
+        z = params["z"] if optimize_inducing else z0
+        return svgp_hetero_elbo(
+            mean_kernel_builder(theta), noise_kernel_builder(theta),
+            xb, yb, z,
+            SVGPVariational(m=params["mf"], raw_scale=params["rawf"]),
+            SVGPVariational(m=params["mg"], raw_scale=params["rawg"]),
+            jitter=jitter, data_scale=scale, noise_bias=params["bg"],
+        )
+
+    @jax.jit
+    def run(params, key):
+        state = opt.init(params)
+
+        def step(carry, k):
+            params, state = carry
+            if minibatch is None:
+                xb, yb = x, y
+            else:
+                idx = jax.random.randint(k, (minibatch,), 0, n)
+                xb, yb = x[idx], y[idx]
+            elbo, g = jax.value_and_grad(batch_elbo)(params, xb, yb)
+            g = jax.tree_util.tree_map(lambda v: -v, g)
+            if not optimize_inducing:
+                g = {**g, "z": jnp.zeros_like(g["z"])}
+            updates, state = opt.update(g, state, params)
+            return (optax.apply_updates(params, updates), state), elbo
+
+        keys = jax.random.split(key, steps)
+        (params, _), trace = jax.lax.scan(step, (params, state), keys)
+        full = batch_elbo(params, x, y) if minibatch is None else (
+            svgp_hetero_elbo(
+                mean_kernel_builder(bij.to_x(params["u"])),
+                noise_kernel_builder(bij.to_x(params["u"])),
+                x, y, params["z"] if optimize_inducing else z0,
+                SVGPVariational(m=params["mf"], raw_scale=params["rawf"]),
+                SVGPVariational(m=params["mg"], raw_scale=params["rawg"]),
+                jitter=jitter, noise_bias=params["bg"],
+            )
+        )
+        return params, trace, full
+
+    params, trace, full_elbo = run(params0, key)
+    return SVGPHeteroFit(
+        theta=bij.to_x(params["u"]),
+        z=params["z"] if optimize_inducing else z0,
+        var_f=SVGPVariational(m=params["mf"], raw_scale=params["rawf"]),
+        var_g=SVGPVariational(m=params["mg"], raw_scale=params["rawg"]),
+        noise_bias=params["bg"],
+        elbo=full_elbo,
+        elbo_trace=trace,
+        mean_kernel_builder=mean_kernel_builder,
+        noise_kernel_builder=noise_kernel_builder,
+        jitter=None if jitter is None else float(jitter),
+    )
+
+
+def predict_from_svgp_heteroscedastic(fit: SVGPHeteroFit, points):
+    """Predictive moments at query points: (mean, total_std, noise_std,
+    latent_mean_std).
+
+    total variance = s_f^2 + E[e^{2g}] = s_f^2 + e^{2 mu_g + 2 s_g^2};
+    noise_std reports the marginal observation noise sqrt(E[e^{2g}])."""
+    (mu_f, s2_f), (mu_g, s2_g) = fit.latent_moments(points)
+    mu_g = mu_g + fit.noise_bias
+    noise_var = jnp.exp(2.0 * mu_g + 2.0 * s2_g)
+    return (
+        mu_f,
+        jnp.sqrt(s2_f + noise_var),
+        jnp.sqrt(noise_var),
+        jnp.sqrt(s2_f),
+    )

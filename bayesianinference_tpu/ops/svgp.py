@@ -56,6 +56,7 @@ __all__ = [
     "svgp_kl",
     "svgp_multiclass_latent_moments",
     "svgp_multiclass_elbo",
+    "svgp_hetero_elbo",
 ]
 
 
@@ -67,10 +68,16 @@ class SVGPVariational(NamedTuple):
     raw_scale: jnp.ndarray  # [M, M] unconstrained
 
 
-def svgp_init_variational(num_inducing: int, dtype=jnp.float32):
-    """Identity-covariance init: m = 0, L = I (raw diag = softplus^-1(1))."""
-    inv_softplus_1 = float(np.log(np.expm1(1.0)))
-    raw = jnp.eye(num_inducing, dtype=dtype) * inv_softplus_1
+def svgp_init_variational(num_inducing: int, dtype=jnp.float32,
+                          scale: float = 1.0):
+    """m = 0, L = scale * I (raw diag = softplus^-1(scale)).
+
+    ``scale`` = 1 starts q(v) at the whitened prior; latents inside a
+    LOG-scale link (heteroscedastic noise) want a SMALL initial scale —
+    the expected log-likelihood carries e^{2 s2} terms that explode when
+    s2 starts at the prior variance."""
+    inv_softplus = float(np.log(np.expm1(scale)))
+    raw = jnp.eye(num_inducing, dtype=dtype) * inv_softplus
     return SVGPVariational(
         m=jnp.zeros((num_inducing,), dtype), raw_scale=raw
     )
@@ -240,6 +247,47 @@ def svgp_multiclass_elbo(
         )
     )
     return data_scale * ell - kl
+
+
+def svgp_hetero_elbo(
+    mean_kernel: Kernel,
+    noise_kernel: Kernel,
+    x,
+    y,
+    z,
+    var_f: SVGPVariational,
+    var_g: SVGPVariational,
+    jitter=None,
+    data_scale: float = 1.0,
+    point_weights=None,
+    noise_bias=0.0,
+) -> jnp.ndarray:
+    """Variational heteroscedastic-GP bound (Lazaro-Gredilla & Titsias
+    2011, in SVGP form): y_i ~ N(f_i, exp(g_i)^2) with independent
+    latent GPs f (mean) and g (log noise).  The expected log-likelihood
+    is CLOSED FORM under the Gaussian marginals — no quadrature:
+
+        E[log N(y; f, e^{2g})] = -log(2 pi)/2 - mu_g
+            - ((y - mu_f)^2 + s_f^2) e^{-2 mu_g + 2 s_g^2} / 2
+
+    (E[e^{-2g}] is the log-normal moment).  KL adds the two whitened
+    closed forms.  ``noise_bias`` shifts the log-noise latent by a
+    scalar (a learned intercept: g_i = noise_bias + latent_i) so the
+    zero-mean GP only models the DEVIATION from the average log noise."""
+    mu_f, s2_f = svgp_latent_moments(mean_kernel, x, z, var_f, jitter)
+    mu_g, s2_g = svgp_latent_moments(noise_kernel, x, z, var_g, jitter)
+    mu_g = mu_g + noise_bias
+    per_point = (
+        -0.5 * jnp.log(2.0 * jnp.pi)
+        - mu_g
+        - 0.5
+        * ((y - mu_f) ** 2 + s2_f)
+        * jnp.exp(-2.0 * mu_g + 2.0 * s2_g)
+    )
+    if point_weights is not None:
+        per_point = per_point * point_weights
+    ell = jnp.sum(per_point)
+    return data_scale * ell - svgp_kl(var_f) - svgp_kl(var_g)
 
 
 def svgp_elbo(

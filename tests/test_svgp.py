@@ -290,6 +290,88 @@ def test_multiclass_two_class_agrees_with_binary_svgp():
     )
 
 
+def test_hetero_expected_loglik_closed_form_vs_mc():
+    """The closed-form E[log N(y; f, e^2g)] must match a Monte-Carlo
+    estimate over (f, g) draws."""
+    from bayesianinference_tpu.ops.svgp import svgp_hetero_elbo
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, size=(6, 1)), axis=0))
+    z = jnp.asarray(np.linspace(-2, 2, 3)[:, None])
+    y = jnp.asarray(rng.normal(size=6))
+    kern_f, kern_g = se_kernel(1.5, 0.8), se_kernel(0.7, 1.2)
+    vf = SVGPVariational(
+        m=jnp.asarray(rng.normal(size=3)),
+        raw_scale=jnp.asarray(rng.normal(size=(3, 3)) * 0.3),
+    )
+    vg = SVGPVariational(
+        m=jnp.asarray(rng.normal(size=3) * 0.3),
+        raw_scale=jnp.asarray(rng.normal(size=(3, 3)) * 0.2),
+    )
+    elbo = float(
+        svgp_hetero_elbo(kern_f, kern_g, x, y, z, vf, vg, jitter=1e-8)
+    )
+    # MC: draw latent marginals, average log N(y; f, e^{2g})
+    mu_f, s2_f = svgp_latent_moments(kern_f, x, z, vf, jitter=1e-8)
+    mu_g, s2_g = svgp_latent_moments(kern_g, x, z, vg, jitter=1e-8)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    nmc = 400_000
+    f = mu_f + jnp.sqrt(s2_f) * jax.random.normal(k1, (nmc, 6))
+    g = mu_g + jnp.sqrt(s2_g) * jax.random.normal(k2, (nmc, 6))
+    ll = -0.5 * jnp.log(2 * jnp.pi) - g - 0.5 * (y - f) ** 2 / jnp.exp(
+        2 * g
+    )
+    mc_ell = float(jnp.sum(jnp.mean(ll, axis=0)))
+    kl = float(svgp_kl(vf)) + float(svgp_kl(vg))
+    np.testing.assert_allclose(elbo, mc_ell - kl, rtol=2e-3)
+
+
+def test_hetero_fit_recovers_noise_profile():
+    from bayesianinference_tpu.engines.svgp import (
+        fit_svgp_heteroscedastic,
+        predict_from_svgp_heteroscedastic,
+    )
+
+    rng = np.random.default_rng(10)
+    n = 300
+    x = np.sort(rng.uniform(-3, 3, size=(n, 1)), axis=0)
+    f_true = np.sin(1.2 * x[:, 0])
+    sd_true = 0.05 + 0.5 * (1 + np.tanh(x[:, 0]))  # rises left to right
+    y = f_true + sd_true * rng.normal(size=n)
+    fit = fit_svgp_heteroscedastic(
+        x, y,
+        lambda th: se_kernel(th[0] ** 2, th[1]),
+        lambda th: se_kernel(th[2] ** 2, th[3]),
+        [("amp_f", 0.05, 10.0), ("ls_f", 0.1, 5.0),
+         ("amp_g", 0.05, 5.0), ("ls_g", 0.3, 5.0)],
+        inducing=20, steps=800, learning_rate=0.03,
+        key=jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(fit.elbo))
+    mean, total_sd, noise_sd, latent_sd = predict_from_svgp_heteroscedastic(
+        fit, x
+    )
+    # mean tracks the function, noise profile tracks the truth
+    assert np.corrcoef(np.asarray(mean), f_true)[0, 1] > 0.95
+    assert np.corrcoef(np.asarray(noise_sd), sd_true)[0, 1] > 0.8
+    # the noise estimate is quantitatively right at both ends
+    left, right = np.asarray(noise_sd)[:30], np.asarray(noise_sd)[-30:]
+    assert left.mean() < 0.35 and 0.6 < right.mean() < 1.6
+    # total >= latent-only width
+    assert np.all(np.asarray(total_sd) >= np.asarray(latent_sd))
+    # minibatch path stays finite
+    fit_mb = fit_svgp_heteroscedastic(
+        x, y,
+        lambda th: se_kernel(th[0] ** 2, th[1]),
+        lambda th: se_kernel(th[2] ** 2, th[3]),
+        [("amp_f", 0.05, 10.0), ("ls_f", 0.1, 5.0),
+         ("amp_g", 0.05, 5.0), ("ls_g", 0.3, 5.0)],
+        inducing=20, steps=400, learning_rate=0.03, minibatch=100,
+        key=jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(float(fit_mb.elbo))
+
+
 def test_multiclass_validation():
     from bayesianinference_tpu.engines.svgp import fit_svgp_multiclass
 
