@@ -21,6 +21,7 @@ from .base import Distribution, dist_dataclass
 __all__ = [
     "Product",
     "Truncated",
+    "Censored",
     "Mixture",
     "HeterogeneousMixture",
     "ConditionalProduct",
@@ -129,6 +130,59 @@ class Truncated(Distribution):
     def icdf(self, q):
         _, c_lo, c_hi = self._log_z()
         return self.base.icdf(c_lo + _f(q) * (c_hi - c_lo))
+
+
+@dist_dataclass
+class Censored(Distribution):
+    """Interval-censored observation of a scalar base distribution
+    (beyond reference): Y = clip(X, low, high) with X ~ base — the Tobit
+    observation model.  Unlike :class:`Truncated` (which REMOVES mass
+    outside the bounds), censoring PILES the tail mass onto the bounds:
+
+        log p(y) = log F(low)          at y == low
+                   base.log_prob(y)    for low < y < high
+                   log (1 - F(high))   at y == high
+
+    so censored data (detector saturation, detection limits, top-coded
+    survey answers) enter any engine through an ordinary likelihood —
+    the density guard maps out-of-[low, high] points to the sentinel.
+    Exactly-at-bound observations must be passed AS the bound value.
+    """
+
+    base: Distribution
+    low: jnp.ndarray = -jnp.inf
+    high: jnp.ndarray = jnp.inf
+
+    def support(self):
+        return (_f(self.low), _f(self.high))
+
+    def log_prob(self, x):
+        x = _f(x)
+        lo, hi = _f(self.low), _f(self.high)
+        interior = self.base.log_prob(x)
+        # guard the cdf probes so infinite bounds never produce NaN
+        lo_safe = jnp.where(jnp.isfinite(lo), lo, jnp.zeros_like(lo))
+        hi_safe = jnp.where(jnp.isfinite(hi), hi, jnp.zeros_like(hi))
+        log_mass_lo = safe_log(self.base.cdf(lo_safe))
+        log_mass_hi = safe_log(1.0 - self.base.cdf(hi_safe))
+        logp = jnp.where(
+            jnp.isfinite(lo) & (x <= lo),
+            log_mass_lo,
+            jnp.where(jnp.isfinite(hi) & (x >= hi), log_mass_hi, interior),
+        )
+        return self._mask_support(x, logp)
+
+    def sample(self, key, shape=()):
+        return jnp.clip(
+            self.base.sample(key, shape), _f(self.low), _f(self.high)
+        )
+
+    def cdf(self, x):
+        x = _f(x)
+        lo, hi = _f(self.low), _f(self.high)
+        c = self.base.cdf(x)
+        c = jnp.where(x < lo, jnp.zeros_like(c), c)
+        return jnp.where(x >= hi, jnp.ones_like(c), c)
 
 
 @dist_dataclass
