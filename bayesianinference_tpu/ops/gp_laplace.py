@@ -65,6 +65,7 @@ __all__ = [
     "bernoulli_logit_likelihood",
     "bernoulli_probit_likelihood",
     "binomial_logit_likelihood",
+    "gamma_log_likelihood",
     "negative_binomial_likelihood",
     "poisson_log_likelihood",
     "latent_likelihood",
@@ -155,6 +156,29 @@ def negative_binomial_likelihood(dispersion: float) -> LatentLikelihood:
         )
 
     return LatentLikelihood(lp, jnp.exp, "negative_binomial")
+
+
+def gamma_log_likelihood(shape: float) -> LatentLikelihood:
+    """y > 0; y | f ~ Gamma(shape a, mean exp(f)) — positive continuous
+    GP regression (durations, insurance severities, rainfall).
+    Log-concave in f: the Hessian is -a y e^{-f} < 0."""
+    import math
+
+    a = float(shape)
+    if a <= 0:
+        raise ValueError(f"shape must be positive, got {a}")
+    const = a * math.log(a) - math.lgamma(a)
+
+    def lp(f, y):
+        # rate = a / mean = a e^{-f}
+        return (
+            const
+            + (a - 1.0) * jnp.log(y)
+            - a * f
+            - a * y * jnp.exp(-f)
+        )
+
+    return LatentLikelihood(lp, jnp.exp, "gamma_log")
 
 
 def binomial_logit_likelihood() -> LatentLikelihood:

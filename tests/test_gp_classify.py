@@ -398,3 +398,36 @@ def test_bernoulli_target_validation():
             likelihood="nope",
             validate=False,
         )
+
+
+def test_gamma_likelihood_scipy_parity_and_fit():
+    from scipy.stats import gamma as sp_gamma
+
+    from bayesianinference_tpu.ops.gp_laplace import gamma_log_likelihood
+
+    lik = gamma_log_likelihood(2.5)
+    for f, y in [(0.3, 2.0), (-1.0, 0.2), (1.2, 7.0)]:
+        # mean exp(f) => scipy scale = exp(f)/a
+        ref = sp_gamma.logpdf(y, 2.5, scale=np.exp(f) / 2.5)
+        np.testing.assert_allclose(
+            float(lik.log_prob(jnp.asarray(f), jnp.asarray(y))), ref,
+            rtol=1e-10,
+        )
+    d2 = jax.grad(jax.grad(lik.log_prob, argnums=0), argnums=0)
+    assert float(d2(jnp.asarray(0.5), jnp.asarray(2.0))) < 0
+    with pytest.raises(ValueError, match="shape"):
+        gamma_log_likelihood(0.0)
+    # latent-GP fit on gamma targets recovers the mean surface
+    rng = np.random.default_rng(13)
+    n = 40
+    x = np.sort(rng.uniform(-2, 2, size=(n, 1)), axis=0)
+    mean_true = np.exp(0.8 * np.sin(1.5 * x[:, 0]))
+    y = rng.gamma(2.5, mean_true / 2.5)
+    problem = define_gp_classifier(
+        x, y, lambda th: se_kernel(th[0] ** 2, th[1]),
+        parameters=[("amp", 0.05, 10.0), ("ls", 0.1, 5.0)],
+        likelihood=lik, prior_distribution=["scale", "scale"],
+        validate=False,
+    )
+    pred = predict_from_gp_classifier(jnp.asarray([0.9, 0.9]), problem, x)
+    assert np.corrcoef(np.asarray(pred.mean), mean_true)[0, 1] > 0.8
