@@ -26,7 +26,11 @@ from ..dists.pointwise import PointwiseMixture
 from ..dists.scalar import Normal
 from ..engines.evidence import NestedSamplingResult
 from ..models.problem import InferenceProblem, define_inference_problem
-from ..ops.mogp import mogp_log_marginal_likelihood, mogp_posterior_moments
+from ..ops.mogp import (
+    mogp_log_marginal_kronecker,
+    mogp_log_marginal_likelihood,
+    mogp_posterior_moments,
+)
 
 __all__ = [
     "MOGPModel",
@@ -54,6 +58,8 @@ class MOGPModel:
     noise_builder: Optional[Callable] = None
     observed_idx: Optional[jnp.ndarray] = None  # [k] or None (= all)
     jitter: float = 1e-6
+    method: str = "dense"  # "dense" | "kronecker"
+    y_grid: Optional[jnp.ndarray] = None  # [n, T] when fully observed
 
     def _noise(self, theta):
         if self.noise_builder is None:
@@ -62,6 +68,16 @@ class MOGPModel:
         return jnp.broadcast_to(nv, (self.num_outputs,))
 
     def log_marginal_likelihood(self, theta) -> jnp.ndarray:
+        if self.method == "kronecker":
+            nv = self._noise(theta)
+            return mogp_log_marginal_kronecker(
+                self.kernel_builder(theta),
+                self.b_builder(theta),
+                self.x,
+                self.y_grid,
+                nv[0] if nv is not None else 0.0,
+                jitter=self.jitter,
+            )
         return mogp_log_marginal_likelihood(
             self.kernel_builder(theta),
             self.b_builder(theta),
@@ -99,6 +115,7 @@ def define_multi_output_gp(
     noise_builder: Optional[Callable] = None,
     observed=None,
     jitter: float = 1e-6,
+    method: str = "dense",
     prior_distribution=None,
     log_prior: Optional[Callable] = None,
     validate: bool = True,
@@ -109,7 +126,15 @@ def define_multi_output_gp(
     ``y``: [n, T] outputs (NaN entries are treated as missing);
     ``observed``: optional [n, T] boolean mask overriding the NaN rule.
     The mask is resolved HOST-SIDE into static gather indices, so the
-    jitted likelihood keeps fixed shapes."""
+    jitted likelihood keeps fixed shapes.
+
+    ``method="kronecker"`` switches the logML to the Saatci
+    eigendecomposition identity — O(n^3 + T^3) instead of O((nT)^3) —
+    valid only for a FULL observation grid with a SCALAR noise builder
+    (raises otherwise; the noise builder must return a scalar, which is
+    broadcast per output in the dense path)."""
+    if method not in ("dense", "kronecker"):
+        raise ValueError(f"method must be dense or kronecker, got {method!r}")
     x = jnp.atleast_2d(_f(x))
     y = np.asarray(y, float)
     if y.ndim != 2 or y.shape[0] != x.shape[0]:
@@ -138,6 +163,11 @@ def define_multi_output_gp(
     idx = np.nonzero(flat_mask)[0].astype(np.int32)
     y_obs = jnp.asarray(y.T.reshape(-1)[idx])
     all_observed = bool(observed.all())
+    if method == "kronecker" and not all_observed:
+        raise ValueError(
+            "method='kronecker' needs every output observed at every "
+            "input (use the dense default for missing data)"
+        )
 
     model = MOGPModel(
         x=x,
@@ -148,6 +178,8 @@ def define_multi_output_gp(
         noise_builder=noise_builder,
         observed_idx=None if all_observed else jnp.asarray(idx),
         jitter=float(jitter),
+        method=method,
+        y_grid=jnp.asarray(y) if all_observed else None,
     )
     return define_inference_problem(
         parameters=parameters,

@@ -41,6 +41,7 @@ __all__ = [
     "coregional_matrix",
     "mogp_covariance",
     "mogp_log_marginal_likelihood",
+    "mogp_log_marginal_kronecker",
     "mogp_posterior_moments",
 ]
 
@@ -99,6 +100,52 @@ def mogp_log_marginal_likelihood(
     if observed_idx is not None:
         cov = cov[jnp.ix_(observed_idx, observed_idx)]
     return _gp_logml_core(cov, y_flat)
+
+
+def mogp_log_marginal_kronecker(
+    kernel: Kernel,
+    b,
+    x,
+    y,
+    noise_variance,
+    jitter: float = 1e-6,
+) -> jnp.ndarray:
+    """logML exploiting the Kronecker structure (Saatci 2011 ch. 5):
+    with a FULL observation grid and SCALAR iid noise,
+
+        B (x) Kx + s2 I = (U_B (x) U_K) diag(lamB (x) lamK + s2) (.)^T,
+
+    so two small eigendecompositions (O(T^3 + n^3)) replace the
+    [nT, nT] Cholesky (O(n^3 T^3)) — at T = 8 that is a 512x FLOP cut
+    and the [nT, nT] array is never materialized.  ``y`` is [n, T].
+
+    Gradients flow through ``jnp.linalg.eigh`` — exact for distinct
+    eigenvalues (repeated eigenvalues, e.g. B exactly diagonal with
+    equal entries, make the eigh JVP ill-defined; generic learned B's
+    are fine).  Requires every output observed at every input and a
+    scalar noise; the dense path handles the general case."""
+    b = _f(b)
+    y = _f(y)
+    n, t = y.shape
+    kx = kernel.matrix(x, x)
+    kx = 0.5 * (kx + kx.T) + jitter * jnp.eye(n, dtype=kx.dtype)
+    lam_b, u_b = jnp.linalg.eigh(0.5 * (b + b.T))
+    lam_k, u_k = jnp.linalg.eigh(kx)
+    s2 = _f(noise_variance)
+    # eigenvalues of the joint: outer(lam_b, lam_k) + s2   [T, n]
+    lam = lam_b[:, None] * lam_k[None, :] + s2
+    ok = jnp.all(lam > 0)
+    lam_safe = jnp.where(ok, lam, jnp.ones_like(lam))
+    # rotate y (output-major [T, n]): Y~ = U_B^T Y^T U_K
+    y_rot = u_b.T @ y.T @ u_k  # [T, n]
+    quad = jnp.sum(y_rot**2 / lam_safe)
+    logdet = jnp.sum(jnp.log(lam_safe))
+    from ..core.numerics import log_zero
+
+    out = -0.5 * (n * t * jnp.log(2.0 * jnp.pi) + logdet + quad)
+    lz = log_zero(out.dtype)
+    out = jnp.clip(out, lz, -lz)
+    return jnp.where(ok, out, lz)
 
 
 def mogp_posterior_moments(

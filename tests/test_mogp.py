@@ -220,3 +220,74 @@ def test_validation_errors():
             lambda th: jnp.eye(2), parameters=[("ls", 0.1, 5.0)],
             observed=np.ones((4, 2), bool), validate=False,
         )
+
+
+def test_kronecker_path_matches_dense():
+    """The Saatci eigendecomposition logML must equal the dense path to
+    near machine precision, value AND gradient."""
+    from bayesianinference_tpu.ops.mogp import mogp_log_marginal_kronecker
+
+    x, y, rng = _data(n=11, t=3, seed=7)
+    kern = se_kernel(1.3, 0.8)
+    a = jnp.asarray(rng.normal(size=(3, 2)))
+    d = jnp.asarray([0.3, 0.2, 0.4])
+    s2 = 0.07
+
+    def dense(av):
+        b = coregional_matrix(av, d)
+        return mogp_log_marginal_likelihood(
+            kern, b, x, jnp.asarray(y.T.reshape(-1)),
+            jnp.full((3,), s2), jitter=1e-8,
+        )
+
+    def kron(av):
+        b = coregional_matrix(av, d)
+        return mogp_log_marginal_kronecker(
+            kern, b, x, jnp.asarray(y), s2, jitter=1e-8
+        )
+
+    # the two paths place the 1e-8 jitter differently (joint diagonal
+    # vs Kx, scaled through lamB), so agreement is at the jitter level
+    np.testing.assert_allclose(float(kron(a)), float(dense(a)), rtol=1e-6)
+    g_d = np.asarray(jax.grad(dense)(a))
+    g_k = np.asarray(jax.grad(kron)(a))
+    np.testing.assert_allclose(g_k, g_d, rtol=1e-4, atol=1e-7)
+    # engine dispatch + validation
+    problem = define_multi_output_gp(
+        x, y, lambda th: se_kernel(th[0] ** 2, th[1]),
+        lambda th: coregional_matrix(th[2:5].reshape(3, 1), d),
+        parameters=[("amp", 0.05, 5.0), ("ls", 0.1, 5.0),
+                    ("b1", -3.0, 3.0), ("b2", -3.0, 3.0),
+                    ("b3", -3.0, 3.0)],
+        noise_builder=lambda th: s2,
+        method="kronecker",
+        prior_distribution=["scale"] * 2 + ["location"] * 3,
+        validate=False, jitter=1e-8,
+    )
+    problem_d = define_multi_output_gp(
+        x, y, lambda th: se_kernel(th[0] ** 2, th[1]),
+        lambda th: coregional_matrix(th[2:5].reshape(3, 1), d),
+        parameters=[("amp", 0.05, 5.0), ("ls", 0.1, 5.0),
+                    ("b1", -3.0, 3.0), ("b2", -3.0, 3.0),
+                    ("b3", -3.0, 3.0)],
+        noise_builder=lambda th: s2,
+        prior_distribution=["scale"] * 2 + ["location"] * 3,
+        validate=False, jitter=1e-8,
+    )
+    th0 = jnp.asarray([1.1, 0.8, 1.0, 0.5, -0.4])
+    np.testing.assert_allclose(
+        float(problem.log_likelihood(th0)),
+        float(problem_d.log_likelihood(th0)),
+        rtol=1e-6,
+    )
+    # sentinel on absurd theta
+    assert bool(is_log_zero(problem.log_likelihood(th0.at[0].set(jnp.nan))))
+    # kronecker + missing data refuses
+    y_miss = y.copy()
+    y_miss[0, 0] = np.nan
+    with pytest.raises(ValueError, match="kronecker"):
+        define_multi_output_gp(
+            x, y_miss, lambda th: se_kernel(1.0, th[0]),
+            lambda th: jnp.eye(3), parameters=[("ls", 0.1, 5.0)],
+            method="kronecker", validate=False,
+        )
