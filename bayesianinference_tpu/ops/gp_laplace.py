@@ -67,6 +67,7 @@ __all__ = [
     "binomial_logit_likelihood",
     "gamma_log_likelihood",
     "negative_binomial_likelihood",
+    "ordinal_logit_likelihood",
     "poisson_log_likelihood",
     "latent_likelihood",
     "gp_laplace_mode",
@@ -179,6 +180,56 @@ def gamma_log_likelihood(shape: float) -> LatentLikelihood:
         )
 
     return LatentLikelihood(lp, jnp.exp, "gamma_log")
+
+
+def ordinal_logit_likelihood(cutpoints) -> LatentLikelihood:
+    """Ordered categories y in {0, ..., K} via the cumulative-logit
+    (proportional-odds) model with FIXED cutpoints c_1 < ... < c_K:
+
+        P(y <= k | f) = sigmoid(c_{k+1} - f),
+        p(y = k | f)  = sigmoid(c_{k+1} - f) - sigmoid(c_k - f),
+
+    log-concave in f (a log-difference of sigmoids).  The latent GP's
+    location/scale freedom absorbs affine cutpoint choices; pass
+    equally-spaced cutpoints unless domain knowledge says otherwise.
+    ``link`` returns the expected category E[y | f]."""
+    c = jnp.asarray(cutpoints, jnp.result_type(float))
+    if c.ndim != 1 or c.shape[0] < 1:
+        raise ValueError("need a 1-D array of at least one cutpoint")
+    import numpy as _np
+
+    if bool(_np.any(_np.diff(_np.asarray(c)) <= 0)):
+        raise ValueError("cutpoints must be strictly increasing")
+    # pad with +-inf sentinels: categories 0..K index [c_0=-inf, c, +inf]
+    lo = jnp.concatenate([jnp.asarray([-jnp.inf], c.dtype), c])
+    hi = jnp.concatenate([c, jnp.asarray([jnp.inf], c.dtype)])
+
+    def lp(f, y):
+        k = y.astype(jnp.int32)
+        a = lo[k] - f  # lower cut minus latent
+        b = hi[k] - f
+        # log(sigmoid(b) - sigmoid(a)), stable: sigmoid(b) - sigmoid(a)
+        # = sigmoid(b) sigmoid(-a) (1 - e^{a-b})... use logsumexp form:
+        # log(sig(b) - sig(a)) = log_sig(b) + log_sig(-a) + log1p(-e^{a-b})
+        safe_a = jnp.where(jnp.isfinite(a), a, 0.0)
+        safe_b = jnp.where(jnp.isfinite(b), b, 0.0)
+        interior = (
+            jax.nn.log_sigmoid(safe_b)
+            + jax.nn.log_sigmoid(-safe_a)
+            + jnp.log1p(-jnp.exp(jnp.minimum(safe_a - safe_b, -1e-12)))
+        )
+        # boundary categories: P(y=0) = sig(c_1 - f); P(y=K) = sig(f - c_K)
+        low_cat = jax.nn.log_sigmoid(safe_b)
+        high_cat = jax.nn.log_sigmoid(-safe_a)
+        return jnp.where(
+            jnp.isinf(a), low_cat, jnp.where(jnp.isinf(b), high_cat, interior)
+        )
+
+    def link(f):
+        # E[y | f] = sum_k P(y > k) over internal cutpoints
+        return jnp.sum(jax.nn.sigmoid(f[..., None] - c), axis=-1)
+
+    return LatentLikelihood(lp, link, "ordinal_logit")
 
 
 def binomial_logit_likelihood() -> LatentLikelihood:

@@ -431,3 +431,55 @@ def test_gamma_likelihood_scipy_parity_and_fit():
     )
     pred = predict_from_gp_classifier(jnp.asarray([0.9, 0.9]), problem, x)
     assert np.corrcoef(np.asarray(pred.mean), mean_true)[0, 1] > 0.8
+
+
+def test_ordinal_likelihood_probabilities_and_fit():
+    from scipy.special import expit
+
+    from bayesianinference_tpu.ops.gp_laplace import (
+        ordinal_logit_likelihood,
+    )
+
+    c = np.asarray([-1.0, 0.5, 2.0])
+    lik = ordinal_logit_likelihood(c)
+    # category probabilities sum to 1 and match the sigmoid differences
+    for f in (-2.0, 0.3, 3.0):
+        cum = np.concatenate([[0.0], expit(c - f), [1.0]])
+        probs_ref = np.diff(cum)
+        lps = np.asarray([
+            float(lik.log_prob(jnp.asarray(f), jnp.asarray(float(k))))
+            for k in range(4)
+        ])
+        np.testing.assert_allclose(np.exp(lps), probs_ref, rtol=1e-6)
+        np.testing.assert_allclose(np.exp(lps).sum(), 1.0, rtol=1e-9)
+        # link = expected category
+        np.testing.assert_allclose(
+            float(lik.link(jnp.asarray(f))),
+            (probs_ref * np.arange(4)).sum(),
+            rtol=1e-6,
+        )
+    # log-concavity at a few points/categories
+    d2 = jax.grad(jax.grad(lik.log_prob, argnums=0), argnums=0)
+    for f in (-1.5, 0.0, 1.5):
+        for k in (0.0, 1.0, 2.0, 3.0):
+            assert float(d2(jnp.asarray(f), jnp.asarray(k))) <= 1e-10
+    with pytest.raises(ValueError, match="increasing"):
+        ordinal_logit_likelihood([0.0, 0.0])
+    # latent-GP fit: ordered ratings from a smooth latent recover it
+    rng = np.random.default_rng(17)
+    n = 50
+    x = np.sort(rng.uniform(-2, 2, size=(n, 1)), axis=0)
+    f_true = 2.0 * np.sin(1.3 * x[:, 0])
+    cum = expit(c[None, :] - f_true[:, None])
+    u = rng.uniform(size=n)
+    y = (u[:, None] > cum).sum(axis=1).astype(float)
+    problem = define_gp_classifier(
+        x, y, lambda th: se_kernel(th[0] ** 2, th[1]),
+        parameters=[("amp", 0.05, 10.0), ("ls", 0.1, 5.0)],
+        likelihood=lik, prior_distribution=["scale", "scale"],
+        validate=False,
+    )
+    assert np.isfinite(float(problem.log_likelihood(jnp.asarray([1.5, 0.9]))))
+    pred = predict_from_gp_classifier(jnp.asarray([1.8, 0.9]), problem, x)
+    # expected-category predictions correlate with the latent truth
+    assert np.corrcoef(np.asarray(pred.mean), f_true)[0, 1] > 0.9
