@@ -1,5 +1,6 @@
 from .plots import (
     calculation_report_plot,
+    calibration_plot,
     covariance_matrix_plot,
     posterior_bubble_chart,
     posterior_marginal_cdf_density_plot_2d,
@@ -14,6 +15,7 @@ from .plots import (
 
 __all__ = [
     "calculation_report_plot",
+    "calibration_plot",
     "covariance_matrix_plot",
     "posterior_bubble_chart",
     "posterior_marginal_cdf_density_plot_2d",

@@ -34,6 +34,7 @@ __all__ = [
     "calculation_report_plot",
     "smc_report_plot",
     "sbc_rank_plot",
+    "calibration_plot",
     "trace_plot",
 ]
 
@@ -442,5 +443,47 @@ def smc_report_plot(result):
     )
     if num_runs <= 8:
         axes[0].legend(fontsize=7)
+    fig.tight_layout()
+    return fig
+
+
+def calibration_plot(predictive, y, num_bins: int = 20):
+    """Forecast-calibration dashboard (beyond reference; companion to
+    :mod:`..results.scoring`): PIT histogram with the uniform band,
+    empirical-coverage reliability curve, and the sharpness (interval
+    width) profile.  ``predictive`` is any scalar predictive law with
+    ``cdf``/``quantile`` over m points (e.g. a
+    :class:`~..dists.pointwise.PointwiseMixture`); ``y`` the m outcomes."""
+    from ..results.scoring import interval_coverage, pit
+
+    plt = _plt()
+    y = np.asarray(y)
+    u = np.asarray(pit(predictive, y))
+    m = u.shape[0]
+    levels = np.linspace(0.1, 0.9, 9)
+    cov = interval_coverage(predictive, y, levels=tuple(levels))
+    emp = np.asarray([float(cov[float(l)][0]) for l in levels])
+    width = np.asarray([float(cov[float(l)][1]) for l in levels])
+
+    fig, (ax1, ax2, ax3) = plt.subplots(1, 3, figsize=(12, 3.6))
+    ax1.hist(u, bins=num_bins, range=(0, 1), density=True,
+             alpha=0.8, edgecolor="white")
+    ax1.axhline(1.0, color="k", ls="--", lw=1)
+    # ~95% sampling band for a uniform histogram
+    se = np.sqrt((1 - 1 / num_bins) / (m / num_bins))
+    ax1.axhspan(1 - 1.96 * se, 1 + 1.96 * se, color="gray", alpha=0.2)
+    ax1.set_title("PIT histogram")
+    ax1.set_xlabel("F(y)")
+
+    ax2.plot([0, 1], [0, 1], "k--", lw=1)
+    ax2.plot(levels, emp, "o-")
+    ax2.set_xlabel("nominal central coverage")
+    ax2.set_ylabel("empirical")
+    ax2.set_title("reliability")
+
+    ax3.plot(levels, width, "o-")
+    ax3.set_xlabel("nominal central coverage")
+    ax3.set_ylabel("mean interval width")
+    ax3.set_title("sharpness")
     fig.tight_layout()
     return fig

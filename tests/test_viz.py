@@ -77,3 +77,25 @@ def test_smc_report_plot(key):
     import matplotlib.pyplot as plt
 
     plt.close(fig)
+
+
+def test_calibration_plot_renders():
+    import numpy as np
+
+    from bayesianinference_tpu.dists.pointwise import PointwiseMixture
+    from bayesianinference_tpu.dists.scalar import Normal
+    from bayesianinference_tpu.viz import calibration_plot
+
+    rng = np.random.default_rng(0)
+    m = 300
+    mu = jnp.asarray(rng.normal(size=m))
+    s = jnp.asarray(rng.uniform(0.5, 1.5, size=m))
+    y = jnp.asarray(rng.normal(np.asarray(mu), np.asarray(s)))
+    mix = PointwiseMixture(
+        log_weights=jnp.zeros(1), component=Normal(mu[None, :], s[None, :])
+    )
+    fig = calibration_plot(mix, y)
+    assert len(fig.axes) == 3
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
