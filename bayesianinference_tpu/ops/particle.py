@@ -36,7 +36,12 @@ import jax.numpy as jnp
 
 from ..core.numerics import logsumexp
 
-__all__ = ["ParticleModel", "particle_filter", "particle_log_likelihood"]
+__all__ = [
+    "ParticleModel",
+    "particle_filter",
+    "particle_log_likelihood",
+    "particle_forecast",
+]
 
 
 class ParticleModel(NamedTuple):
@@ -128,6 +133,70 @@ def particle_filter(
     return ParticleFilterResult(
         log_likelihood=ll, filter_means=means, ess=ess
     )
+
+
+def particle_forecast(
+    model: ParticleModel,
+    y,
+    horizon: int,
+    num_particles: int,
+    key,
+    ess_threshold: float = 0.5,
+):
+    """Forecast the latent state ``horizon`` steps past the data: run
+    the filter over ``y`` [T, ...], resample the terminal particle
+    cloud to equal weights, then propagate it through the transition
+    sampler with no further conditioning.
+
+    Returns particles [horizon, P, ds] — push them through your
+    observation simulator (or `link`) for predictive observables, or
+    reduce over the particle axis for mean/quantile fans.  Average over
+    posterior parameter draws for the full posterior-predictive."""
+    y = jnp.asarray(y)
+    t_total = y.shape[0]
+    res_key, fc_key = jax.random.split(jax.random.fold_in(key, 1))
+    # rerun the filter capturing the terminal cloud
+    k_init, k_scan = jax.random.split(jax.random.fold_in(key, 0))
+    particles = model.init_sampler(k_init, num_particles)
+    log_w = jnp.full(
+        (num_particles,), -jnp.log(float(num_particles)), particles.dtype
+    )
+
+    def fstep(carry, inp):
+        particles, log_w = carry
+        y_t, t, k = inp
+        k_prop, k_res = jax.random.split(k)
+        particles = model.transition_sampler(k_prop, particles, t)
+        log_w = log_w + model.observation_log_prob(particles, y_t, t)
+        log_w = log_w - logsumexp(log_w)
+        ess = jnp.exp(-logsumexp(2.0 * log_w))
+        resampled = _systematic_resample(k_res, log_w, particles)
+        do_res = ess < ess_threshold * num_particles
+        particles = jnp.where(do_res, resampled, particles)
+        log_w = jnp.where(
+            do_res,
+            jnp.full_like(log_w, -jnp.log(float(num_particles))),
+            log_w,
+        )
+        return (particles, log_w), None
+
+    keys = jax.random.split(k_scan, t_total)
+    (particles, log_w), _ = jax.lax.scan(
+        fstep, (particles, log_w), (y, jnp.arange(t_total), keys)
+    )
+    # equal-weight terminal cloud
+    particles = _systematic_resample(res_key, log_w, particles)
+
+    def step(particles, inp):
+        t, k = inp
+        particles = model.transition_sampler(k, particles, t)
+        return particles, particles
+
+    keys = jax.random.split(fc_key, horizon)
+    _, path = jax.lax.scan(
+        step, particles, (t_total + jnp.arange(horizon), keys)
+    )
+    return path
 
 
 def particle_log_likelihood(

@@ -24,6 +24,7 @@ from bayesianinference_tpu.ops.kalman import (
 from bayesianinference_tpu.ops.particle import (
     ParticleModel,
     particle_filter,
+    particle_forecast,
     particle_log_likelihood,
 )
 
@@ -216,3 +217,29 @@ def test_stochastic_volatility_end_to_end():
     assert abs(mu_est - mu_true) < 0.6, mu_est
     assert abs(phi_est - phi_true) < 0.1, phi_est
     assert abs(s_est - s_true) < 0.25, s_est
+
+
+def test_particle_forecast_matches_kalman_predictive(ar1_data):
+    """Forecast moments from the particle cloud must match the exact
+    Kalman predictive recursions on the AR(1)."""
+    model, y = ar1_data
+    pmod = _ar1_particle_model()
+    horizon = 10
+    path = jax.jit(
+        lambda k: particle_forecast(pmod, y, horizon, 8192, k)
+    )(jax.random.PRNGKey(11))
+    assert path.shape == (horizon, 8192, 1)
+    # exact predictive: m_{T+h} = phi^h m_T; P_{T+h} recursion
+    kf = kalman_filter(model, y[:, 0])
+    phi, q = 0.85, 0.3
+    m = float(kf.filtered_means[-1, 0])
+    p = float(kf.filtered_covs[-1, 0, 0])
+    for h in range(horizon):
+        m = phi * m
+        p = phi**2 * p + q**2
+        np.testing.assert_allclose(
+            float(path[h].mean()), m, atol=4.0 * np.sqrt(p / 8192) + 0.01
+        )
+        np.testing.assert_allclose(
+            float(path[h].std()), np.sqrt(p), rtol=0.06
+        )
