@@ -71,6 +71,8 @@ def pmmh_sample(
     initial_scale: float = 0.2,
     ess_threshold: float = 0.5,
     target_acceptance: float = 0.234,
+    mesh=None,
+    axis_name: str = "chains",
 ) -> PMMHResult:
     """Sample p(theta | y) for a particle SSM.
 
@@ -79,7 +81,12 @@ def pmmh_sample(
     `define_inference_problem` conventions.  Each chain's likelihood
     estimate uses ``num_particles`` particles and FRESH randomness per
     proposal (the pseudo-marginal requirement — a frozen seed would
-    target a perturbed posterior)."""
+    target a perturbed posterior).
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``chains`` axis shards the
+    (fully independent) chains across devices — each device advances
+    its chains' particle filters as a local [C/P, particles, ds]
+    tensor program; no collectives are needed."""
     # reuse the problem layer purely for prior/box parsing + guarding
     problem = define_inference_problem(
         parameters=parameters,
@@ -164,7 +171,32 @@ def pmmh_sample(
         )
 
     keys = jax.random.split(key, num_chains)
-    samples, lls, acc, scales = jax.jit(jax.vmap(chain))(keys)
+    if mesh is None:
+        samples, lls, acc, scales = jax.jit(jax.vmap(chain))(keys)
+    else:
+        from functools import partial as _partial
+
+        from jax.sharding import PartitionSpec as P
+
+        n_shards = mesh.shape[axis_name]
+        if num_chains % n_shards != 0:
+            raise ValueError(
+                f"num_chains={num_chains} must be a multiple of the mesh "
+                f"'{axis_name}' axis size {n_shards}"
+            )
+
+        @jax.jit
+        @_partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=P(axis_name),
+            out_specs=(P(axis_name),) * 4,
+            check_vma=False,
+        )
+        def sharded(keys_shard):
+            return jax.vmap(chain)(keys_shard)
+
+        samples, lls, acc, scales = sharded(keys)
     return PMMHResult(
         samples=samples,
         log_likelihoods=lls,

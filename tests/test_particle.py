@@ -126,6 +126,39 @@ def test_pmmh_smoke(ar1_data):
     assert np.all(np.asarray(res.proposal_scales) > 0)
 
 
+def test_pmmh_mesh_sharded_chains_match_single_device(ar1_data):
+    """Chains sharded over the 8-device CPU mesh must reproduce the
+    single-device run exactly (same per-chain keys, no collectives)."""
+    from bayesianinference_tpu.parallel.sharding import make_mesh
+
+    _, y = ar1_data
+
+    def builder(th):
+        return _ar1_particle_model(phi=th[0])
+
+    kwargs = dict(
+        parameters=[("phi", 0.3, 0.99)], key=jax.random.PRNGKey(8),
+        num_particles=64, num_samples=20, num_warmup=20, num_chains=8,
+    )
+    r1 = pmmh_sample(builder, y[:40], **kwargs)
+    r8 = pmmh_sample(
+        builder, y[:40], mesh=make_mesh(("chains",)), **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(r8.samples), np.asarray(r1.samples), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(r8.acceptance_rate), np.asarray(r1.acceptance_rate)
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        pmmh_sample(
+            builder, y[:40], parameters=[("phi", 0.3, 0.99)],
+            key=jax.random.PRNGKey(8), num_particles=32,
+            num_samples=4, num_warmup=4, num_chains=3,
+            mesh=make_mesh(("chains",)),
+        )
+
+
 @pytest.mark.slow
 def test_pmmh_matches_exact_grid_posterior(ar1_data):
     """Infer the AR coefficient phi with a uniform prior: the PMMH
