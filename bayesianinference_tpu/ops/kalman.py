@@ -59,6 +59,7 @@ __all__ = [
     "kalman_smoother",
     "kalman_forecast",
     "kalman_sample",
+    "simulation_smoother",
 ]
 
 _SMALL_CHOL_CUTOFF = 8
@@ -412,3 +413,46 @@ def kalman_sample(key, model: LGSSM, num_steps: int):
     xs = jnp.concatenate([x0[None], xs_rest], axis=0)
     ys = xs @ model.observation.T + d + wy @ lr.T
     return xs, ys
+
+
+def simulation_smoother(
+    key,
+    model: LGSSM,
+    y,
+    num_draws: int,
+    mask=None,
+    method: str = "sequential",
+):
+    """JOINT posterior draws of the state path, x_{1:T} ~ p(x | y).
+
+    The RTS smoother (:func:`kalman_smoother`) gives only the marginals
+    p(x_t | y); path functionals (turning points, max drawdown, sojourn
+    times) need draws with the correct TEMPORAL correlation.  This is
+    the mean-correction simulation smoother of Durbin & Koopman (2002):
+    simulate (x*, y*) from the model prior, then
+
+        x_draw = x* + E[x | y] - E[x | y*]
+
+    is an exact draw from p(x | y) — Gaussianity makes the smoothing
+    error x - E[x|y] independent of y, so the simulated error
+    x* - E[x|y*] has exactly the posterior's covariance.
+
+    TPU-first: each draw is one prior simulation plus one smoother pass,
+    vmapped over ``num_draws`` into [D, T, ds] batched tensor algebra
+    (the data smoother pass is computed once and shared).  ``mask``
+    ([T] bool, True = observed) conditions on the observed subset only;
+    masked steps of y* are equally ignored, keeping the conditioning
+    sets identical.  Returns draws [num_draws, T, ds].
+    """
+    y = jnp.asarray(y, model.transition.dtype)
+    if y.ndim == 1:
+        y = y[:, None]
+    t_total = y.shape[0]
+    m_smooth = kalman_smoother(model, y, mask, method).means
+
+    def one(k):
+        xs, ys = kalman_sample(k, model, t_total)
+        m_star = kalman_smoother(model, ys, mask, method).means
+        return xs + m_smooth - m_star
+
+    return jax.vmap(one)(jax.random.split(key, num_draws))

@@ -171,6 +171,60 @@ def test_forecast_matches_dense_conditioning(random_model):
     np.testing.assert_allclose(np.asarray(fv), marg, atol=1e-9)
 
 
+def test_simulation_smoother_joint_posterior(random_model):
+    """Draw mean hits E[x|y] exactly; draw covariance (INCLUDING the
+    cross-time blocks the RTS marginals cannot give) matches dense
+    conditioning to MC error.  The mean-correction construction makes
+    draws - m_smooth = x* - E[x|y*], an exact N(0, cond_cov) sample,
+    so only the covariance check is statistical."""
+    from bayesianinference_tpu.ops.kalman import simulation_smoother
+
+    model, y = random_model
+    t = y.shape[0]
+    ds = model.state_dim
+    mux, sxf, muy, sy, hb = _dense_moments(model, t)
+    yf = np.asarray(y).reshape(-1)
+    sxy = sxf @ hb.T
+    cond_mean = mux.reshape(-1) + sxy @ np.linalg.solve(sy, yf - muy)
+    cond_cov = sxf - sxy @ np.linalg.solve(sy, sxy.T)
+
+    n_draws = 4096
+    draws = np.asarray(
+        simulation_smoother(jax.random.PRNGKey(3), model, y, n_draws)
+    ).reshape(n_draws, t * ds)
+    sm_mean = np.asarray(kalman_smoother(model, y).means).reshape(-1)
+
+    # exact: every draw's deterministic part is m_smooth
+    np.testing.assert_allclose(draws.mean(0), sm_mean, atol=0.2)
+    np.testing.assert_allclose(sm_mean, cond_mean, atol=1e-9)
+    # statistical: full joint covariance, cross-time terms included
+    emp = np.cov(draws.T)
+    scale = np.sqrt(np.outer(np.diag(cond_cov), np.diag(cond_cov)))
+    np.testing.assert_allclose(emp / scale, cond_cov / scale, atol=0.12)
+
+
+def test_simulation_smoother_masked_consistency(random_model):
+    """With missing steps the draw mean must match the MASKED smoother
+    (same conditioning set for data and simulated pseudo-data)."""
+    from bayesianinference_tpu.ops.kalman import simulation_smoother
+
+    model, y = random_model
+    t = y.shape[0]
+    mask = np.ones(t, bool)
+    mask[2] = mask[8] = False
+    mask = jnp.asarray(mask)
+    draws = np.asarray(
+        simulation_smoother(jax.random.PRNGKey(5), model, y, 4096, mask=mask)
+    )
+    sm = np.asarray(kalman_smoother(model, y, mask=mask).means)
+    np.testing.assert_allclose(draws.mean(0), sm, atol=0.25)
+    # masked times carry MORE path uncertainty than a fully observed run
+    full_var = np.asarray(
+        simulation_smoother(jax.random.PRNGKey(5), model, y, 4096)
+    ).var(0)
+    assert draws.var(0)[2].mean() > full_var[2].mean()
+
+
 def test_structural_components_shapes():
     m = structural_lgssm(
         [
