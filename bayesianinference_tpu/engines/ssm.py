@@ -21,6 +21,8 @@ from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax.numpy as jnp
 
+import jax
+
 from ..models.problem import InferenceProblem, define_inference_problem
 from ..ops.kalman import (
     LGSSM,
@@ -28,6 +30,7 @@ from ..ops.kalman import (
     kalman_forecast,
     kalman_log_likelihood,
     kalman_smoother,
+    simulation_smoother,
 )
 
 __all__ = [
@@ -40,6 +43,7 @@ __all__ = [
     "define_state_space_model",
     "smoothed_states",
     "forecast_observations",
+    "sample_state_paths",
 ]
 
 
@@ -241,6 +245,45 @@ def smoothed_states(problem: InferenceProblem, theta):
     return kalman_smoother(
         model, meta["y"], mask=meta["mask"], method=meta["method"]
     )
+
+
+def sample_state_paths(
+    problem: InferenceProblem,
+    key,
+    theta,
+    paths_per_theta: int = 1,
+):
+    """JOINT posterior draws of the latent state path, integrating
+    hyperparameter uncertainty:  theta_s ~ p(theta | y) (any engine's
+    posterior draws), then x ~ p(x | y, theta_s) via the Durbin-Koopman
+    simulation smoother (:func:`..ops.kalman.simulation_smoother`).
+
+    Unlike :func:`smoothed_states` (per-time marginals at one theta),
+    the returned paths carry the correct TEMPORAL correlation and the
+    parameter-posterior spread, so path functionals (drawdowns, level
+    crossings, turning points) are answerable by direct Monte Carlo.
+
+    ``theta``: [d] (one vector — conditional paths only) or [S, d]
+    (posterior draws).  Returns [S, paths_per_theta, T, state_dim]
+    (S=1 for a single vector).  The whole batch is one vmapped jitted
+    tensor program — S x paths_per_theta smoother passes batch on the
+    MXU, no Python loop."""
+    meta = _ssm_meta(problem)
+    theta = jnp.atleast_2d(jnp.asarray(theta))
+
+    def one_theta(th, k):
+        model = meta["model_builder"](th)
+        return simulation_smoother(
+            k,
+            model,
+            meta["y"],
+            paths_per_theta,
+            mask=meta["mask"],
+            method=meta["method"],
+        )
+
+    keys = jax.random.split(key, theta.shape[0])
+    return jax.vmap(one_theta)(theta, keys)
 
 
 def forecast_observations(problem: InferenceProblem, theta, steps: int):

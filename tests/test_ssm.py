@@ -281,6 +281,33 @@ def test_laplace_recovers_local_level_variances(local_level_problem):
 
 
 @pytest.mark.slow
+def test_sample_state_paths_shapes_and_spread(local_level_problem):
+    """Engine-level joint path draws: shape contract, finiteness, and
+    the paths bracket the smoothed mean at matching uncertainty."""
+    from bayesianinference_tpu.engines import sample_state_paths
+
+    problem, _ = local_level_problem
+    fit = laplace_posterior_fit(problem=problem, key=jax.random.PRNGKey(0))
+    thetas = fit.posterior_distribution.sample(jax.random.PRNGKey(1), (4,))
+    paths = sample_state_paths(
+        problem, jax.random.PRNGKey(2), thetas, paths_per_theta=8
+    )
+    assert paths.shape == (4, 8, 400, 1)
+    assert np.isfinite(np.asarray(paths)).all()
+    # single theta vector -> S=1 batch
+    one = sample_state_paths(
+        problem, jax.random.PRNGKey(3), fit.mean, paths_per_theta=64
+    )
+    assert one.shape == (1, 64, 400, 1)
+    # draws scatter around the RTS mean with comparable marginal scale
+    sm = smoothed_states(problem, fit.mean)
+    mean_err = np.abs(
+        np.asarray(one[0]).mean(0) - np.asarray(sm.means)
+    ).mean()
+    typ_sd = float(np.sqrt(np.asarray(sm.covs)).mean())
+    assert mean_err < 0.6 * typ_sd
+
+
 def test_ns_evidence_agrees_with_laplace(local_level_problem):
     problem, _ = local_level_problem
     fit = laplace_posterior_fit(problem=problem, key=jax.random.PRNGKey(0))
