@@ -36,6 +36,7 @@ from ..models.problem import InferenceProblem, define_inference_problem
 from ..ops.hmm import (
     HMM,
     hmm_filter,
+    hmm_forecast,
     hmm_log_likelihood,
     hmm_posterior_sample,
     hmm_smoother,
@@ -47,6 +48,7 @@ __all__ = [
     "regime_probabilities",
     "most_likely_states",
     "sample_hidden_paths",
+    "forecast_regime_probabilities",
 ]
 
 
@@ -123,6 +125,19 @@ def most_likely_states(problem: InferenceProblem, theta):
     meta = _hmm_meta(problem)
     hmm, log_obs = meta["model_builder"](jnp.asarray(theta))
     return hmm_viterbi(hmm, log_obs, mask=meta["mask"])
+
+
+def forecast_regime_probabilities(
+    problem: InferenceProblem, theta, steps: int
+):
+    """h-step-ahead regime probabilities p(z_{T+h} = k | y, theta)
+    [steps, K] (linear domain): the filtered terminal state pushed
+    through the transition kernel.  Pair with each regime's emission
+    predictive for an observation forecast mixture."""
+    meta = _hmm_meta(problem)
+    hmm, log_obs = meta["model_builder"](jnp.asarray(theta))
+    fr = hmm_filter(hmm, log_obs, mask=meta["mask"], method=meta["method"])
+    return jnp.exp(hmm_forecast(hmm, fr, steps))
 
 
 def sample_hidden_paths(

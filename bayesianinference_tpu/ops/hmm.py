@@ -52,6 +52,7 @@ __all__ = [
     "hmm_filter",
     "hmm_smoother",
     "hmm_viterbi",
+    "hmm_forecast",
     "hmm_posterior_sample",
     "hmm_sample_states",
     "row_stochastic",
@@ -260,6 +261,24 @@ def hmm_posterior_sample(
     return jax.vmap(one)(jax.random.split(key, num_draws)).astype(
         jnp.int32
     )
+
+
+def hmm_forecast(hmm: HMM, filter_result: HMMFilterResult, steps: int):
+    """h-step-ahead state probabilities p(z_{T+h} | y_{1:T}) [steps, K]
+    (log domain): the filtered terminal distribution pushed through the
+    transition kernel h times — one scan of [K] log-matvecs.  Combine
+    with per-state emission predictives for an observation forecast
+    mixture."""
+    log_a = hmm.transition_log_probs
+
+    def step(la, _):
+        nxt = logsumexp(la[:, None] + log_a, axis=0)
+        return nxt, nxt
+
+    _, out = jax.lax.scan(
+        step, filter_result.log_filtered[-1], None, length=steps
+    )
+    return out
 
 
 def hmm_sample_states(key, hmm: HMM, num_steps: int):

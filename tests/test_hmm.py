@@ -315,3 +315,28 @@ def test_sample_states_prior_frequencies():
     z = np.asarray(hmm_sample_states(jax.random.PRNGKey(0), hmm, 20000))
     # stationary: pi1 = 0.1 / (0.1 + 0.3) = 0.25
     assert abs(z.mean() - 0.25) < 0.03
+
+
+def test_forecast_matches_matrix_power(regime_problem):
+    """Log-domain forecast scan vs dense linear-domain matrix power."""
+    from bayesianinference_tpu.engines import forecast_regime_probabilities
+    from bayesianinference_tpu.ops.hmm import hmm_filter
+
+    problem, _, _ = regime_problem
+    theta = jnp.asarray([-2.0, 2.0, 2.4, 2.4])
+    meta = problem.metadata["hidden_markov"]
+    hmm, log_obs = meta["model_builder"](theta)
+    fr = hmm_filter(hmm, log_obs)
+    a = np.exp(np.asarray(hmm.transition_log_probs))
+    p = np.exp(np.asarray(fr.log_filtered[-1]))
+    expected = np.stack(
+        [p @ np.linalg.matrix_power(a, h) for h in range(1, 7)]
+    )
+    got = np.asarray(forecast_regime_probabilities(problem, theta, 6))
+    np.testing.assert_allclose(got, expected, atol=1e-12)
+    # long horizon converges to the stationary distribution
+    far = np.asarray(forecast_regime_probabilities(problem, theta, 400))[-1]
+    evals, evecs = np.linalg.eig(a.T)
+    statv = np.real(evecs[:, np.argmax(np.real(evals))])
+    statv = statv / statv.sum()
+    np.testing.assert_allclose(far, statv, atol=1e-6)
