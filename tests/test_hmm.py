@@ -340,3 +340,35 @@ def test_forecast_matches_matrix_power(regime_problem):
     statv = np.real(evecs[:, np.argmax(np.real(evals))])
     statv = statv / statv.sum()
     np.testing.assert_allclose(far, statv, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_hmm_composes_with_parallel_ns_mesh(regime_problem):
+    """The HMM likelihood (scan inside scan) shards over the virtual
+    8-device runs mesh like any other problem — the new family composes
+    with the parallel stack."""
+    from bayesianinference_tpu.parallel import (
+        make_mesh,
+        parallel_nested_sampling,
+    )
+
+    problem, _, _ = regime_problem
+    mesh = make_mesh(("runs",))
+    result = parallel_nested_sampling(
+        problem,
+        jax.random.PRNGKey(0),
+        num_runs=8,
+        sample_pool_size=25,
+        mesh=mesh,
+        max_iterations=600,
+        min_iterations=30,
+        monte_carlo_steps=40,
+    )
+    fit = laplace_posterior_fit(problem=problem, key=jax.random.PRNGKey(0))
+    got = float(result.log_evidence.mean)
+    err = float(result.log_evidence.standard_error)
+    assert abs(got - float(fit.log_evidence)) < max(4 * err, 2.0), (
+        got,
+        float(fit.log_evidence),
+        err,
+    )
