@@ -29,6 +29,7 @@ from ..core.numerics import log_zero
 from ..core.transforms import box_bijection
 from ..models.problem import define_inference_problem
 from ..ops.particle import ParticleModel, particle_log_likelihood
+from ..ops.rbpf import RBPFModel, rbpf_log_likelihood
 
 __all__ = ["PMMHResult", "pmmh_sample"]
 
@@ -76,7 +77,9 @@ def pmmh_sample(
 ) -> PMMHResult:
     """Sample p(theta | y) for a particle SSM.
 
-    ``model_builder(theta) -> ParticleModel`` (jit-traceable in theta);
+    ``model_builder(theta) -> ParticleModel`` (or ``RBPFModel`` for
+    conditionally linear-Gaussian models — the Rao-Blackwellized
+    filter is substituted automatically, jit-traceable in theta);
     ``parameters`` are (name, low, high) boxes; the prior follows the
     `define_inference_problem` conventions.  Each chain's likelihood
     estimate uses ``num_particles`` particles and FRESH randomness per
@@ -104,9 +107,18 @@ def pmmh_sample(
     def log_target_parts(u, k):
         theta = bij.to_x(u)
         lp = problem.log_prior(theta) + bij.log_jacobian(u)
-        ll = particle_log_likelihood(
-            model_builder(theta), y, num_particles, k, ess_threshold
-        )
+        model = model_builder(theta)
+        # trace-time dispatch: a conditionally linear-Gaussian model
+        # (RBPFModel) gets the marginalized filter — same unbiasedness,
+        # far lower estimator variance at equal particle count
+        if isinstance(model, RBPFModel):
+            ll = rbpf_log_likelihood(
+                model, y, num_particles, k, ess_threshold
+            )
+        else:
+            ll = particle_log_likelihood(
+                model, y, num_particles, k, ess_threshold
+            )
         ll = jnp.where(jnp.isnan(ll), lz, ll)
         return lp, ll
 
