@@ -292,7 +292,10 @@ def hmc_sample(
     instead of the prior — posterior-typical initial points, so the
     warmup no longer has to walk in from the prior and ``num_warmup``
     can often be cut several-fold on hard targets (Zhang et al. 2022's
-    production use).  Problem targets only.
+    production use).  ``starting_points="flow"`` does the same with a
+    quick RealNVP fit (:func:`.flow_vi.flow_vi_fit`) — prefer it on
+    curved targets where Gaussian seeds cluster off the ridge.
+    Problem targets only.
 
     ``num_leapfrog`` is the fixed trajectory length (step size adapts to
     ``target_accept``; the product eps*L should roughly cover the
@@ -319,26 +322,37 @@ def hmc_sample(
     k_start, k_run = jax.random.split(key)
 
     if isinstance(starting_points, str):
-        if starting_points != "pathfinder":
+        if starting_points not in ("pathfinder", "flow"):
             raise ValueError(
                 f"unknown starting_points {starting_points!r}; expected "
-                'an array or "pathfinder"'
+                'an array, "pathfinder", or "flow"'
             )
         if not isinstance(target, InferenceProblem):
             raise ValueError(
-                'starting_points="pathfinder" needs an InferenceProblem '
-                "target"
+                f'starting_points="{starting_points}" needs an '
+                "InferenceProblem target"
             )
-        from .pathfinder import pathfinder_fit
+        k_fit, k_draw = jax.random.split(k_start)
+        if starting_points == "pathfinder":
+            from .pathfinder import pathfinder_fit
 
-        k_pf, k_draw = jax.random.split(k_start)
-        pf = pathfinder_fit(
-            target,
-            k_pf,
-            num_paths=min(max(num_chains, 4), 8),
-            num_draws_per_path=128,
-        )
-        starting_points = pf.posterior_samples(k_draw, num_chains).points
+            pf = pathfinder_fit(
+                target,
+                k_fit,
+                num_paths=min(max(num_chains, 4), 8),
+                num_draws_per_path=128,
+            )
+            starting_points = pf.posterior_samples(k_draw, num_chains).points
+        else:
+            from .flow_vi import flow_vi_fit
+
+            fl = flow_vi_fit(
+                target,
+                k_fit,
+                num_steps=1000,
+                final_evidence_samples=256,
+            )
+            starting_points = fl.sample(k_draw, num_chains)
 
     if isinstance(target, InferenceProblem):
         if starting_points is None:

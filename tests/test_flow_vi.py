@@ -148,3 +148,28 @@ def test_flow_serving_cache(key):
     m1 = float(np.asarray(r1.sample(jax.random.PRNGKey(1), 4000)).mean())
     m2 = float(np.asarray(r2.sample(jax.random.PRNGKey(1), 4000)).mean())
     assert 0.2 < m2 - m1 < 0.8
+
+
+def test_hmc_flow_seeding(key, banana_problem):
+    """starting_points="flow" hands HMC posterior-typical seeds on the
+    curved target."""
+    from bayesianinference_tpu.engines import hmc_sample
+
+    problem, _ = banana_problem
+    res = hmc_sample(
+        problem,
+        key,
+        num_chains=8,
+        num_samples=50,
+        num_warmup=100,
+        num_leapfrog=16,
+        starting_points="flow",
+    )
+    draws = np.asarray(res.samples).reshape(-1, 2)
+    assert np.isfinite(draws).all()
+    resid = draws[:, 1] - draws[:, 0] ** 2 / 2.0
+    assert abs(resid.mean()) < 0.3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="starting_points"):
+        hmc_sample(problem, key, num_chains=2, starting_points="bogus")
