@@ -45,9 +45,11 @@ __all__ = [
     "GPClassifierModel",
     "GPClassPrediction",
     "GPClassifierOptimization",
+    "GPLatentSamples",
     "define_gp_classifier",
     "optimize_gp_classifier",
     "predict_from_gp_classifier",
+    "sample_gp_latents",
 ]
 
 _NAMED_LIKELIHOODS = {
@@ -352,3 +354,132 @@ def predict_from_gp_classifier(
         component=Normal(loc=mus, scale=jnp.maximum(stds, 1e-12)),
     )
     return GPClassPrediction(mean=mean_pred, latent=latent)
+
+
+class GPLatentSamples(NamedTuple):
+    """Exact latent-posterior draws at the training inputs.
+
+    ``draws`` is [num_chains, num_samples, n]; flatten the first two
+    axes for a pooled sample.  ``moved``/``evals`` diagnose the ESS
+    shrinkage loop (ESS always moves unless ``max_shrink`` was hit)."""
+
+    draws: jnp.ndarray  # [C, S, n]
+    log_lik: jnp.ndarray  # [C] final per-chain log L(f)
+    evals: jnp.ndarray  # [C] likelihood evaluations per chain
+    moved: jnp.ndarray  # [C] completed moves per chain
+
+
+def _classifier_model(problem_or_model) -> GPClassifierModel:
+    if isinstance(problem_or_model, GPClassifierModel):
+        return problem_or_model
+    meta = getattr(problem_or_model, "metadata", None) or {}
+    model = meta.get("gp_classifier")
+    if model is None:
+        raise ValueError(
+            "expected a GPClassifierModel or a problem built by "
+            "define_gp_classifier"
+        )
+    return model
+
+
+def sample_gp_latents(
+    key,
+    problem_or_model,
+    theta,
+    num_samples: int,
+    *,
+    num_chains: int = 8,
+    burn_in: int = 128,
+    thin: int = 2,
+    max_shrink: int = 64,
+) -> GPLatentSamples:
+    """Asymptotically exact draws from p(f | y, theta) by elliptical
+    slice sampling (:mod:`..ops.ess`, Murray et al. 2010).
+
+    Where :meth:`GPClassifierModel.latent_moments` returns the
+    Laplace/EP *Gaussian approximation*, this samples the true latent
+    posterior for a fixed hyperparameter vector ``theta`` (e.g. the
+    type-II ML optimum or one posterior draw).  Chains start at the
+    Laplace mode and decorrelate during ``burn_in``; the whole program
+    is one jitted scan, so thousands of chains cost little more than
+    one (the per-update matvec batches onto the MXU)."""
+    from ..ops.ess import ess_sample
+    from ..ops.gp_laplace import gp_laplace_mode
+
+    model = _classifier_model(problem_or_model)
+    theta = jnp.asarray(theta)
+    k = model._k(theta)
+    y = jnp.asarray(model.y, k.dtype)
+    lik = model.likelihood
+
+    chol = jnp.linalg.cholesky(k)
+    f_hat, _ = gp_laplace_mode(k, y, lik, model.maxiter)
+    lp_point = jax.vmap(lik.log_prob)
+
+    def log_lik_fn(f):
+        return jnp.sum(lp_point(f, y))
+
+    def one_chain(chain_key):
+        k_init, k_run = jax.random.split(chain_key)
+        # overdispersed starts: mode + one prior-scaled perturbation,
+        # damped so log-concave likelihoods stay in a sane region
+        z = jax.random.normal(k_init, f_hat.shape, k.dtype)
+        f0 = f_hat + 0.1 * (chol @ z)
+        return ess_sample(
+            k_run,
+            f0,
+            log_lik_fn,
+            chol,
+            num_samples,
+            burn_in=burn_in,
+            thin=thin,
+            max_shrink=max_shrink,
+        )
+
+    draws, final = jax.vmap(one_chain)(jax.random.split(key, num_chains))
+    return GPLatentSamples(
+        draws=draws,
+        log_lik=final.log_lik,
+        evals=final.evals,
+        moved=final.moved,
+    )
+
+
+def latent_draws_at(
+    problem_or_model,
+    theta,
+    draws,
+    points,
+    *,
+    key=None,
+):
+    """Project training-input latent draws to query points.
+
+    For each draw f, the conditional latent at the queries is
+    f* | f ~ N(k*^T K^{-1} f, k** - k*^T K^{-1} k*) — the Gaussian
+    conditional of the joint prior (the likelihood touches f only).
+    With ``key=None`` returns the conditional means [..., q]; with a key
+    returns exact joint draws (means + Cholesky-colored noise)."""
+    model = _classifier_model(problem_or_model)
+    theta = jnp.asarray(theta)
+    kernel = model.kernel_builder(theta)
+    k = model._k(theta)
+    points = jnp.atleast_2d(jnp.asarray(points, k.dtype))
+    k_cross = kernel.matrix(model.x, points)  # [n, q]
+    k_qq = covariance_matrix(
+        kernel, points, model.jitter,
+        symmetrize=not kernel.exactly_symmetric,
+    )
+
+    chol = jnp.linalg.cholesky(k)
+    a = jax.scipy.linalg.cho_solve((chol, True), k_cross)  # K^{-1} k*
+    draws = jnp.asarray(draws, k.dtype)
+    mu = draws @ a  # [..., q]
+    if key is None:
+        return mu
+    cov = k_qq - k_cross.T @ a
+    chol_q = jnp.linalg.cholesky(
+        cov + model.jitter * jnp.eye(cov.shape[0], dtype=k.dtype)
+    )
+    z = jax.random.normal(key, mu.shape, k.dtype)
+    return mu + z @ chol_q.T
