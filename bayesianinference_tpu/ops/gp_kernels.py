@@ -101,10 +101,17 @@ class Kernel:
         )
 
 
-def _stationary(f_of_sqdist: Callable, variance) -> Kernel:
+def _stationary(f_of_sqdist: Callable, variance, lengthscale=1.0) -> Kernel:
+    """Stationary kernel v * f(|x - x'|^2) in lengthscale-rescaled input
+    space.  ``lengthscale`` may be a scalar (isotropic) or a [d] vector
+    (ARD, one lengthscale per input dimension); inputs are divided by it
+    BEFORE the sqdist matmul, so the anisotropic metric costs one O(n d)
+    elementwise pass, not a new O(n^2 d) kernel."""
     variance = _f(variance)
+    inv = 1.0 / _f(lengthscale)
     return Kernel(
-        matrix=lambda a, b: variance * f_of_sqdist(squared_distances(a, b)),
+        matrix=lambda a, b: variance
+        * f_of_sqdist(squared_distances(_f(a) * inv, _f(b) * inv)),
         diag=lambda a: variance * jnp.ones(jnp.shape(a)[0], _f(a).dtype),
         exactly_symmetric=True,
     )
@@ -112,57 +119,55 @@ def _stationary(f_of_sqdist: Callable, variance) -> Kernel:
 
 def se_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
     """Squared-exponential (RBF): v * exp(-r^2 / (2 l^2)) — the headline
-    BASELINE kernel."""
-    l2 = _f(lengthscale) ** 2
+    BASELINE kernel.  ``lengthscale`` scalar or [d] (ARD)."""
 
     def f(sq):
-        return jnp.exp(-0.5 * sq / l2)
+        return jnp.exp(-0.5 * sq)
 
-    return _stationary(f, variance)
+    return _stationary(f, variance, lengthscale)
 
 
 def matern12_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
-    """Matern-1/2 (Ornstein-Uhlenbeck): v * exp(-r / l)."""
-    l = _f(lengthscale)
+    """Matern-1/2 (Ornstein-Uhlenbeck): v * exp(-r / l).  ``lengthscale``
+    scalar or [d] (ARD)."""
 
     def f(sq):
-        r = jnp.sqrt(sq + 1e-36)
-        return jnp.exp(-r / l)
+        return jnp.exp(-jnp.sqrt(sq + 1e-36))
 
-    return _stationary(f, variance)
+    return _stationary(f, variance, lengthscale)
 
 
 def matern32_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
-    """Matern-3/2: v * (1 + sqrt(3) r / l) exp(-sqrt(3) r / l)."""
-    l = _f(lengthscale)
+    """Matern-3/2: v * (1 + sqrt(3) r / l) exp(-sqrt(3) r / l).
+    ``lengthscale`` scalar or [d] (ARD)."""
 
     def f(sq):
-        r = jnp.sqrt(3.0 * sq + 1e-36) / l
+        r = jnp.sqrt(3.0 * sq + 1e-36)
         return (1.0 + r) * jnp.exp(-r)
 
-    return _stationary(f, variance)
+    return _stationary(f, variance, lengthscale)
 
 
 def matern52_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
-    """Matern-5/2: v * (1 + u + u^2/3) exp(-u), u = sqrt(5) r / l."""
-    l = _f(lengthscale)
+    """Matern-5/2: v * (1 + u + u^2/3) exp(-u), u = sqrt(5) r / l.
+    ``lengthscale`` scalar or [d] (ARD)."""
 
     def f(sq):
-        r = jnp.sqrt(5.0 * sq + 1e-36) / l
+        r = jnp.sqrt(5.0 * sq + 1e-36)
         return (1.0 + r + r * r / 3.0) * jnp.exp(-r)
 
-    return _stationary(f, variance)
+    return _stationary(f, variance, lengthscale)
 
 
 def rational_quadratic_kernel(variance=1.0, lengthscale=1.0, alpha=1.0) -> Kernel:
     """Rational quadratic: v * (1 + r^2 / (2 a l^2))^-a — a scale mixture
-    of SE kernels over lengthscales."""
-    l2, a = _f(lengthscale) ** 2, _f(alpha)
+    of SE kernels over lengthscales.  ``lengthscale`` scalar or [d] (ARD)."""
+    a = _f(alpha)
 
     def f(sq):
-        return (1.0 + sq / (2.0 * a * l2)) ** (-a)
+        return (1.0 + sq / (2.0 * a)) ** (-a)
 
-    return _stationary(f, variance)
+    return _stationary(f, variance, lengthscale)
 
 
 def periodic_kernel(variance=1.0, lengthscale=1.0, period=1.0) -> Kernel:
@@ -182,15 +187,22 @@ def periodic_kernel(variance=1.0, lengthscale=1.0, period=1.0) -> Kernel:
 
 
 def linear_kernel(variance=1.0, offset=0.0) -> Kernel:
-    """Dot-product kernel v * (x - c).(x' - c) (non-stationary)."""
+    """Dot-product kernel v * (x - c).(x' - c) (non-stationary).
+
+    ``variance`` may be a [d] vector (ARD): per-dimension prior weight
+    variances, K = (x - c) diag(v) (x' - c)^T — folded into the left
+    factor so the Gram stays one matmul."""
     v, c = _f(variance), _f(offset)
+    sqv = jnp.sqrt(v)
     return Kernel(
         # HIGHEST precision for the same PD-safety reason as
         # squared_distances (bf16 Gram error vs small nuggets)
-        matrix=lambda a, b: v * jnp.matmul(
-            _f(a) - c, (_f(b) - c).T, precision=jax.lax.Precision.HIGHEST
+        matrix=lambda a, b: jnp.matmul(
+            (_f(a) - c) * sqv,
+            ((_f(b) - c) * sqv).T,
+            precision=jax.lax.Precision.HIGHEST,
         ),
-        diag=lambda a: v * jnp.sum((_f(a) - c) ** 2, axis=-1),
+        diag=lambda a: jnp.sum(v * (_f(a) - c) ** 2, axis=-1),
         exactly_symmetric=True,
     )
 

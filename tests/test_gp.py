@@ -371,3 +371,62 @@ def test_gp_hyperparameters_via_laplace(rng, key):
     gp = problem.metadata["gaussian_process"]
     m, _ = gp.posterior_moments(jnp.asarray(mode), jnp.asarray(x[:50]))
     assert np.sqrt(np.mean((np.asarray(m) - y[:50]) ** 2)) < 0.25
+
+
+def test_ard_kernels_match_direct(rng):
+    """Vector lengthscales (ARD) rescale each input dimension; a constant
+    vector must reproduce the isotropic kernel exactly."""
+    from bayesianinference_tpu.ops import (
+        linear_kernel,
+        matern52_kernel,
+        rational_quadratic_kernel,
+    )
+
+    x = rng.normal(size=(11, 3))
+    xj = jnp.asarray(x)
+    ls = np.array([0.5, 1.3, 2.4])
+    r2 = (((x[:, None, :] - x[None, :, :]) / ls) ** 2).sum(-1)
+    # SE with per-dimension lengthscales
+    got = np.asarray(se_kernel(1.7, jnp.asarray(ls)).matrix(xj, xj))
+    np.testing.assert_allclose(got, 1.7 * np.exp(-0.5 * r2), rtol=1e-6)
+    # Matern-5/2 ARD
+    r = np.sqrt(5.0 * r2)
+    want = 2.0 * (1 + r + r**2 / 3) * np.exp(-r)
+    got52 = np.asarray(matern52_kernel(2.0, jnp.asarray(ls)).matrix(xj, xj))
+    np.testing.assert_allclose(got52, want, rtol=1e-5, atol=1e-8)
+    # RQ ARD
+    gotrq = np.asarray(
+        rational_quadratic_kernel(1.0, jnp.asarray(ls), 0.8).matrix(xj, xj)
+    )
+    np.testing.assert_allclose(gotrq, (1 + r2 / 1.6) ** -0.8, rtol=1e-6)
+    # constant ARD vector == isotropic scalar
+    iso = np.asarray(se_kernel(1.0, 0.9).matrix(xj, xj))
+    vec = np.asarray(se_kernel(1.0, jnp.full(3, 0.9)).matrix(xj, xj))
+    np.testing.assert_allclose(vec, iso, rtol=1e-6)
+    # linear kernel with per-dimension weight variances
+    w = np.array([0.2, 1.0, 3.0])
+    gotlin = np.asarray(linear_kernel(jnp.asarray(w), 0.1).matrix(xj, xj))
+    np.testing.assert_allclose(
+        gotlin, (x - 0.1) @ np.diag(w) @ (x - 0.1).T, rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(linear_kernel(jnp.asarray(w), 0.1).diag(xj)),
+        np.diag(gotlin),
+        rtol=1e-6,
+    )
+
+
+def test_ard_logml_gradient_and_jit(rng):
+    """logML differentiates through a traced ARD lengthscale vector and the
+    whole assembly jits (the type-II ML / NS hyperparameter path)."""
+    x = jnp.asarray(rng.normal(size=(24, 3)))
+    y = jnp.asarray(rng.normal(size=24))
+
+    @jax.jit
+    def logml(ls):
+        k = covariance_matrix(se_kernel(1.0, ls), x, 1e-4)
+        return gp_log_marginal_likelihood(k, y)
+
+    g = jax.grad(logml)(jnp.asarray([0.7, 1.1, 2.0]))
+    assert g.shape == (3,) and bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(g))) > 1e-6
