@@ -59,6 +59,7 @@ __all__ = [
     "smc_sampler",
     "smc_log_evidence",
     "states_to_result",
+    "thermodynamic_log_evidence",
 ]
 
 
@@ -113,6 +114,10 @@ class _SMCState(NamedTuple):
     betas: jnp.ndarray  # [R, max_stages] temperature after each stage
     ess_hist: jnp.ndarray  # [R, max_stages] ESS fraction per stage
     acc_hist: jnp.ndarray  # [R, max_stages] mean MH acceptance per stage
+    logl_mean_hist: jnp.ndarray  # [R, max_stages] E_beta[logL] per stage
+    logl_var_hist: jnp.ndarray  # [R, max_stages] Var_beta[logL] per stage
+    logl_mean0: jnp.ndarray  # [R] E_prior[logL] (the beta=0 TI endpoint)
+    logl_var0: jnp.ndarray  # [R] Var_prior[logL]
 
 
 def _ess_fraction(delta, logl, n):
@@ -177,6 +182,25 @@ def _systematic_resample(key, log_w):
     return jnp.clip(jnp.searchsorted(cum, positions), 0, n - 1)
 
 
+def _population_logl_moments(logl, lz):
+    """Equal-weight population mean and variance of logL, excluding
+    log-zero sentinels.
+
+    These are the thermodynamic-integration integrand E_beta[logL] and
+    its derivative dE/dbeta = Var_beta[logL] (the standard path-sampling
+    identity): the population at temperature beta (freshly resampled +
+    mutated) carries equal weights, and zero-likelihood particles — which
+    have measure zero under any beta > 0 and would otherwise drag the
+    moments to the sentinel — are masked out."""
+    dtype = logl.dtype
+    ok = logl > 0.5 * lz
+    cnt = jnp.maximum(jnp.sum(ok), 1).astype(dtype)
+    zero = jnp.zeros((), dtype)
+    mean = jnp.sum(jnp.where(ok, logl, zero)) / cnt
+    var = jnp.sum(jnp.where(ok, (logl - mean) ** 2, zero)) / cnt
+    return mean, var
+
+
 def _tempered_density(problem: InferenceProblem, beta, lz):
     """log pi_beta = logprior + beta*loglike, log-zero outside support."""
 
@@ -212,6 +236,9 @@ def _smc_ladders(problem: InferenceProblem, particles, keys, cfg: SMCConfig):
     logl0 = jax.vmap(
         jax.vmap(problem.guarded_log_likelihood)
     )(particles)
+    mean0, var0 = jax.vmap(lambda ll: _population_logl_moments(ll, lz))(
+        logl0.astype(dtype)
+    )
     init = _SMCState(
         key=keys,
         particles=particles,
@@ -222,6 +249,10 @@ def _smc_ladders(problem: InferenceProblem, particles, keys, cfg: SMCConfig):
         betas=jnp.full((num_runs, cfg.max_stages), jnp.nan, dtype),
         ess_hist=jnp.full((num_runs, cfg.max_stages), jnp.nan, dtype),
         acc_hist=jnp.full((num_runs, cfg.max_stages), jnp.nan, dtype),
+        logl_mean_hist=jnp.full((num_runs, cfg.max_stages), jnp.nan, dtype),
+        logl_var_hist=jnp.full((num_runs, cfg.max_stages), jnp.nan, dtype),
+        logl_mean0=mean0,
+        logl_var0=var0,
     )
 
     def active_mask(s: _SMCState):
@@ -288,6 +319,9 @@ def _smc_ladders(problem: InferenceProblem, particles, keys, cfg: SMCConfig):
         acc_rate = accepted.reshape(num_runs, n).sum(axis=1).astype(dtype) / (
             n * cfg.mcmc_steps
         )
+        stage_mean, stage_var = jax.vmap(
+            lambda ll: _population_logl_moments(ll, lz)
+        )(logl)
 
         # commit only the active runs; histories write at each run's own
         # stage cursor (clamped — finished runs mask the write anyway)
@@ -308,6 +342,10 @@ def _smc_ladders(problem: InferenceProblem, particles, keys, cfg: SMCConfig):
             betas=record(s.betas, beta_new),
             ess_hist=record(s.ess_hist, ess_frac),
             acc_hist=record(s.acc_hist, acc_rate),
+            logl_mean_hist=record(s.logl_mean_hist, stage_mean),
+            logl_var_hist=record(s.logl_var_hist, stage_var),
+            logl_mean0=s.logl_mean0,
+            logl_var0=s.logl_var0,
         )
 
     return jax.lax.while_loop(cond, body, init)
@@ -337,6 +375,10 @@ class SMCResult:
     ess_fractions: jnp.ndarray  # [R, max_stages]
     acceptance_rates: jnp.ndarray  # [R, max_stages]
     n_stages: jnp.ndarray  # [R] int32
+    logl_means: jnp.ndarray = None  # [R, max_stages] E_beta[logL] per stage
+    logl_vars: jnp.ndarray = None  # [R, max_stages] Var_beta[logL] per stage
+    logl_mean_prior: jnp.ndarray = None  # [R] E_prior[logL]
+    logl_var_prior: jnp.ndarray = None  # [R] Var_prior[logL]
     param_names: Tuple[str, ...] = _meta(())
     num_likelihood_evals: int = _meta(0)
 
@@ -438,6 +480,10 @@ def states_to_result(
         ess_fractions=states.ess_hist,
         acceptance_rates=states.acc_hist,
         n_stages=stages,
+        logl_means=states.logl_mean_hist,
+        logl_vars=states.logl_var_hist,
+        logl_mean_prior=states.logl_mean0,
+        logl_var_prior=states.logl_var0,
         param_names=param_names,
         num_likelihood_evals=evals,
     )
@@ -446,3 +492,71 @@ def states_to_result(
 def smc_log_evidence(problem: InferenceProblem, key, **kwargs) -> MeanAndError:
     """Convenience: just the logZ estimate (mean +- SEM across runs)."""
     return smc_sampler(problem, key, **kwargs).log_evidence
+
+
+def thermodynamic_log_evidence(result: SMCResult) -> MeanAndError:
+    """Thermodynamic-integration logZ from an SMC run's temperature ladder.
+
+    Path sampling (Gelman & Meng 1998) along the geometric path gives
+
+        logZ = integral_0^1 E_beta[log L] d(beta),
+
+    estimated per run by the variance-corrected trapezoid rule of Friel,
+    Hurn & Wyse (2014) over the ladder's visited temperatures: on each
+    interval [a, b]
+
+        (b-a)(E_a + E_b)/2 - (b-a)^2 (V_b - V_a)/12,
+
+    using the path-sampling identity dE/dbeta = Var_beta[logL] so the
+    population variances serve as exact endpoint derivatives (the rule is
+    then third-order, killing the plain trapezoid's systematic
+    underestimate on this concave integrand).  Both moments are read off
+    the equal-weight particle population at each stage (recorded during
+    the ladder — no extra likelihood evaluations).  This is an
+    INDEPENDENT estimator from the importance-weight (stepping-stone)
+    identity behind ``result.log_evidence`` — the two share particles but
+    have different bias mechanisms (quadrature discretization of the
+    smooth integrand vs weight variance), so disagreement beyond their
+    error bars flags an under-resolved ladder (raise ``ess_target`` or
+    ``mcmc_steps``).
+
+    Returns the across-run mean +- SEM (NaN SEM at one run).  The beta=0
+    endpoint uses the prior-sample mean of logL; zero-likelihood
+    particles are excluded from every stage mean (they carry measure zero
+    for all beta > 0; a prior with substantial zero-likelihood mass makes
+    the beta ~ 0 integrand ill-defined for TI — prefer the default
+    estimator there)."""
+    import numpy as np
+
+    if result.logl_means is None:
+        raise ValueError(
+            "this SMCResult predates the ladder's logl_means recording; "
+            "re-run smc_sampler to use thermodynamic integration"
+        )
+    betas = np.asarray(result.betas)
+    means = np.asarray(result.logl_means)
+    vars_ = np.asarray(result.logl_vars)
+    e0 = np.asarray(result.logl_mean_prior)
+    v0 = np.asarray(result.logl_var_prior)
+    vals = []
+    for r in range(betas.shape[0]):
+        m = np.isfinite(betas[r])
+        b = np.concatenate([[0.0], betas[r][m]])
+        e = np.concatenate([[e0[r]], means[r][m]])
+        v = np.concatenate([[v0[r]], vars_[r][m]])
+        db = np.diff(b)
+        vals.append(
+            np.sum(db * (e[:-1] + e[1:]) / 2.0)
+            - np.sum(db**2 * (v[1:] - v[:-1]) / 12.0)
+        )
+    vals = np.asarray(vals)
+    dtype = result.log_z_runs.dtype
+    sem = (
+        np.std(vals, ddof=1) / np.sqrt(len(vals))
+        if len(vals) > 1
+        else np.nan
+    )
+    return MeanAndError(
+        mean=jnp.asarray(vals.mean(), dtype),
+        standard_error=jnp.asarray(sem, dtype),
+    )
