@@ -1,4 +1,5 @@
 from .multi_axis_ns import make_multi_axis_mesh, multi_axis_nested_sampling
+from .parallel_ensemble import parallel_ensemble
 from .parallel_hmc import parallel_hmc
 from .parallel_ns import merge_runs, parallel_nested_sampling
 from .parallel_smc import parallel_smc
@@ -27,6 +28,7 @@ __all__ = [
     "sharded_gp_predict",
     "sharded_multinormal_conjugate_model",
     "sharded_normal_conjugate_model",
+    "parallel_ensemble",
     "parallel_hmc",
     "parallel_nested_sampling",
     "parallel_smc",

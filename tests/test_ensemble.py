@@ -171,3 +171,37 @@ def test_serving_zero_retrace(key):
     r2 = ensemble_sample(p2, key, **kw)
     assert _ensemble_problem_program._cache_size() == compiled
     assert np.isfinite(np.asarray(r2.samples)).all()
+
+
+def test_parallel_ensemble_mesh_oracle(key):
+    # walkers sharded over the virtual 8-device mesh: conjugate oracle +
+    # per-walker acceptance bookkeeping survive the collectives
+    from bayesianinference_tpu.parallel import make_mesh, parallel_ensemble
+
+    rng = np.random.default_rng(5)
+    data = rng.normal(-0.7, 1.0, 30)
+    problem = define_inference_problem(
+        parameters=[("mu", -10.0, 10.0)],
+        likelihood=lambda th: d.Normal(th[0], 1.0),
+        data=jnp.asarray(data),
+        prior_distribution=[d.Normal(0.0, 2.0)],
+        validate=False,
+    )
+    post_prec = 1 / 4.0 + len(data)
+    post_mean = data.sum() / post_prec
+    mesh = make_mesh(("walkers",))
+    assert mesh.shape["walkers"] == 8
+    r = parallel_ensemble(
+        problem,
+        key,
+        num_walkers=64,
+        num_samples=250,
+        num_warmup=250,
+        mesh=mesh,
+    )
+    assert r.samples.shape == (64, 250, 1)
+    acc = np.asarray(r.acceptance_rates)
+    assert acc.shape == (64,) and 0.05 < acc.mean() < 0.95
+    pooled = np.asarray(r.posterior_samples().points[:, 0])
+    np.testing.assert_allclose(pooled.mean(), post_mean, atol=0.06)
+    np.testing.assert_allclose(pooled.std(), post_prec**-0.5, rtol=0.25)
