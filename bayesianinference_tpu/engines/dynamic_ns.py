@@ -320,6 +320,86 @@ def _decorrelate_seeds(
     return xs, int(jnp.sum(evals))
 
 
+def _stage_interval(
+    segments,
+    *,
+    posterior_fraction: float,
+    importance_fraction: float,
+    target_posterior_ess: Optional[float],
+):
+    """Pick the next batch's logL interval from the merged importance
+    (dynesty eqs. 4-5).  Returns ``None`` once ``target_posterior_ess``
+    is met, else ``(log_l_lo, log_l_hi, pts, logl)`` (the merged arrays
+    are returned so the caller can seed from them without re-merging)."""
+    pts, logl, logp, m = merge_segments(segments)
+    log_x = -np.cumsum(1.0 / m)
+    lw = np.asarray(log_trapezoid_weights(jnp.asarray(log_x))) + logl
+    log_z = float(logsumexp(jnp.asarray(lw)))
+    w_post = np.exp(lw - log_z)  # posterior importance
+    if (
+        target_posterior_ess
+        and 1.0 / np.sum(w_post**2) >= target_posterior_ess
+    ):
+        return None
+    z_frac = np.cumsum(w_post)
+    imp_z = 1.0 - z_frac  # evidence importance: what's still missing
+    g = posterior_fraction
+    imp = g * w_post / max(w_post.max(), 1e-300) + (1.0 - g) * (
+        imp_z / max(imp_z.max(), 1e-300)
+    )
+    qual = np.nonzero(imp > importance_fraction * imp.max())[0]
+    lo_idx, hi_idx = int(qual[0]), int(qual[-1])
+    log_l_lo = -np.inf if lo_idx == 0 else float(logl[lo_idx - 1])
+    log_l_hi = float(logl[hi_idx])
+    return log_l_lo, log_l_hi, pts, logl
+
+
+def _stage_seeds(
+    problem: InferenceProblem,
+    key,
+    pts,
+    logl,
+    log_l_lo: float,
+    n_seeds: int,
+    *,
+    num_delete: int,
+    monte_carlo_steps,
+    method: str,
+):
+    """``n_seeds`` approximately independent draws from the constrained
+    prior at ``log_l_lo`` (prior draws when unconstrained): sample the
+    merged points just above the constraint, then decorrelate with
+    full-length chains.  Returns (seeds [n_seeds, d], extra_evals)."""
+    if np.isneginf(log_l_lo):
+        return generate_starting_points(problem, key, n_seeds), 0
+    k_seed, k_chain = jax.random.split(key)
+    above = np.nonzero(logl > log_l_lo)[0]
+    # least upward-biased seeds: the points just above the constraint
+    pick = above[
+        np.asarray(
+            jax.random.randint(
+                k_seed, (n_seeds,), 0,
+                min(len(above), max(n_seeds, 4 * num_delete)),
+            )
+        )
+    ]
+    cov = np.cov(pts[above].T).reshape(pts.shape[1], pts.shape[1])
+    steps = (
+        monte_carlo_steps
+        if isinstance(monte_carlo_steps, int)
+        else monte_carlo_steps[0]
+    )
+    return _decorrelate_seeds(
+        problem,
+        k_chain,
+        jnp.asarray(pts[pick]),
+        log_l_lo,
+        cov + 1e-12 * np.eye(pts.shape[1]),
+        steps,
+        method,
+    )
+
+
 def dynamic_nested_sampling(
     problem: InferenceProblem,
     key,
@@ -390,61 +470,21 @@ def dynamic_nested_sampling(
 
     for b in range(int(num_batches)):
         kb = jax.random.fold_in(k_batches, b)
-        k_seed, k_chain, k_run = jax.random.split(kb, 3)
-        pts, logl, logp, m = merge_segments(segments)
-        # importance over the current merged run (dynesty eqs. 4-5)
-        log_x = -np.cumsum(1.0 / m)
-        lw = np.asarray(
-            log_trapezoid_weights(jnp.asarray(log_x))
-        ) + logl
-        log_z = float(logsumexp(jnp.asarray(lw)))
-        w_post = np.exp(lw - log_z)  # posterior importance
-        if (
-            target_posterior_ess
-            and 1.0 / np.sum(w_post**2) >= target_posterior_ess
-        ):
-            break
-        z_frac = np.cumsum(w_post)
-        imp_z = 1.0 - z_frac  # evidence importance: what's still missing
-        g = posterior_fraction
-        imp = g * w_post / max(w_post.max(), 1e-300) + (1.0 - g) * (
-            imp_z / max(imp_z.max(), 1e-300)
+        k_stage, k_run = jax.random.split(kb)
+        stage = _stage_interval(
+            segments,
+            posterior_fraction=posterior_fraction,
+            importance_fraction=importance_fraction,
+            target_posterior_ess=target_posterior_ess,
         )
-        qual = np.nonzero(imp > importance_fraction * imp.max())[0]
-        lo_idx, hi_idx = int(qual[0]), int(qual[-1])
-        log_l_lo = -np.inf if lo_idx == 0 else float(logl[lo_idx - 1])
-        log_l_hi = float(logl[hi_idx])
-
-        if np.isneginf(log_l_lo):
-            seeds = generate_starting_points(problem, k_seed, batch_size)
-            evals = 0
-        else:
-            above = np.nonzero(logl > log_l_lo)[0]
-            # least upward-biased seeds: the points just above the
-            # constraint, then decorrelated by full-length chains
-            pick = above[
-                np.asarray(
-                    jax.random.randint(
-                        k_seed, (batch_size,), 0,
-                        min(len(above), max(batch_size, 4 * num_delete)),
-                    )
-                )
-            ]
-            cov = np.cov(pts[above].T).reshape(pts.shape[1], pts.shape[1])
-            steps = (
-                monte_carlo_steps
-                if isinstance(monte_carlo_steps, int)
-                else monte_carlo_steps[0]
-            )
-            seeds, evals = _decorrelate_seeds(
-                problem,
-                k_chain,
-                jnp.asarray(pts[pick]),
-                log_l_lo,
-                cov + 1e-12 * np.eye(pts.shape[1]),
-                steps,
-                method,
-            )
+        if stage is None:
+            break
+        log_l_lo, log_l_hi, pts, logl = stage
+        seeds, evals = _stage_seeds(
+            problem, k_stage, pts, logl, log_l_lo, batch_size,
+            num_delete=num_delete, monte_carlo_steps=monte_carlo_steps,
+            method=method,
+        )
         run = nested_sampling_loop(
             problem,
             seeds,

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Tuple, Union
+from typing import Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -79,13 +79,19 @@ def _run(
     num_samples,
     thinning,
     move,
-    a,
+    knob,
 ):
+    # ``knob`` is the single per-move tuning scalar: the stretch scale
+    # ``a`` for move="stretch", the mode-jump probability for move="de"
+    # (``ensemble_sweep`` selects the right one by move).
     state = ensemble_init(x0, log_density_batch)
 
     def sweep(st, k):
         return (
-            ensemble_sweep(k, st, log_density_batch, move=move, a=a),
+            ensemble_sweep(
+                k, st, log_density_batch, move=move, a=knob,
+                gamma_jump_prob=knob,
+            ),
             None,
         )
 
@@ -103,7 +109,13 @@ def _run(
 
     def record(st, k):
         def inner(s, kk):
-            return ensemble_sweep(kk, s, log_density_batch, move=move, a=a), None
+            return (
+                ensemble_sweep(
+                    kk, s, log_density_batch, move=move, a=knob,
+                    gamma_jump_prob=knob,
+                ),
+                None,
+            )
 
         st, _ = jax.lax.scan(inner, st, jax.random.split(k, thinning))
         return st, st.x
@@ -119,10 +131,10 @@ def _run(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_warmup", "num_samples", "thinning", "move", "a"),
+    static_argnames=("num_warmup", "num_samples", "thinning", "move", "knob"),
 )
 def _ensemble_problem_program(
-    x0, key, problem, num_warmup, num_samples, thinning, move, a
+    x0, key, problem, num_warmup, num_samples, thinning, move, knob
 ):
     bij = box_bijection(problem.lower, problem.upper)
 
@@ -140,14 +152,14 @@ def _ensemble_problem_program(
         num_samples,
         thinning,
         move,
-        a,
+        knob,
     )
     return jax.vmap(jax.vmap(bij.to_x))(z_samples), acc
 
 
 @functools.lru_cache(maxsize=32)
 def _ensemble_density_program(
-    log_density, num_warmup, num_samples, thinning, move, a
+    log_density, num_warmup, num_samples, thinning, move, knob
 ):
     def run(x0, key):
         return _run(
@@ -158,10 +170,29 @@ def _ensemble_density_program(
             num_samples,
             thinning,
             move,
-            a,
+            knob,
         )
 
     return jax.jit(run)
+
+
+def _resolve_move_knob(move, stretch_scale, gamma_jump_prob) -> float:
+    """One tuning scalar per move; reject the knob that belongs to the
+    OTHER move instead of silently ignoring it (each move reads exactly
+    one of the two)."""
+    if move == "stretch":
+        if gamma_jump_prob is not None:
+            raise ValueError(
+                'gamma_jump_prob only applies to move="de"; '
+                'use stretch_scale with move="stretch"'
+            )
+        return float(2.0 if stretch_scale is None else stretch_scale)
+    if stretch_scale is not None:
+        raise ValueError(
+            'stretch_scale only applies to move="stretch"; '
+            'use gamma_jump_prob with move="de"'
+        )
+    return float(0.1 if gamma_jump_prob is None else gamma_jump_prob)
 
 
 def ensemble_sample(
@@ -173,7 +204,8 @@ def ensemble_sample(
     num_warmup: int = 500,
     thinning: int = 1,
     move: str = "stretch",
-    stretch_scale: float = 2.0,
+    stretch_scale: Optional[float] = None,
+    gamma_jump_prob: Optional[float] = None,
     starting_points=None,
 ) -> EnsembleResult:
     """Run an affine-invariant ensemble of ``num_walkers`` walkers.
@@ -183,17 +215,20 @@ def ensemble_sample(
     ``log_density(theta)`` callable over R^d (then ``starting_points``
     [num_walkers, d] is required).  ``move`` is ``"stretch"`` (Goodman
     & Weare, knob ``stretch_scale`` = the usual a=2) or ``"de"``
-    (differential evolution with occasional mode-jump proposals).
-    ``num_walkers`` must be even; use at least ~2d+2 and prefer
-    hundreds — extra walkers are free on TPU and shorten the effective
-    burn-in.  Each recorded draw is one full ensemble sweep (thinned by
-    ``thinning``)."""
+    (differential evolution, knob ``gamma_jump_prob`` = the probability
+    of a gamma=1 mode-jump proposal, default 0.1).  Setting the knob
+    that belongs to the other move raises.  ``num_walkers`` must be
+    even and at least 2d+2 (stretch moves span only the walker
+    subspace); prefer hundreds — extra walkers are free on TPU and
+    shorten the effective burn-in.  Each recorded draw is one full
+    ensemble sweep (thinned by ``thinning``)."""
     if move not in ("stretch", "de"):
         raise ValueError(f'unknown move {move!r}; use "stretch" or "de"')
     if num_walkers % 2 != 0 or num_walkers < 4:
         raise ValueError(
             f"num_walkers must be even and >= 4, got {num_walkers}"
         )
+    knob = _resolve_move_knob(move, stretch_scale, gamma_jump_prob)
     key = jax.random.PRNGKey(0) if key is None else key
     k_start, k_run = jax.random.split(key)
 
@@ -223,7 +258,7 @@ def ensemble_sample(
             int(num_samples),
             int(thinning),
             move,
-            float(stretch_scale),
+            knob,
         )
         names = target.param_names
     else:
@@ -240,13 +275,20 @@ def ensemble_sample(
                 f"starting_points must be [{num_walkers}, d], got "
                 f"{starting_points.shape}"
             )
+        d_raw = int(starting_points.shape[-1])
+        if num_walkers < 2 * d_raw + 2:
+            raise ValueError(
+                f"num_walkers={num_walkers} is below the 2d+2="
+                f"{2 * d_raw + 2} minimum for d={d_raw} "
+                "(stretch moves span only the walker subspace)"
+            )
         prog = _ensemble_density_program(
             as_hashable_fn(target),
             int(num_warmup),
             int(num_samples),
             int(thinning),
             move,
-            float(stretch_scale),
+            knob,
         )
         samples, acc = prog(starting_points, k_run)
         names = tuple(f"x{i}" for i in range(starting_points.shape[-1]))

@@ -1,6 +1,8 @@
 from .multi_axis_ns import make_multi_axis_mesh, multi_axis_nested_sampling
+from .parallel_dynamic_ns import parallel_dynamic_nested_sampling
 from .parallel_ensemble import parallel_ensemble
 from .parallel_hmc import parallel_hmc
+from .parallel_ibis import parallel_ibis
 from .parallel_ns import merge_runs, parallel_nested_sampling
 from .parallel_smc import parallel_smc
 from .sharded_chol import (
@@ -28,6 +30,7 @@ __all__ = [
     "sharded_gp_predict",
     "sharded_multinormal_conjugate_model",
     "sharded_normal_conjugate_model",
+    "parallel_dynamic_nested_sampling",
     "parallel_ensemble",
     "parallel_hmc",
     "parallel_nested_sampling",

@@ -16,7 +16,6 @@ shard, split locally), so results are statistically equivalent to
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from functools import partial
 from typing import Optional
@@ -26,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.transforms import box_bijection
-from ..engines.ensemble import EnsembleResult
+from ..engines.ensemble import EnsembleResult, _resolve_move_knob
 from ..models.problem import InferenceProblem
 from ..ops.ensemble import _de_half, _stretch_half
 
@@ -47,7 +46,7 @@ def _sharded_sweep(key, xa, lpa, xb, lpb, batch, move, knob, axis):
 
 @functools.lru_cache(maxsize=16)
 def _parallel_ensemble_program(
-    mesh, num_warmup, num_samples, thinning, move, a
+    mesh, num_warmup, num_samples, thinning, move, knob
 ):
     @partial(
         jax.shard_map,
@@ -75,7 +74,7 @@ def _parallel_ensemble_program(
         def sweep(carry, k):
             xa, lpa, xb, lpb, na, nb = carry
             xa, lpa, xb, lpb, aa, ab = _sharded_sweep(
-                k, xa, lpa, xb, lpb, batch, move, a, "walkers"
+                k, xa, lpa, xb, lpb, batch, move, knob, "walkers"
             )
             return (
                 xa,
@@ -125,7 +124,8 @@ def parallel_ensemble(
     num_warmup: int = 500,
     thinning: int = 1,
     move: str = "stretch",
-    stretch_scale: float = 2.0,
+    stretch_scale: Optional[float] = None,
+    gamma_jump_prob: Optional[float] = None,
     mesh: Optional[Mesh] = None,
     starting_points=None,
 ) -> EnsembleResult:
@@ -134,6 +134,7 @@ def parallel_ensemble(
     ``num_walkers/2`` must divide by the mesh's ``walkers`` axis."""
     if move not in ("stretch", "de"):
         raise ValueError(f'unknown move {move!r}; use "stretch" or "de"')
+    knob = _resolve_move_knob(move, stretch_scale, gamma_jump_prob)
     if num_walkers % 2 != 0 or num_walkers < 2 * problem.dim + 2:
         raise ValueError(
             f"num_walkers must be even and >= 2d+2={2 * problem.dim + 2}, "
@@ -169,7 +170,7 @@ def parallel_ensemble(
         int(num_samples),
         int(thinning),
         move,
-        float(stretch_scale),
+        knob,
     )
     shard_keys = jax.random.split(k_run, n_shards)
     keys = jnp.repeat(shard_keys, h // n_shards, axis=0)

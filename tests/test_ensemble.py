@@ -60,6 +60,41 @@ def test_walker_count_validation(key):
     )
     with pytest.raises(ValueError, match="2d"):
         ensemble_sample(problem, key, num_walkers=4)
+    # the 2d+2 minimum also applies to raw-density targets (d is known
+    # from starting_points)
+    with pytest.raises(ValueError, match="2d"):
+        ensemble_sample(
+            _gauss_logdens(jnp.eye(4), jnp.zeros(4)),
+            key,
+            num_walkers=8,
+            starting_points=jnp.zeros((8, 4)),
+        )
+
+
+def test_move_knob_validation_and_plumbing(key):
+    # each move owns exactly one knob; passing the other move's knob is
+    # an error, not a silent no-op
+    logdens = _gauss_logdens(jnp.eye(2), jnp.zeros(2))
+    pts = jax.random.normal(key, (16, 2))
+    with pytest.raises(ValueError, match="gamma_jump_prob"):
+        ensemble_sample(
+            logdens, key, num_walkers=16, starting_points=pts,
+            move="stretch", gamma_jump_prob=0.3,
+        )
+    with pytest.raises(ValueError, match="stretch_scale"):
+        ensemble_sample(
+            logdens, key, num_walkers=16, starting_points=pts,
+            move="de", stretch_scale=3.0,
+        )
+    # gamma_jump_prob really reaches the DE kernel: identical key and
+    # starts, different knob -> gamma differs on the jump draws, so the
+    # trajectories must diverge (an ignored knob gives bit-identical runs)
+    run = lambda p: ensemble_sample(
+        logdens, jax.random.fold_in(key, 1), num_walkers=16,
+        starting_points=pts, num_warmup=0, num_samples=20,
+        move="de", gamma_jump_prob=p,
+    ).samples
+    assert not np.allclose(np.asarray(run(1.0)), np.asarray(run(0.0)))
 
 
 @pytest.mark.parametrize("move", ["stretch", "de"])

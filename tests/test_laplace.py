@@ -429,19 +429,25 @@ def test_laplace_with_data_serving_reuses_program(key):
         data=jnp.asarray(rng.normal(1.0, 1.0, 50)),
         prior_distribution=["location"],
     )
-    f1 = laplace_posterior_fit(problem=problem, key=key)
-    f2 = laplace_posterior_fit(
-        problem=problem.with_data(jnp.asarray(rng.normal(-2.0, 1.0, 50))),
-        key=jax.random.fold_in(key, 1),
-    )
-    # the fused program compiled ONCE for both fits (traced data arg)
     from bayesianinference_tpu.core.numerics import as_hashable_fn
 
+    f1 = laplace_posterior_fit(problem=problem, key=key)
+    # the exact fused program fit 1 ran through; assert a DELTA around
+    # fit 2 (absolute totals are order-dependent: the conftest map-budget
+    # guard may clear jit caches at any earlier teardown, and other tests
+    # may add entries under the same factory key)
     prog = _evidence_program_data(
         as_hashable_fn(problem.log_likelihood),
         as_hashable_fn(problem.log_prior),
         500,
     )
-    assert prog._cache_size() == 1, prog._cache_size()
+    size1 = prog._cache_size()
+    assert size1 >= 1, size1  # fit 1 really compiled through THIS program
+    f2 = laplace_posterior_fit(
+        problem=problem.with_data(jnp.asarray(rng.normal(-2.0, 1.0, 50))),
+        key=jax.random.fold_in(key, 1),
+    )
+    # the with_data fit did not retrace (data is a traced argument)
+    assert prog._cache_size() == size1, (prog._cache_size(), size1)
     assert abs(float(f1.mean[0]) - 1.0) < 0.5
     assert abs(float(f2.mean[0]) + 2.0) < 0.5

@@ -290,18 +290,22 @@ def test_direct_with_data_serving_reuses_program(rng):
     (callables, shapes): with_data re-fits hit the same program."""
     from bayesianinference_tpu.engines.direct import _direct_eval_program
 
+    # num_points=149 / 41 observations are unique to this test, so the
+    # first fit MUST add a cache entry no matter which tests ran before
+    # (equal-looking problems elsewhere in the suite can share program
+    # identity, which made the old 150/40 shapes order-dependent)
     pb = define_inference_problem(
         parameters=[("mu", -5.0, 5.0)],
         likelihood=lambda th: d.Normal(th[0], 1.0),
-        data=jnp.asarray(rng.normal(1.0, 1.0, 40)),
+        data=jnp.asarray(rng.normal(1.0, 1.0, 41)),
         prior_distribution=["location"],
     )
     size0 = _direct_eval_program._cache_size()
-    d1 = direct_posterior_distribution(problem=pb, num_points=150)
+    d1 = direct_posterior_distribution(problem=pb, num_points=149)
     size1 = _direct_eval_program._cache_size()
     d2 = direct_posterior_distribution(
-        problem=pb.with_data(jnp.asarray(rng.normal(-1.5, 1.0, 40))),
-        num_points=150,
+        problem=pb.with_data(jnp.asarray(rng.normal(-1.5, 1.0, 41))),
+        num_points=149,
     )
     assert _direct_eval_program._cache_size() == size1 > size0
     assert abs(float(d1.mean()[0]) - 1.0) < 0.5
