@@ -33,6 +33,7 @@ __all__ = [
     "parallel_dynamic_nested_sampling",
     "parallel_ensemble",
     "parallel_hmc",
+    "parallel_ibis",
     "parallel_nested_sampling",
     "parallel_smc",
     "sharded_pool_nested_sampling",

@@ -11,6 +11,9 @@ import sys as _sys
 # make the example runnable from anywhere without installing the package
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,7 +47,9 @@ problem = define_inference_problem(
     prior_distribution=["location", "scale"],
 )
 result = nested_sampling(
-    problem, jax.random.PRNGKey(0), sample_pool_size=100, monte_carlo_steps=80,
+    problem, jax.random.PRNGKey(0),
+    sample_pool_size=32 if SMOKE else 100,
+    monte_carlo_steps=20 if SMOKE else 80,
 )
 est = np.asarray(result.parameter_expected_values.mean)
 err = np.asarray(result.parameter_expected_values.standard_error)

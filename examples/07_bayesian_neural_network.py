@@ -10,6 +10,9 @@ import sys as _sys
 # make the example runnable from anywhere without installing the package
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +31,8 @@ y = np.sin(2 * x[:, 0]) + 0.1 * rng.normal(size=512).astype(np.float32)
 net = regression_net(depth=3, layer_size=64, dropout_probability=0.1)
 trained = train_regression_net(
     net, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y),
-    alpha=0.5, sample_number=8, num_steps=3000, learning_rate=3e-3,
+    alpha=0.5, sample_number=8, num_steps=100 if SMOKE else 3000,
+    learning_rate=3e-3,
 )
 params, history = trained.params, trained.history
 print(f"loss: {float(history[0]):.3f} -> {float(history[-1]):.3f}")

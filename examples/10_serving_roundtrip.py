@@ -13,6 +13,9 @@ import tempfile
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -38,8 +41,9 @@ problem = define_inference_problem(
     prior_distribution=["location", "scale"],
 )
 result = nested_sampling(
-    problem, jax.random.PRNGKey(0), sample_pool_size=100,
-    max_iterations=1500, monte_carlo_steps=80,
+    problem, jax.random.PRNGKey(0),
+    sample_pool_size=48 if SMOKE else 100,
+    max_iterations=1500, monte_carlo_steps=25 if SMOKE else 80,
 )
 _tmp = tempfile.TemporaryDirectory()
 path = os.path.join(_tmp.name, "posterior.npz")
@@ -97,7 +101,8 @@ problem = define_inference_problem(
     prior_distribution=["location", "location"],
 )
 t0 = time.perf_counter()
-nested_sampling(problem, jax.random.PRNGKey(0), sample_pool_size=100,
+nested_sampling(problem, jax.random.PRNGKey(0),
+                sample_pool_size=48 if SMOKE else 100,
                 max_iterations=1500)
 print(f"first fit (compile): {time.perf_counter() - t0:.1f}s")
 for request in range(3):
@@ -105,7 +110,8 @@ for request in range(3):
     fresh = problem.with_data(jnp.asarray(rng.normal(true_mu, 1.0, 64)))
     t0 = time.perf_counter()
     res = nested_sampling(fresh, jax.random.PRNGKey(request + 1),
-                          sample_pool_size=100, max_iterations=1500)
+                          sample_pool_size=48 if SMOKE else 100,
+                          max_iterations=1500)
     mu_hat = float(res.parameter_expected_values.mean[0])
     print(f"request {request}: fit {1e3 * (time.perf_counter() - t0):.0f} ms"
           f"  mu_hat {mu_hat:+.2f} (truth {true_mu:+.2f})")

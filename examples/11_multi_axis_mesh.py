@@ -19,6 +19,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 # 8 virtual devices so the example runs on any machine
 flags = _os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:

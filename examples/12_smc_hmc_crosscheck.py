@@ -15,6 +15,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,16 +57,19 @@ problem = define_inference_problem(
 ns = nested_sampling(
     problem,
     jax.random.PRNGKey(0),
-    sample_pool_size=400,
-    num_delete=64,
-    monte_carlo_steps=100,
+    sample_pool_size=64 if SMOKE else 400,
+    num_delete=8 if SMOKE else 64,
+    monte_carlo_steps=25 if SMOKE else 100,
     max_iterations=2000,
 )
 print(f"NS   logZ = {ns.log_evidence}")
 
 # --- adaptive tempered SMC (independent logZ estimator) ---
 smc = smc_sampler(
-    problem, jax.random.PRNGKey(1), n_particles=1000, num_runs=6, mcmc_steps=15
+    problem, jax.random.PRNGKey(1),
+    n_particles=128 if SMOKE else 1000,
+    num_runs=2 if SMOKE else 6,
+    mcmc_steps=5 if SMOKE else 15
 )
 print(
     f"SMC  logZ = {smc.log_evidence}   "
@@ -82,7 +88,7 @@ hmc = hmc_sample(
     problem,
     jax.random.PRNGKey(2),
     num_chains=4,
-    num_samples=1500,
+    num_samples=100 if SMOKE else 1500,
     num_warmup=600,
     num_leapfrog=16,
 )

@@ -17,6 +17,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,7 +58,9 @@ def fit(loglike, seed):
         validate=False,
     )
     return problem, nested_sampling(
-        problem, jax.random.PRNGKey(seed), sample_pool_size=400
+        problem, jax.random.PRNGKey(seed),
+        sample_pool_size=64 if SMOKE else 400,
+        monte_carlo_steps=25 if SMOKE else 200
     )
 
 

@@ -17,6 +17,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,7 +61,7 @@ lap = laplace_posterior_fit(problem=problem)
 print(f"Laplace   logZ ~ {float(lap.log_evidence):+.3f}")
 
 # --- Pathfinder: max-ELBO Gaussian along 8 L-BFGS paths ---
-pf = pathfinder_fit(problem, key, num_paths=8)
+pf = pathfinder_fit(problem, key, num_paths=2 if SMOKE else 8)
 w = np.asarray(pf.samples.normalized_weights())
 pts = np.asarray(pf.samples.points)
 mean = w @ pts
@@ -73,7 +76,8 @@ for i, nm in enumerate(problem.param_names):
     print(f"  {nm:6s} {mean[i]:+.3f} +- {sd[i]:.3f}")
 
 # --- ADVI for comparison (stochastic, many more density evals) ---
-vi = advi_fit(problem, key, family="fullrank", num_steps=4000)
+vi = advi_fit(problem, key, family="fullrank",
+              num_steps=200 if SMOKE else 4000)
 print(f"ADVI      ELBO {float(vi.elbo):+.3f} <= logZ")
 
 # the three evidence estimates should bracket consistently:

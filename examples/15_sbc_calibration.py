@@ -17,6 +17,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,7 +29,7 @@ from bayesianinference_tpu.engines import normal_conjugate_model
 from bayesianinference_tpu.results import sbc_ranks
 
 PRIOR = NormalInverseGamma(mu0=0.0, lam=1.0, beta=1.0, nu=2.0)
-N_OBS, L_DRAWS, N_REPS = 12, 19, 300
+N_OBS, L_DRAWS, N_REPS = 12, 19, (20 if SMOKE else 300)
 
 
 def prior_sample(k):

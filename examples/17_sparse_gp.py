@@ -17,6 +17,9 @@ import time
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +33,7 @@ from bayesianinference_tpu.ops import se_kernel
 from bayesianinference_tpu.viz import regression_plot_1d
 
 rng = np.random.default_rng(2)
-n = 20_000
+n = 2_000 if SMOKE else 20_000
 x = np.sort(rng.uniform(-3, 3, size=n))[:, None]
 y = np.sin(1.5 * x[:, 0]) + 0.3 * np.cos(6.0 * x[:, 0]) + 0.1 * rng.normal(size=n)
 
@@ -41,7 +44,7 @@ problem = define_sparse_gaussian_process(
     nugget_builder=lambda th: th[2] ** 2,
     parameters=[("amp", 0.05, 5.0), ("length", 0.05, 5.0), ("noise", 0.01, 1.0)],
     prior_distribution=["scale", "scale", "scale"],
-    inducing=64,  # greedy farthest-point selection from the 20k inputs
+    inducing=16 if SMOKE else 64,  # greedy farthest-point selection
 )
 
 t0 = time.perf_counter()

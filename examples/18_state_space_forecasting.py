@@ -15,6 +15,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -96,7 +99,8 @@ ax.plot(tf, fmean, color="C3", label="forecast")
 ax.fill_between(tf, fmean - 2 * fsd, fmean + 2 * fsd, color="C3", alpha=0.2)
 ax.legend()
 ax.set_title(f"Structural SSM: exact logZ {float(fit.log_evidence):.1f}")
-fig.savefig(
-    _os.path.join(_os.path.dirname(__file__), "ssm_forecast.png"), dpi=110
-)
-print("wrote ssm_forecast.png")
+# smoke runs must not overwrite the committed artifact
+_out = ("ssm_forecast_smoke.png" if SMOKE else
+        _os.path.join(_os.path.dirname(__file__), "ssm_forecast.png"))
+fig.savefig(_out, dpi=110)
+print(f"wrote {_out}")

@@ -15,6 +15,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,8 +53,9 @@ print(f"Laplace:  theta = {np.asarray(fit.mean).round(3)}, "
 
 # ---- 2. full nested-sampling posterior over the hyperparameters ----
 res = nested_sampling(
-    problem, jax.random.PRNGKey(1), sample_pool_size=400,
-    monte_carlo_steps=80,
+    problem, jax.random.PRNGKey(1),
+    sample_pool_size=48 if SMOKE else 400,
+    monte_carlo_steps=20 if SMOKE else 80,
 )
 print(f"NS:       logZ = {float(res.log_evidence.mean):.2f} "
       f"+- {float(res.log_evidence.standard_error):.2f}")

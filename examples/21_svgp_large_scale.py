@@ -15,6 +15,9 @@ import time
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +27,7 @@ from bayesianinference_tpu.ops.gp_kernels import se_kernel
 
 # ---- simulate: 20k noisy binary labels from a smooth 2-D field ----
 rng = np.random.default_rng(5)
-n = 20_000
+n = 2_000 if SMOKE else 20_000
 x = rng.uniform(-3, 3, size=(n, 2))
 f = 2.5 * np.sin(1.2 * x[:, 0]) * np.cos(0.9 * x[:, 1])
 y = (rng.uniform(size=n) < 1 / (1 + np.exp(-f))).astype(float)
@@ -36,9 +39,9 @@ fit = fit_svgp(
     lambda th: se_kernel(th[0] ** 2, th[1]),
     [("amplitude", 0.05, 10.0), ("lengthscale", 0.1, 5.0)],
     likelihood="bernoulli_logit",
-    inducing=128,
-    minibatch=512,
-    steps=1500,
+    inducing=32 if SMOKE else 128,
+    minibatch=256 if SMOKE else 512,
+    steps=60 if SMOKE else 1500,
     learning_rate=0.03,
     key=jax.random.PRNGKey(0),
 )

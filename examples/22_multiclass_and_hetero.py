@@ -17,6 +17,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,7 +41,7 @@ y = iris.target
 fit = fit_svgp_multiclass(
     x, y, lambda th: se_kernel(th[0] ** 2, th[1]),
     [("amplitude", 0.05, 10.0), ("lengthscale", 0.1, 10.0)],
-    inducing=24, steps=600, learning_rate=0.05,
+    inducing=24, steps=60 if SMOKE else 600, learning_rate=0.05,
     key=jax.random.PRNGKey(0),
 )
 probs, _, _ = predict_from_svgp_multiclass(fit, x, num_mc=512)
@@ -60,7 +63,7 @@ hfit = fit_svgp_heteroscedastic(
     lambda th: se_kernel(th[2] ** 2, th[3]),
     [("amp_f", 0.05, 10.0), ("ls_f", 0.1, 5.0),
      ("amp_g", 0.05, 5.0), ("ls_g", 0.3, 5.0)],
-    inducing=24, steps=900, learning_rate=0.03,
+    inducing=24, steps=60 if SMOKE else 900, learning_rate=0.03,
     key=jax.random.PRNGKey(1),
 )
 xq = np.linspace(-3.2, 3.2, 161)[:, None]

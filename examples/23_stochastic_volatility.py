@@ -15,6 +15,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +27,7 @@ from bayesianinference_tpu.ops import ParticleModel, particle_filter
 
 # ---- simulate an SV series ----
 rng = np.random.default_rng(5)
-t_len, mu_true, phi_true, s_true = 400, -0.8, 0.96, 0.2
+t_len, mu_true, phi_true, s_true = (60 if SMOKE else 400), -0.8, 0.96, 0.2
 h = np.zeros(t_len)
 h[0] = mu_true + s_true / np.sqrt(1 - phi_true**2) * rng.normal()
 for t in range(1, t_len):
@@ -57,10 +60,10 @@ res = pmmh_sample(
     y,
     parameters=[("mu", -3.0, 1.0), ("phi", 0.5, 0.995), ("s", 0.05, 1.0)],
     key=jax.random.PRNGKey(0),
-    num_particles=512,
-    num_samples=300,
-    num_warmup=300,
-    num_chains=8,
+    num_particles=64 if SMOKE else 512,
+    num_samples=20 if SMOKE else 300,
+    num_warmup=20 if SMOKE else 300,
+    num_chains=2 if SMOKE else 8,
 )
 draws = np.asarray(res.points)
 names, truths = ["mu", "phi", "s"], [mu_true, phi_true, s_true]

@@ -15,6 +15,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,7 +60,8 @@ runs = {}
 for name, (problem, pointwise) in models.items():
     res = ibis_sampler(
         problem, pointwise, data, jax.random.PRNGKey(0),
-        n_particles=4096, batch_size=batch, mcmc_steps=25,
+        n_particles=512 if SMOKE else 4096, batch_size=batch,
+        mcmc_steps=8 if SMOKE else 25,
     )
     runs[name] = res
     w = np.exp(np.asarray(res.log_weights))

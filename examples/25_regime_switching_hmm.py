@@ -16,6 +16,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +34,7 @@ from bayesianinference_tpu.ops import HMM, hmm_sample_states, row_stochastic
 
 # ---- simulate: sticky 2-regime Gaussian returns ----
 TRUE = dict(mu=(0.05, -0.1), sigma=(0.4, 1.4), p_stay=(0.97, 0.90))
-T = 600
+T = 120 if SMOKE else 600
 gen = HMM(
     initial_log_probs=jnp.log(jnp.asarray([0.5, 0.5])),
     transition_log_probs=jnp.log(

@@ -16,6 +16,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,8 +45,10 @@ problem = define_inference_problem(
 
 key = jax.random.PRNGKey(0)
 la = laplace_posterior_fit(problem=problem, key=key)
-fr = advi_fit(problem, key, family="fullrank", num_steps=3000)
-fl = flow_vi_fit(problem, key, num_steps=4000, learning_rate=2e-3)
+fr = advi_fit(problem, key, family="fullrank",
+              num_steps=150 if SMOKE else 3000)
+fl = flow_vi_fit(problem, key, num_steps=200 if SMOKE else 4000,
+                 learning_rate=2e-3)
 ns = nested_sampling(problem, jax.random.PRNGKey(1), sample_pool_size=800)
 
 print("evidence ladder (higher = tighter, NS = reference):")

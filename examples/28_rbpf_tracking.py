@@ -18,6 +18,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,7 +68,7 @@ def _rbpf_model(q_maneuver):
 
 # ---- simulate a track with two maneuver bursts ----
 rng = np.random.default_rng(5)
-T = 120
+T = 30 if SMOKE else 120
 regime = np.zeros(T, int)
 regime[40:55] = 1
 regime[85:100] = 1

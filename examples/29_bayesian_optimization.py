@@ -21,6 +21,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,8 +58,8 @@ res = bayes_optimize(
     lower=jnp.asarray([-2.0, -1.0]),
     upper=jnp.asarray([2.0, 1.0]),
     key=jax.random.PRNGKey(0),
-    num_steps=28,
-    num_init=8,
+    num_steps=6 if SMOKE else 28,
+    num_init=4 if SMOKE else 8,
     # deterministic objective: pin the surrogate noise so EI stays sharp
     config=BayesOptConfig(acquisition="log_ei", nugget=1e-6),
 )

@@ -25,6 +25,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -85,9 +88,9 @@ print(f"  exact marginal    : {float(post_e.log_evidence):+.6f}")
 hmc = hmc_sample(
     collapsed,
     jax.random.PRNGKey(0),
-    num_chains=512,
-    num_samples=300,
-    num_warmup=300,
+    num_chains=64 if SMOKE else 512,
+    num_samples=60 if SMOKE else 300,
+    num_warmup=60 if SMOKE else 300,
 )
 mu_s = hmc.samples[..., 0].reshape(-1)
 tau_s = hmc.samples[..., 1].reshape(-1)

@@ -17,6 +17,9 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# tiny sizes under the suite's smoke runner (tests/test_examples.py)
+SMOKE = _os.environ.get("BI_EXAMPLE_SMOKE") == "1"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,8 +47,8 @@ r = ensemble_sample(
     log_density,
     key,
     num_walkers=128,
-    num_samples=500,
-    num_warmup=500,
+    num_samples=60 if SMOKE else 500,
+    num_warmup=60 if SMOKE else 500,
     starting_points=x0,
 )
 pooled = np.asarray(r.posterior_samples().points)
@@ -68,7 +71,9 @@ print(f"  ESS             {np.round(ess).astype(int)}")
 # density-evaluation budget, started with an ISOTROPIC unit proposal —
 # it must LEARN the 1000:1 covariance before it can mix
 chain = create_mcmc_chain(log_density, jnp.zeros(2), initial_covariance=1.0)
-samples, chain = iterate_mcmc(chain, key, 128 * 1000 // 8, thinning=8)
+samples, chain = iterate_mcmc(
+    chain, key, (128 * 120 // 8) if SMOKE else (128 * 1000 // 8), thinning=8
+)
 am = np.asarray(samples)
 print("\nsingle adaptive-Metropolis chain, equal evaluation budget")
 print(f"  acceptance      {float(chain.acceptance_rate):.2f}")
