@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .precise import exp_precise, log1p_precise, log_precise
+
 LOG2PI = 1.8378770664093453
 """log(2 pi) — the one shared copy (Normal-family normalizers, GP logML,
 conjugate candidate-point likelihoods)."""
@@ -88,7 +90,7 @@ def logsumexp(a, axis=None, b=None, keepdims=False, return_sign=False):
     s = jnp.sum(shifted, axis=axis, keepdims=True)
     sign = jnp.sign(s)
     safe_s = jnp.where(s == 0, jnp.ones_like(s), jnp.abs(s))
-    out = jnp.where(s == 0, lz, jnp.log(safe_s) + amax)
+    out = jnp.where(s == 0, lz, log_precise(safe_s) + amax)
     if not keepdims:
         out = jnp.squeeze(out, axis=axis) if axis is not None else out.reshape(())
         sign = jnp.squeeze(sign, axis=axis) if axis is not None else sign.reshape(())
@@ -102,7 +104,7 @@ def logaddexp(x, y):
     x, y = jnp.asarray(x), jnp.asarray(y)
     lo = jnp.minimum(x, y)
     hi = jnp.maximum(x, y)
-    out = hi + jnp.log1p(jnp.exp(lo - hi))
+    out = hi + log1p_precise(exp_precise(lo - hi))
     # if both are log-zero the standard formula still works, but protect NaN
     return jnp.where(jnp.isnan(out), jnp.maximum(x, y), out)
 
@@ -114,8 +116,8 @@ def log1mexp(x):
     # branchless: use log(-expm1(x)) for x > -log2, log1p(-exp(x)) otherwise
     log2 = jnp.log(jnp.asarray(2.0, x.dtype))
     # clamp only the branch whose input would produce NaN when untaken
-    a = jnp.log(-jnp.expm1(jnp.minimum(x, -1e-12)))
-    b = jnp.log1p(-jnp.exp(x))
+    a = log_precise(-jnp.expm1(jnp.minimum(x, -1e-12)))
+    b = log1p_precise(-exp_precise(x))
     out = jnp.where(x > -log2, a, b)
     return jnp.where(x >= 0, lz, out)
 
@@ -133,7 +135,7 @@ def logmeanexp(a, axis=None, keepdims=False):
     reference's logSumExpLayer mean mode (BayesianNeuralNetworks.wl:197-243)."""
     a = jnp.asarray(a)
     n = a.size if axis is None else a.shape[axis]
-    return logsumexp(a, axis=axis, keepdims=keepdims) - jnp.log(
+    return logsumexp(a, axis=axis, keepdims=keepdims) - log_precise(
         jnp.asarray(n, a.dtype)
     )
 
@@ -142,7 +144,7 @@ def xlogx(x):
     """x * log(x) with 0*log(0) = 0 (BU:178-187)."""
     x = jnp.asarray(x)
     safe = jnp.where(x > 0, x, 1.0)
-    return jnp.where(x > 0, x * jnp.log(safe), jnp.zeros_like(x))
+    return jnp.where(x > 0, x * log_precise(safe), jnp.zeros_like(x))
 
 
 def xlogy(x, y):
@@ -150,7 +152,7 @@ def xlogy(x, y):
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     safe_y = jnp.where(x == 0, jnp.ones_like(y), y)
-    return jnp.where(x == 0, jnp.zeros_like(x * y), x * jnp.log(safe_y))
+    return jnp.where(x == 0, jnp.zeros_like(x * y), x * log_precise(safe_y))
 
 
 def safe_log(x):
@@ -158,7 +160,7 @@ def safe_log(x):
     x = jnp.asarray(x)
     lz = log_zero(jnp.result_type(x.dtype, float))
     safe = jnp.where(x > 0, x, 1.0)
-    return jnp.where(x > 0, jnp.log(safe), lz)
+    return jnp.where(x > 0, log_precise(safe), lz)
 
 
 def safe_sqrt(x):

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.numerics import LOG2PI, logsumexp
+from ..core.precise import log_precise
 from .base import Distribution, dist_dataclass
 
 __all__ = ["Empirical", "GaussianKDE", "ParameterMixture"]
@@ -134,7 +135,7 @@ class GaussianKDE(Distribution):
         z = (jnp.expand_dims(x, -2) - p) / h  # [..., n, d]
         d = p.shape[-1]
         ker = -0.5 * jnp.sum(z * z, axis=-1) - 0.5 * d * LOG2PI - jnp.sum(
-            jnp.log(h)
+            log_precise(h)
         )
         return logsumexp(self._norm_logw() + ker, axis=-1)
 
@@ -170,7 +171,7 @@ class ParameterMixture(Distribution):
     def log_prob(self, x):
         thetas = self._thetas()
         lps = jax.vmap(lambda th: self.build(th).log_prob(x))(thetas)
-        return logsumexp(lps, axis=0) - jnp.log(float(self.num_quadrature))
+        return logsumexp(lps, axis=0) - log_precise(float(self.num_quadrature))
 
     def sample(self, key, shape=()):
         k1, k2 = jax.random.split(key)

@@ -18,7 +18,7 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 
 from ..core.numerics import LOG2PI
-from jax.scipy import special as jsp
+from ..core.precise import exp_precise, gammaln_precise, log_precise
 
 __all__ = [
     "ExponentialFamily",
@@ -110,15 +110,15 @@ EXPONENTIAL = ExponentialFamily(
     name="Exponential",
     # ExponentialDistribution[lambda]: eta = -lambda (EF:108-121)
     natural_parameters=lambda lam: jnp.stack([-_f(lam)], axis=-1),
-    log_partition=lambda eta: -jnp.log(-jnp.asarray(eta)[..., 0]),
+    log_partition=lambda eta: -log_precise(-jnp.asarray(eta)[..., 0]),
     log_base_measure=lambda x: jnp.zeros_like(_f(x)),
     sufficient_statistic=lambda x: jnp.stack([_f(x)], axis=-1),
     natural_parameter_count=1,
     natural_parameter_support=lambda eta: jnp.asarray(eta)[..., 0] < 0,
     parameter_support=lambda lam: _f(lam) > 0,
     # int exp(eta chi + nu log(-eta)) deta over eta<0 = Gamma(nu+1)/chi^(nu+1)
-    log_conjugate_partition=lambda chi, nu: jsp.gammaln(_f(nu) + 1.0)
-    - (_f(nu) + 1.0) * jnp.log(jnp.asarray(chi)[..., 0]),
+    log_conjugate_partition=lambda chi, nu: gammaln_precise(_f(nu) + 1.0)
+    - (_f(nu) + 1.0) * log_precise(jnp.asarray(chi)[..., 0]),
 )
 
 
@@ -130,7 +130,7 @@ def _normal_nat(mu, var):
 def _normal_logpart(eta):
     e1 = jnp.asarray(eta)[..., 0]
     e2 = jnp.asarray(eta)[..., 1]
-    return -(e1 * e1) / (4.0 * e2) - 0.5 * jnp.log(-2.0 * e2)
+    return -(e1 * e1) / (4.0 * e2) - 0.5 * log_precise(-2.0 * e2)
 
 
 def _nig_log_partition(chi, nu):
@@ -151,10 +151,10 @@ def _nig_log_partition(chi, nu):
     a = 0.5 * nu + 1.5
     b = 0.5 * (c2 - c1 * c1 / nu)
     return (
-        0.5 * jnp.log(2.0 * jnp.pi / nu)
-        - jnp.log(2.0)
-        + jsp.gammaln(a)
-        - a * jnp.log(b)
+        0.5 * log_precise(2.0 * jnp.pi / nu)
+        - log_precise(2.0)
+        + gammaln_precise(a)
+        - a * log_precise(b)
     )
 
 
@@ -173,14 +173,14 @@ NORMAL = ExponentialFamily(
 POISSON = ExponentialFamily(
     name="Poisson",
     # eta = log lambda (EF:160-165)
-    natural_parameters=lambda lam: jnp.stack([jnp.log(_f(lam))], axis=-1),
-    log_partition=lambda eta: jnp.exp(jnp.asarray(eta)[..., 0]),
-    log_base_measure=lambda x: -jsp.gammaln(_f(x) + 1.0),
+    natural_parameters=lambda lam: jnp.stack([log_precise(_f(lam))], axis=-1),
+    log_partition=lambda eta: exp_precise(jnp.asarray(eta)[..., 0]),
+    log_base_measure=lambda x: -gammaln_precise(_f(x) + 1.0),
     sufficient_statistic=lambda x: jnp.stack([_f(x)], axis=-1),
     natural_parameter_count=1,
     # int exp(eta chi - nu e^eta) deta = Gamma(chi)/nu^chi
-    log_conjugate_partition=lambda chi, nu: jsp.gammaln(jnp.asarray(chi)[..., 0])
-    - jnp.asarray(chi)[..., 0] * jnp.log(_f(nu)),
+    log_conjugate_partition=lambda chi, nu: gammaln_precise(jnp.asarray(chi)[..., 0])
+    - jnp.asarray(chi)[..., 0] * log_precise(_f(nu)),
     natural_parameter_support=lambda eta: jnp.isfinite(
         jnp.asarray(eta)[..., 0]
     ),
@@ -192,9 +192,9 @@ LOG_NORMAL = ExponentialFamily(
     # Normal family on log x with extra 1/x base measure (EF:168-173)
     natural_parameters=lambda mu, var: _normal_nat(mu, var),
     log_partition=_normal_logpart,
-    log_base_measure=lambda x: -0.5 * LOG2PI - jnp.log(_f(x)),
+    log_base_measure=lambda x: -0.5 * LOG2PI - log_precise(_f(x)),
     sufficient_statistic=lambda x: jnp.stack(
-        [jnp.log(_f(x)), jnp.log(_f(x)) ** 2], axis=-1
+        [log_precise(_f(x)), log_precise(_f(x)) ** 2], axis=-1
     ),
     natural_parameter_count=2,
     log_conjugate_partition=_nig_log_partition,
@@ -210,10 +210,10 @@ GAMMA = ExponentialFamily(
     natural_parameters=lambda k, theta: jnp.stack(
         [_f(k) - 1.0, -1.0 / _f(theta)], axis=-1
     ),
-    log_partition=lambda eta: jsp.gammaln(jnp.asarray(eta)[..., 0] + 1.0)
-    - (jnp.asarray(eta)[..., 0] + 1.0) * jnp.log(-jnp.asarray(eta)[..., 1]),
+    log_partition=lambda eta: gammaln_precise(jnp.asarray(eta)[..., 0] + 1.0)
+    - (jnp.asarray(eta)[..., 0] + 1.0) * log_precise(-jnp.asarray(eta)[..., 1]),
     log_base_measure=lambda x: jnp.zeros(jnp.shape(_f(x))),
-    sufficient_statistic=lambda x: jnp.stack([jnp.log(_f(x)), _f(x)], axis=-1),
+    sufficient_statistic=lambda x: jnp.stack([log_precise(_f(x)), _f(x)], axis=-1),
     natural_parameter_count=2,
     natural_parameter_support=lambda eta: jnp.logical_and(
         jnp.asarray(eta)[..., 0] > -1.0, jnp.asarray(eta)[..., 1] < 0
@@ -231,11 +231,11 @@ INVERSE_GAMMA = ExponentialFamily(
     natural_parameters=lambda a, b: jnp.stack(
         [-_f(a) - 1.0, -_f(b)], axis=-1
     ),
-    log_partition=lambda eta: jsp.gammaln(-jnp.asarray(eta)[..., 0] - 1.0)
-    - (-jnp.asarray(eta)[..., 0] - 1.0) * jnp.log(-jnp.asarray(eta)[..., 1]),
+    log_partition=lambda eta: gammaln_precise(-jnp.asarray(eta)[..., 0] - 1.0)
+    - (-jnp.asarray(eta)[..., 0] - 1.0) * log_precise(-jnp.asarray(eta)[..., 1]),
     log_base_measure=lambda x: jnp.zeros(jnp.shape(_f(x))),
     sufficient_statistic=lambda x: jnp.stack(
-        [jnp.log(_f(x)), 1.0 / _f(x)], axis=-1
+        [log_precise(_f(x)), 1.0 / _f(x)], axis=-1
     ),
     natural_parameter_count=2,
     natural_parameter_support=lambda eta: jnp.logical_and(
@@ -262,11 +262,11 @@ def bind_gamma_shape(alpha) -> ExponentialFamily:
     alpha = _f(alpha)
     return dataclasses.replace(
         GAMMA_FIXED_SHAPE,
-        log_partition=lambda eta: -alpha * jnp.log(-jnp.asarray(eta)[..., 0]),
-        log_base_measure=lambda x: (alpha - 1.0) * jnp.log(_f(x))
-        - jsp.gammaln(alpha),
-        log_conjugate_partition=lambda chi, nu: jsp.gammaln(alpha * _f(nu) + 1.0)
-        - (alpha * _f(nu) + 1.0) * jnp.log(jnp.asarray(chi)[..., 0]),
+        log_partition=lambda eta: -alpha * log_precise(-jnp.asarray(eta)[..., 0]),
+        log_base_measure=lambda x: (alpha - 1.0) * log_precise(_f(x))
+        - gammaln_precise(alpha),
+        log_conjugate_partition=lambda chi, nu: gammaln_precise(alpha * _f(nu) + 1.0)
+        - (alpha * _f(nu) + 1.0) * log_precise(jnp.asarray(chi)[..., 0]),
     )
 
 

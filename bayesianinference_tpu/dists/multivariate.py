@@ -18,6 +18,7 @@ from jax.scipy import special as jsp
 from jax.scipy.linalg import solve_triangular
 
 from ..core.numerics import LOG2PI, guard_log_density, log_zero, xlogy
+from ..core.precise import gammaln_precise, log1p_precise, log_precise
 from .base import Distribution, dist_dataclass
 
 __all__ = [
@@ -42,13 +43,18 @@ def mvgammaln(a, d: int):
     a = _f(a)
     j = jnp.arange(1, d + 1, dtype=a.dtype)
     return 0.25 * d * (d - 1) * jnp.log(jnp.pi) + jnp.sum(
-        jsp.gammaln(a[..., None] + 0.5 * (1.0 - j)), axis=-1
+        gammaln_precise(a[..., None] + 0.5 * (1.0 - j)), axis=-1
     )
 
 
 def _chol_logdet(L):
-    """log|A| from L = chol(A)."""
-    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    """log|A| from L = chol(A).  Precise logs: this normalization term is
+    the coherent-error amplifier on TPU (one ~300-ulp native log per
+    diagonal entry lands directly in the density value; see
+    core.precise)."""
+    return 2.0 * jnp.sum(
+        log_precise(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
 
 
 def _solve_tri(L, b, trans=0):
@@ -187,11 +193,11 @@ class MultivariateT(Distribution):
         z = _whiten(L, x - _f(self.loc))
         q = jnp.sum(z * z, axis=-1)
         logp = (
-            jsp.gammaln(0.5 * (v + d))
-            - jsp.gammaln(0.5 * v)
-            - 0.5 * d * jnp.log(v * jnp.pi)
+            gammaln_precise(0.5 * (v + d))
+            - gammaln_precise(0.5 * v)
+            - 0.5 * d * log_precise(v * jnp.pi)
             - 0.5 * _chol_logdet(L)
-            - 0.5 * (v + d) * jnp.log1p(q / v)
+            - 0.5 * (v + d) * log1p_precise(q / v)
         )
         return guard_log_density(logp)
 
@@ -290,8 +296,13 @@ class MatrixT(Distribution):
         a = _solve_tri(Lu, dx)  # [..., n, p]
         z = _solve_tri(Lv, jnp.swapaxes(a, -1, -2))  # [..., p, n]
         # S = I_p + Z Z^T  (p x p)
-        s = jnp.eye(p, dtype=z.dtype) + jnp.einsum("...ik,...jk->...ij", z, z)
-        sign, logdet_s = jnp.linalg.slogdet(s)
+        s = jnp.eye(p, dtype=z.dtype) + jnp.einsum(
+            "...ik,...jk->...ij", z, z, precision=jax.lax.Precision.HIGHEST
+        )
+        # S = I + Z Z^T is PD by construction: Cholesky logdet with
+        # precise logs (slogdet's LU path keeps TPU's ~300-ulp native
+        # log); a failed factorization propagates NaN into the guard
+        logdet_s = _chol_logdet(jnp.linalg.cholesky(s))
         alpha = 0.5 * (v + n + p - 1.0)
         beta = 0.5 * (v + p - 1.0)
         logp = (
@@ -302,7 +313,7 @@ class MatrixT(Distribution):
             - 0.5 * n * _chol_logdet(Lv)
             - alpha * logdet_s
         )
-        return guard_log_density(jnp.where(sign > 0, logp, jnp.nan))
+        return guard_log_density(logp)
 
     def sample(self, key, shape=()):
         # X = M + Lu Z (W/df')^{-1/2}-style: use the IW mixture representation:
@@ -477,8 +488,8 @@ class Dirichlet(Distribution):
 
     def log_prob(self, x):
         a, x = _f(self.alpha), _f(x)
-        lognorm = jsp.gammaln(jnp.sum(a, axis=-1)) - jnp.sum(
-            jsp.gammaln(a), axis=-1
+        lognorm = gammaln_precise(jnp.sum(a, axis=-1)) - jnp.sum(
+            gammaln_precise(a), axis=-1
         )
         logp = jnp.sum(xlogy(a - 1.0, x), axis=-1) + lognorm
         on_simplex = jnp.all(x >= 0.0, axis=-1) & (
@@ -523,8 +534,8 @@ class Multinomial(Distribution):
     def log_prob(self, x):
         x, p, n = _f(x), _f(self.p), _f(self.n)
         logp = (
-            jsp.gammaln(n + 1.0)
-            - jnp.sum(jsp.gammaln(x + 1.0), axis=-1)
+            gammaln_precise(n + 1.0)
+            - jnp.sum(gammaln_precise(x + 1.0), axis=-1)
             + jnp.sum(xlogy(x, p), axis=-1)
         )
         valid = (

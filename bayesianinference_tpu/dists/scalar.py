@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax.scipy import special as jsp
 
 from ..core.numerics import LOG2PI, log_zero, xlogy
+from ..core.precise import gammaln_precise, log1p_precise, log_precise
 from .base import Distribution, dist_dataclass
 
 __all__ = [
@@ -62,7 +63,7 @@ class Normal(Distribution):
     def log_prob(self, x):
         x, loc, scale = _f(x), _f(self.loc), _f(self.scale)
         z = (x - loc) / scale
-        logp = -0.5 * (z * z + LOG2PI) - jnp.log(scale)
+        logp = -0.5 * (z * z + LOG2PI) - log_precise(scale)
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -85,7 +86,7 @@ class Normal(Distribution):
         return _f(self.scale) ** 2
 
     def entropy(self):
-        return 0.5 * (1.0 + LOG2PI) + jnp.log(_f(self.scale))
+        return 0.5 * (1.0 + LOG2PI) + log_precise(_f(self.scale))
 
 
 @dist_dataclass
@@ -99,7 +100,7 @@ class Uniform(Distribution):
     def log_prob(self, x):
         x = _f(x)
         logp = jnp.broadcast_to(
-            -jnp.log(_f(self.high) - _f(self.low)), jnp.shape(x)
+            -log_precise(_f(self.high) - _f(self.low)), jnp.shape(x)
         )
         return self._mask_support(x, logp)
 
@@ -139,7 +140,7 @@ class LogUniform(Distribution):
         x = _f(x)
         lo, hi = _f(self.low), _f(self.high)
         safe_x = jnp.where(x > 0, x, 1.0)
-        logp = -jnp.log(safe_x) - jnp.log(jnp.log(hi) - jnp.log(lo))
+        logp = -log_precise(safe_x) - log_precise(log_precise(hi) - log_precise(lo))
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -148,16 +149,16 @@ class LogUniform(Distribution):
         )
         u = jax.random.uniform(key, shape, dtype=jnp.result_type(float))
         lo, hi = _f(self.low), _f(self.high)
-        return jnp.exp(jnp.log(lo) + u * (jnp.log(hi) - jnp.log(lo)))
+        return jnp.exp(log_precise(lo) + u * (log_precise(hi) - log_precise(lo)))
 
     def cdf(self, x):
         lo, hi = _f(self.low), _f(self.high)
         x = jnp.clip(_f(x), lo, hi)
-        return (jnp.log(x) - jnp.log(lo)) / (jnp.log(hi) - jnp.log(lo))
+        return (log_precise(x) - log_precise(lo)) / (log_precise(hi) - log_precise(lo))
 
     def icdf(self, q):
         lo, hi = _f(self.low), _f(self.high)
-        return jnp.exp(jnp.log(lo) + _f(q) * (jnp.log(hi) - jnp.log(lo)))
+        return jnp.exp(log_precise(lo) + _f(q) * (log_precise(hi) - log_precise(lo)))
 
 
 @dist_dataclass
@@ -169,7 +170,7 @@ class Exponential(Distribution):
 
     def log_prob(self, x):
         x, rate = _f(x), _f(self.rate)
-        logp = jnp.log(rate) - rate * x
+        logp = log_precise(rate) - rate * x
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -181,7 +182,7 @@ class Exponential(Distribution):
         return -jnp.expm1(-_f(self.rate) * jnp.maximum(_f(x), 0.0))
 
     def icdf(self, q):
-        return -jnp.log1p(-_f(q)) / _f(self.rate)
+        return -log1p_precise(-_f(q)) / _f(self.rate)
 
     def mean(self):
         return 1.0 / _f(self.rate)
@@ -203,7 +204,7 @@ class Gamma(Distribution):
     def log_prob(self, x):
         x, a, b = _f(x), _f(self.a), _f(self.rate)
         safe_x = jnp.where(x > 0, x, 1.0)
-        logp = a * jnp.log(b) + (a - 1.0) * jnp.log(safe_x) - b * x - jsp.gammaln(a)
+        logp = a * log_precise(b) + (a - 1.0) * log_precise(safe_x) - b * x - gammaln_precise(a)
         # open support (x = 0 boundary -> sentinel, not the safe-point value)
         return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
 
@@ -240,10 +241,10 @@ class InverseGamma(Distribution):
         x, a, b = _f(x), _f(self.a), _f(self.b)
         safe_x = jnp.where(x > 0, x, 1.0)
         logp = (
-            a * jnp.log(b)
-            - (a + 1.0) * jnp.log(safe_x)
+            a * log_precise(b)
+            - (a + 1.0) * log_precise(safe_x)
             - b / safe_x
-            - jsp.gammaln(a)
+            - gammaln_precise(a)
         )
         # open support (x = 0 boundary -> sentinel)
         return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
@@ -280,9 +281,13 @@ class Beta(Distribution):
         x, a, b = _f(x), _f(self.a), _f(self.b)
         sx = jnp.clip(x, 1e-38, 1.0 - 1e-7)
         logp = (
-            (a - 1.0) * jnp.log(sx)
-            + (b - 1.0) * jnp.log1p(-sx)
-            - jsp.betaln(a, b)
+            (a - 1.0) * log_precise(sx)
+            + (b - 1.0) * log1p_precise(-sx)
+            - (
+                gammaln_precise(a)
+                + gammaln_precise(b)
+                - gammaln_precise(a + b)
+            )
         )
         # open support on both ends (boundary density is 0/inf by a, b)
         inside = jnp.logical_and(x > 0, x < 1)
@@ -318,12 +323,12 @@ class StudentT(Distribution):
         x, v, loc, s = _f(x), _f(self.df), _f(self.loc), _f(self.scale)
         z = (x - loc) / s
         logp = (
-            jsp.gammaln(0.5 * (v + 1.0))
-            - jsp.gammaln(0.5 * v)
-            - 0.5 * jnp.log(v)
+            gammaln_precise(0.5 * (v + 1.0))
+            - gammaln_precise(0.5 * v)
+            - 0.5 * log_precise(v)
             - 0.5 * _LOGPI
-            - jnp.log(s)
-            - 0.5 * (v + 1.0) * jnp.log1p(z * z / v)
+            - log_precise(s)
+            - 0.5 * (v + 1.0) * log1p_precise(z * z / v)
         )
         return self._mask_support(x, logp)
 
@@ -366,7 +371,7 @@ class Cauchy(Distribution):
     def log_prob(self, x):
         x, loc, s = _f(x), _f(self.loc), _f(self.scale)
         z = (x - loc) / s
-        logp = -_LOGPI - jnp.log(s) - jnp.log1p(z * z)
+        logp = -_LOGPI - log_precise(s) - log1p_precise(z * z)
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -397,7 +402,7 @@ class HalfCauchy(Distribution):
     def log_prob(self, x):
         x, s = _f(x), _f(self.scale)
         z = x / s
-        logp = jnp.log(2.0) - _LOGPI - jnp.log(s) - jnp.log1p(z * z)
+        logp = log_precise(2.0) - _LOGPI - log_precise(s) - log1p_precise(z * z)
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -423,8 +428,8 @@ class LogNormal(Distribution):
     def log_prob(self, x):
         x, mu, s = _f(x), _f(self.loc), _f(self.scale)
         safe_x = jnp.where(x > 0, x, 1.0)
-        z = (jnp.log(safe_x) - mu) / s
-        logp = -0.5 * (z * z + LOG2PI) - jnp.log(s) - jnp.log(safe_x)
+        z = (log_precise(safe_x) - mu) / s
+        logp = -0.5 * (z * z + LOG2PI) - log_precise(s) - log_precise(safe_x)
         # open support (the x = 0 boundary density is 0 -> sentinel)
         return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
 
@@ -438,7 +443,7 @@ class LogNormal(Distribution):
     def cdf(self, x):
         x = _f(x)
         safe_x = jnp.where(x > 0, x, 1.0)
-        c = jsp.ndtr((jnp.log(safe_x) - _f(self.loc)) / _f(self.scale))
+        c = jsp.ndtr((log_precise(safe_x) - _f(self.loc)) / _f(self.scale))
         return jnp.where(x > 0, c, 0.0)
 
     def icdf(self, q):
@@ -459,7 +464,7 @@ class Laplace(Distribution):
 
     def log_prob(self, x):
         x, loc, s = _f(x), _f(self.loc), _f(self.scale)
-        logp = -jnp.abs(x - loc) / s - jnp.log(2.0 * s)
+        logp = -jnp.abs(x - loc) / s - log_precise(2.0 * s)
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -470,7 +475,7 @@ class Laplace(Distribution):
             key, shape, minval=-0.5 + 1e-7, maxval=0.5 - 1e-7,
             dtype=jnp.result_type(float),
         )
-        return _f(self.loc) - _f(self.scale) * jnp.sign(u) * jnp.log1p(
+        return _f(self.loc) - _f(self.scale) * jnp.sign(u) * log1p_precise(
             -2.0 * jnp.abs(u)
         )
 
@@ -494,7 +499,7 @@ class Poisson(Distribution):
 
     def log_prob(self, x):
         x, lam = _f(x), _f(self.rate)
-        logp = xlogy(x, lam) - lam - jsp.gammaln(x + 1.0)
+        logp = xlogy(x, lam) - lam - gammaln_precise(x + 1.0)
         nonneg_int = (x >= 0) & (x == jnp.floor(x))
         lz = log_zero(logp.dtype)
         return jnp.where(nonneg_int & jnp.isfinite(logp), logp, lz)
@@ -582,9 +587,9 @@ class Binomial(Distribution):
     def log_prob(self, x):
         x, n, p = _f(x), _f(self.n), _f(self.p)
         logp = (
-            jsp.gammaln(n + 1.0)
-            - jsp.gammaln(x + 1.0)
-            - jsp.gammaln(n - x + 1.0)
+            gammaln_precise(n + 1.0)
+            - gammaln_precise(x + 1.0)
+            - gammaln_precise(n - x + 1.0)
             + xlogy(x, p)
             + xlogy(n - x, 1.0 - p)
         )
@@ -624,7 +629,7 @@ class Weibull(Distribution):
         x, k, lam = _f(x), _f(self.k), _f(self.scale)
         safe = jnp.where(x > 0, x, 1.0)
         z = safe / lam
-        logp = jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - z**k
+        logp = log_precise(k / lam) + (k - 1.0) * log_precise(z) - z**k
         # open support: the x=0 boundary density is 0/inf depending on k;
         # map it to the sentinel rather than evaluating at the safe point
         return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
@@ -644,16 +649,16 @@ class Weibull(Distribution):
         return -jnp.expm1(-(z ** _f(self.k)))
 
     def icdf(self, q):
-        return _f(self.scale) * (-jnp.log1p(-_f(q))) ** (1.0 / _f(self.k))
+        return _f(self.scale) * (-log1p_precise(-_f(q))) ** (1.0 / _f(self.k))
 
     def mean(self):
         k = _f(self.k)
-        return _f(self.scale) * jnp.exp(jsp.gammaln(1.0 + 1.0 / k))
+        return _f(self.scale) * jnp.exp(gammaln_precise(1.0 + 1.0 / k))
 
     def variance(self):
         k, lam = _f(self.k), _f(self.scale)
-        g1 = jnp.exp(jsp.gammaln(1.0 + 1.0 / k))
-        g2 = jnp.exp(jsp.gammaln(1.0 + 2.0 / k))
+        g1 = jnp.exp(gammaln_precise(1.0 + 1.0 / k))
+        g2 = jnp.exp(gammaln_precise(1.0 + 2.0 / k))
         return lam**2 * (g2 - g1**2)
 
 
@@ -666,7 +671,7 @@ class Logistic(Distribution):
 
     def log_prob(self, x):
         z = (_f(x) - _f(self.loc)) / _f(self.scale)
-        logp = -z - 2.0 * jax.nn.softplus(-z) - jnp.log(_f(self.scale))
+        logp = -z - 2.0 * jax.nn.softplus(-z) - log_precise(_f(self.scale))
         return self._mask_support(_f(x), logp)
 
     def sample(self, key, shape=()):
@@ -684,7 +689,7 @@ class Logistic(Distribution):
 
     def icdf(self, q):
         q = _f(q)
-        return _f(self.loc) + _f(self.scale) * (jnp.log(q) - jnp.log1p(-q))
+        return _f(self.loc) + _f(self.scale) * (log_precise(q) - log1p_precise(-q))
 
     def mean(self):
         return _f(self.loc)
@@ -730,7 +735,7 @@ class Gumbel(Distribution):
 
     def log_prob(self, x):
         z = (_f(x) - _f(self.loc)) / _f(self.scale)
-        logp = -(z + jnp.exp(-z)) - jnp.log(_f(self.scale))
+        logp = -(z + jnp.exp(-z)) - log_precise(_f(self.scale))
         return self._mask_support(_f(x), logp)
 
     def sample(self, key, shape=()):
@@ -745,7 +750,7 @@ class Gumbel(Distribution):
         return jnp.exp(-jnp.exp(-z))
 
     def icdf(self, q):
-        return _f(self.loc) - _f(self.scale) * jnp.log(-jnp.log(_f(q)))
+        return _f(self.loc) - _f(self.scale) * log_precise(-log_precise(_f(q)))
 
     def mean(self):
         return _f(self.loc) + _f(self.scale) * 0.5772156649015329
@@ -767,7 +772,7 @@ class Pareto(Distribution):
     def log_prob(self, x):
         x, m, a = _f(x), _f(self.xmin), _f(self.alpha)
         safe = jnp.where(x > 0, x, 1.0)
-        logp = jnp.log(a) + a * jnp.log(m) - (a + 1.0) * jnp.log(safe)
+        logp = log_precise(a) + a * log_precise(m) - (a + 1.0) * log_precise(safe)
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -808,10 +813,10 @@ class NegativeBinomial(Distribution):
     def log_prob(self, x):
         x, r, p = _f(x), _f(self.r), _f(self.p)
         logp = (
-            jsp.gammaln(x + r)
-            - jsp.gammaln(r)
-            - jsp.gammaln(x + 1.0)
-            + r * jnp.log(p)
+            gammaln_precise(x + r)
+            - gammaln_precise(r)
+            - gammaln_precise(x + 1.0)
+            + r * log_precise(p)
             + xlogy(x, 1.0 - p)
         )
         is_int = x == jnp.floor(x)
@@ -850,7 +855,7 @@ class Geometric(Distribution):
 
     def log_prob(self, x):
         x, p = _f(x), _f(self.p)
-        logp = jnp.log(p) + xlogy(x, 1.0 - p)
+        logp = log_precise(p) + xlogy(x, 1.0 - p)
         is_int = x == jnp.floor(x)
         return jnp.where(
             is_int, self._mask_support(x, logp), log_zero(logp.dtype)
@@ -861,7 +866,7 @@ class Geometric(Distribution):
         u = jax.random.uniform(
             key, shape, dtype=jnp.result_type(float), minval=1e-12
         )
-        return jnp.floor(jnp.log(u) / jnp.log1p(-_f(self.p)))
+        return jnp.floor(log_precise(u) / log1p_precise(-_f(self.p)))
 
     def mean(self):
         return (1.0 - _f(self.p)) / _f(self.p)

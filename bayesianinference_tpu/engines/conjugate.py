@@ -18,10 +18,10 @@ from typing import Callable, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
-from jax.scipy import special as jsp
 
 from ..dists.combinators import ConditionalProduct
 from ..core.numerics import LOG2PI, as_hashable_fn, log_zero
+from ..core.precise import gammaln_precise, log_precise
 from ..dists.conjugate_structs import NormalInverseGamma, NormalInverseWishart
 from ..dists.multivariate import (
     InverseWishart,
@@ -272,7 +272,7 @@ def _blr_log_evidence_from_stats(prior, post, xtx, xty, yty, n):
     if univariate:
         var_hat = post.v / post.nu
         loglike = -0.5 * (
-            n * (LOG2PI + jnp.log(var_hat)) + rtr[0, 0] / var_hat
+            n * (LOG2PI + log_precise(var_hat)) + rtr[0, 0] / var_hat
         )
         return (
             loglike
@@ -283,7 +283,7 @@ def _blr_log_evidence_from_stats(prior, post, xtx, xty, yty, n):
     cov_hat = post.v / post.nu
     cov_hat = 0.5 * (cov_hat + cov_hat.T)
     cfh = cho_factor(cov_hat)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cfh[0])))
+    logdet = 2.0 * jnp.sum(log_precise(jnp.diagonal(cfh[0])))
     loglike = -0.5 * (
         n * (m * LOG2PI + logdet) + jnp.trace(cho_solve(cfh, rtr))
     )
@@ -495,7 +495,7 @@ def _normal_model_from_stats(
     # data (sample variance 0) maps to the finite log-zero sentinel, the
     # behavior of the guarded Normal.log_prob this closed form replaced.
     safe_var = jnp.where(var > 0, var, 1.0)
-    loglike = -0.5 * (n * (LOG2PI + jnp.log(safe_var)) + (n - 1.0))
+    loglike = -0.5 * (n * (LOG2PI + log_precise(safe_var)) + (n - 1.0))
     log_z = loglike + prior.log_prob(mean, var) - post.log_prob(mean, var)
     lz = log_zero(jnp.result_type(jnp.asarray(log_z).dtype, float))
     log_z = jnp.where((var > 0) & jnp.isfinite(log_z), log_z, lz)
@@ -630,12 +630,12 @@ def _categorical_model_from_counts(
     post_a = a0 + counts
 
     def log_beta(a):
-        return jnp.sum(jsp.gammaln(a)) - jsp.gammaln(jnp.sum(a))
+        return jnp.sum(gammaln_precise(a)) - gammaln_precise(jnp.sum(a))
 
     log_z = log_beta(post_a) - log_beta(a0)
 
     def predictive(a):
-        return Categorical(logits=jnp.log(a / jnp.sum(a)))
+        return Categorical(logits=log_precise(a / jnp.sum(a)))
 
     return ConjugateModelResult(
         model="Categorical",

@@ -29,6 +29,7 @@ import numpy as np
 import optax
 
 from ..core.numerics import HashableFn, as_hashable_fn
+from ..core.precise import log_precise
 from ..dists.base import Distribution
 from ..dists.empirical import ParameterMixture
 from ..dists.multivariate import MultivariateNormal
@@ -58,9 +59,14 @@ def laplace_log_evidence(max_log_density, precision_matrix):
     definite (the reference returns Missing and warns, LA:220-222)."""
     p = jnp.atleast_2d(_f(precision_matrix))
     k = p.shape[-1]
-    sign, logdet = jnp.linalg.slogdet(p)
+    # PD check + logdet via Cholesky with precise logs: slogdet's LU
+    # path keeps TPU's ~300-ulp native log, which lands 1:1 in logZ
+    # (core.precise); a non-PD matrix gives NaN diagonal entries, so the
+    # isfinite test reproduces the sign>0 -> NaN contract below
+    diag = jnp.diagonal(jnp.linalg.cholesky(p), axis1=-2, axis2=-1)
+    logdet = 2.0 * jnp.sum(log_precise(diag), axis=-1)
     out = _f(max_log_density) + 0.5 * (k * jnp.log(2.0 * jnp.pi) - logdet)
-    return jnp.where(sign > 0, out, jnp.nan)
+    return jnp.where(jnp.isfinite(logdet), out, jnp.nan)
 
 
 def _default_tol(dtype) -> float:
