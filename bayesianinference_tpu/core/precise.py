@@ -92,14 +92,7 @@ def _log_core_f32(x):
 
 
 @jax.custom_jvp
-def log_precise(x):
-    """``jnp.log`` with ~1.6-ulp f32 accuracy on TPU (native: ~2.4e3
-    ulps).  Non-f32 dtypes use the native log unchanged; non-normal
-    arguments (<= 0, denormal, inf, nan) defer to the native log's
-    semantics."""
-    x = jnp.asarray(x)
-    if not _is_f32(x):
-        return jnp.log(x)
+def _log_precise_f32(x):
     normal = (x >= jnp.float32(np.finfo(np.float32).tiny)) & (
         x < jnp.float32(np.inf)
     )
@@ -109,22 +102,28 @@ def log_precise(x):
     return jnp.where(normal, _log_core_f32(safe), jnp.log(x))
 
 
-@log_precise.defjvp
+@_log_precise_f32.defjvp
 def _log_precise_jvp(primals, tangents):
     (x,) = primals
     (dx,) = tangents
-    return log_precise(x), dx / jnp.asarray(x)
+    return _log_precise_f32(x), dx / jnp.asarray(x)
+
+
+def log_precise(x):
+    """``jnp.log`` with ~1.6-ulp f32 accuracy on TPU (native: ~2.4e3
+    ulps).  Non-f32 dtypes use the native log unchanged; non-normal
+    arguments (<= 0, denormal, inf, nan) defer to the native log's
+    semantics.  The dtype dispatch happens at TRACE time, outside the
+    ``custom_jvp`` wrapper, so non-f32 call sites produce jaxprs (and
+    persistent-cache keys) bit-identical to plain ``jnp.log``."""
+    x = jnp.asarray(x)
+    if not _is_f32(x):
+        return jnp.log(x)
+    return _log_precise_f32(x)
 
 
 @jax.custom_jvp
-def log1p_precise(x):
-    """``jnp.log1p`` with ~2-ulp f32 accuracy on TPU.  Evaluates the
-    same atanh-series core directly on s = x/(x+2) when 1+x lands in
-    [2/3, 4/3] (no cancellation, exact as x -> 0) and otherwise defers
-    to :func:`log_precise` of the rounded 1+x."""
-    x = jnp.asarray(x)
-    if not _is_f32(x):
-        return jnp.log1p(x)
+def _log1p_precise_f32(x):
     small = jnp.abs(x) <= jnp.float32(1.0 / 3.0)
     s = x / (x + 2.0)
     s2 = s * s
@@ -141,24 +140,31 @@ def log1p_precise(x):
         )
     )
     direct = 2.0 * s + 2.0 * s * p
-    return jnp.where(small, direct, log_precise(1.0 + x))
+    return jnp.where(small, direct, _log_precise_f32(1.0 + x))
 
 
-@log1p_precise.defjvp
+@_log1p_precise_f32.defjvp
 def _log1p_precise_jvp(primals, tangents):
     (x,) = primals
     (dx,) = tangents
-    return log1p_precise(x), dx / (1.0 + jnp.asarray(x))
+    return _log1p_precise_f32(x), dx / (1.0 + jnp.asarray(x))
+
+
+def log1p_precise(x):
+    """``jnp.log1p`` with ~2-ulp f32 accuracy on TPU.  Evaluates the
+    atanh-series core directly on s = x/(x+2) when 1+x lands in
+    [2/3, 4/3] (no cancellation, exact as x -> 0) and otherwise defers
+    to :func:`log_precise` of the rounded 1+x.  Non-f32 dtypes are
+    dispatched to the native ``jnp.log1p`` at trace time (jaxprs stay
+    bit-identical to the pre-precise code)."""
+    x = jnp.asarray(x)
+    if not _is_f32(x):
+        return jnp.log1p(x)
+    return _log1p_precise_f32(x)
 
 
 @jax.custom_jvp
-def exp_precise(x):
-    """``jnp.exp`` with ~2-ulp f32 accuracy on TPU (native: ~40 ulps).
-    Cody–Waite: n = round(x/ln2), r = (x - n*LN2_HI) - n*LN2_LO exact,
-    exp(x) = 2^n * P(r) with a degree-6 Taylor core on |r| <= ln2/2."""
-    x = jnp.asarray(x)
-    if not _is_f32(x):
-        return jnp.exp(x)
+def _exp_precise_f32(x):
     n = jnp.round(x * _LOG2E)
     r = (x - n * _LN2_HI) - n * _LN2_LO
     p = 1.0 + r * (
@@ -184,30 +190,42 @@ def exp_precise(x):
     return jnp.where(core_ok, jnp.ldexp(p, n_safe), jnp.exp(x))
 
 
-@exp_precise.defjvp
+@_exp_precise_f32.defjvp
 def _exp_precise_jvp(primals, tangents):
     (x,) = primals
     (dx,) = tangents
-    y = exp_precise(x)
+    y = _exp_precise_f32(x)
     return y, y * dx
 
 
-@jax.custom_jvp
-def gammaln_precise(x):
-    """``gammaln`` for positive arguments with ~5e-5 max ABSOLUTE f32
-    error on TPU (native: up to 3.3e-3 absolute / 1.4e-2 relative,
-    measured).  Shifts 8 steps up the recurrence
-    ``gammaln(x) = stirling(x+8) - sum_i log(x+i)`` so the Stirling
-    series (to 1/x^7) applies for all x > 0, with every log precise.
-    Non-positive / non-f32 arguments fall back to the native
-    implementation."""
+def exp_precise(x):
+    """``jnp.exp`` with ~2-ulp f32 accuracy on TPU (native: ~40 ulps).
+    Cody–Waite: n = round(x/ln2), r = (x - n*LN2_HI) - n*LN2_LO exact,
+    exp(x) = 2^n * P(r) with a degree-6 Taylor core on |r| <= ln2/2.
+    Non-f32 dtypes dispatch to the native ``jnp.exp`` at trace time."""
     x = jnp.asarray(x)
     if not _is_f32(x):
-        return jax.scipy.special.gammaln(x)
+        return jnp.exp(x)
+    return _exp_precise_f32(x)
+
+
+@jax.custom_jvp
+def _gammaln_precise_f32(x):
     pos = x > 0
     xs = jnp.where(pos, x, jnp.float32(1.0))
-    z = xs + 8.0
-    lz = log_precise(z)
+    # below the Stirling regime, shift up the recurrence as ONE precise
+    # log of the telescoped product  gammaln(x) = stirling(x+8)
+    # - log(x (x+1) ... (x+7)): the product's 7 rounded multiplies cost
+    # ~4e-7 relative (cheaper AND tighter than 8 separate log cores)
+    small = xs < jnp.float32(8.0)
+    z = jnp.where(small, xs + 8.0, xs)
+    xp = jnp.where(small, xs, jnp.float32(1.0))  # keep the product finite
+    prod = (
+        xp * (xp + 1.0) * (xp + 2.0) * (xp + 3.0)
+        * (xp + 4.0) * (xp + 5.0) * (xp + 6.0) * (xp + 7.0)
+    )
+    shift = jnp.where(small, _log_precise_f32(prod), jnp.float32(0.0))
+    lz = _log_precise_f32(z)
     rz = 1.0 / z
     r2 = rz * rz
     series = rz * (
@@ -219,12 +237,31 @@ def gammaln_precise(x):
         )
     )
     st = (z - 0.5) * lz - z + _HALF_LN_2PI + series
-    shift = sum(log_precise(xs + i) for i in range(8))
     return jnp.where(pos, st - shift, jax.scipy.special.gammaln(x))
 
 
-@gammaln_precise.defjvp
+@_gammaln_precise_f32.defjvp
 def _gammaln_precise_jvp(primals, tangents):
     (x,) = primals
     (dx,) = tangents
-    return gammaln_precise(x), jax.scipy.special.digamma(jnp.asarray(x)) * dx
+    return (
+        _gammaln_precise_f32(x),
+        jax.scipy.special.digamma(jnp.asarray(x)) * dx,
+    )
+
+
+def gammaln_precise(x):
+    """``gammaln`` for positive arguments with ~2e-5 max ABSOLUTE f32
+    error for x <= 20 and ~1.4e-7 RELATIVE error at large x, i.e.
+    result-scale ulps throughout (native: up to 3.3e-3 absolute /
+    1.4e-2 relative, measured).  x >= 8 evaluates the Stirling series
+    (to 1/x^7)
+    directly; x < 8 shifts into the Stirling regime via
+    ``gammaln(x) = stirling(x+8) - log(x (x+1) ... (x+7))`` with the
+    product's log taken precisely.  Non-positive arguments fall back to
+    the native implementation; non-f32 dtypes dispatch to the native
+    ``gammaln`` at trace time."""
+    x = jnp.asarray(x)
+    if not _is_f32(x):
+        return jax.scipy.special.gammaln(x)
+    return _gammaln_precise_f32(x)

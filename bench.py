@@ -246,6 +246,79 @@ def bench_smc_hmc():
     return heps, seps
 
 
+def bench_ensemble(num_walkers=32768, d=8, sweeps=64, reps=3):
+    """Affine-invariant ensemble sampler (stretch move) on a correlated
+    d-dim Gaussian: density evals/s at a TPU-sized walker population
+    (each sweep evaluates every walker once in two vmapped half-ensemble
+    batches).  The round-3 VERDICT's missing on-chip number."""
+    import numpy as np
+
+    from bayesianinference_tpu.engines.ensemble import ensemble_sample
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((d, d))
+    prec = jnp.asarray(np.eye(d) + 0.1 * (a @ a.T), jnp.float32)
+
+    def log_density(x):
+        return -0.5 * x @ prec @ x
+
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (num_walkers, d), jnp.float32)
+
+    def run(k):
+        r = ensemble_sample(
+            log_density, k, num_walkers=num_walkers, num_samples=sweeps,
+            num_warmup=0, starting_points=x0,
+        )
+        return float(jnp.mean(r.acceptance_rates))  # host fetch
+
+    run(key)  # compile + warm
+    best = float("inf")
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        run(jax.random.fold_in(key, rep + 1))
+        best = min(best, time.perf_counter() - t0)
+    return num_walkers * sweeps / best
+
+
+def bench_dynamic_ns(pool=8192, num_delete=4096, mc_steps=200, reps=2):
+    """Dynamic NS end-to-end wall throughput (likelihood evals/s),
+    INCLUDING the host-side batch orchestration (per-batch np.cumsum /
+    float() syncs, dynamic_ns.py:445-520) the round-3 VERDICT flagged as
+    unmeasured.  Same 2-D Gaussian target as the primary metric."""
+    from bayesianinference_tpu import dists as d
+    from bayesianinference_tpu.engines.dynamic_ns import (
+        dynamic_nested_sampling,
+    )
+    from bayesianinference_tpu.models import define_inference_problem
+
+    a = 5.0
+    problem = define_inference_problem(
+        parameters=[("x", -a, a), ("y", -a, a)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, 1.0).log_prob(th)),
+        prior_distribution=["location", "location"],
+        validate=False,
+    )
+
+    def run(seed):
+        r = dynamic_nested_sampling(
+            problem, jax.random.PRNGKey(seed),
+            sample_pool_size=pool, num_batches=2,
+            monte_carlo_steps=mc_steps, num_delete=num_delete,
+            max_iterations=8, batch_max_iterations=8,
+            post_process_sampling_runs=25,
+        )
+        return r.num_likelihood_evals, float(r.log_evidence.mean)
+
+    run(0)  # compile + warm (base + batch + post-process programs)
+    best_eps = 0.0
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        evals, _ = run(rep + 1)
+        best_eps = max(best_eps, evals / (time.perf_counter() - t0))
+    return best_eps
+
+
 def bench_laplace_iris():
     """BASELINE config 3: Laplace fit of logistic regression on Fisher
     Iris (multi-start L-BFGS + exact AD Hessian) — wall ms per fit."""
@@ -349,6 +422,14 @@ def main():
         file=sys.stderr,
     )
 
+    ens_eps = bench_ensemble()
+    dns_eps = bench_dynamic_ns()
+    print(
+        f"[bench] ensemble 32k walkers d=8: {ens_eps/1e6:.1f}M evals/s; "
+        f"dynamic NS end-to-end: {dns_eps/1e6:.1f}M evals/s",
+        file=sys.stderr,
+    )
+
     sgpr_grad_ms = bench_sgpr()
     print(
         f"[bench] sgpr n=262k m=512 bound+grad: {sgpr_grad_ms:.1f} ms "
@@ -373,6 +454,8 @@ def main():
                 "hmc_grad_evals_per_sec_d16": round(hmc_eps),
                 "smc_ladder_evals_per_sec": round(smc_eps),
                 "sgpr_bound_grad_ms_n262k_m512": round(sgpr_grad_ms, 1),
+                "ensemble_evals_per_sec_32k_walkers_d8": round(ens_eps),
+                "dynamic_ns_end_to_end_evals_per_sec": round(dns_eps),
             }
         )
     )
