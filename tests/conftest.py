@@ -52,6 +52,30 @@ try:
 except Exception:
     pass
 
+# ---------------------------------------------------------------------------
+# Global pjit-cache eviction guard.  jax 0.9 keeps ONE process-global
+# PjitFunctionCache (capacity 8192) shared by every jitted function; a
+# ~500-test suite inserts more entries than that, so by the time the
+# serving/zero-retrace tests run, every insertion evicts another entry:
+# per-function `_cache_size()` stops growing (measured: with a small-
+# capacity cache a function called at 5 distinct shapes reports size 1)
+# and evicted programs recompile, thrashing the whole suite.  Replace
+# both globals with roomy caches BEFORE any library function is jitted.
+# Private API — degrade silently if it moves.
+# ---------------------------------------------------------------------------
+try:
+    from jax._src import pjit as _pjit_mod
+    from jax._src.lib import xla_client as _xc
+
+    _pjit_mod._cpp_pjit_cache_fun_only = _xc._xla.PjitFunctionCache(
+        capacity=65536
+    )
+    _pjit_mod._cpp_pjit_cache_explicit_attributes = _xc._xla.PjitFunctionCache(
+        capacity=65536
+    )
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -87,10 +111,41 @@ def _map_count() -> int:
         return 0
 
 
+def pytest_collection_modifyitems(config, items):
+    # BI_REVERSE_TESTS=1 runs the suite in reverse collection order — the
+    # order-independence gate (PERFORMANCE.md "Test-suite wall time"):
+    # cache/serving assertions must hold no matter which tests ran first.
+    if os.environ.get("BI_REVERSE_TESTS") == "1":
+        items.reverse()
+
+
 @pytest.hookimpl(trylast=True)
 def pytest_runtest_teardown(item):
     if _MAP_BUDGET is not None and _map_count() > _MAP_BUDGET - 12_000:
         jax.clear_caches()
+
+
+# Opt-in per-test diagnostics (BI_SUITE_DIAG=/path/to.csv): wall-clock,
+# /proc/self/maps count and live-array count per test, for chasing
+# progressive suite slowdowns (accumulating state shows up as a trend).
+_DIAG_PATH = os.environ.get("BI_SUITE_DIAG")
+if _DIAG_PATH:
+    import time as _time
+
+    @pytest.hookimpl(hookwrapper=True)
+    def pytest_runtest_call(item):
+        t0 = _time.time()
+        yield
+        dt = _time.time() - t0
+        try:
+            n_arrays = len(jax.live_arrays())
+        except Exception:
+            n_arrays = -1
+        with open(_DIAG_PATH, "a") as f:
+            f.write(
+                f"{_time.time():.1f},{dt:.3f},{_map_count()},"
+                f"{n_arrays},{item.nodeid}\n"
+            )
 
 
 @pytest.fixture
