@@ -33,9 +33,29 @@ evidence assemblies (logdets, gammaln constants): O(parameters) work
 per density where the surrounding fit is O(n)–O(n^3), so the ~15-op
 cores are free there.  Reference accuracy machinery: GP:161-199,
 LR:289-366 (the "exact logZ" identities this repo holds to 1e-6).
+
+Dispatch (resolved at TRACE time, so each mode's jaxprs — and hence
+persistent-cache keys — are stable):
+
+- non-f32 dtype  -> always the native op, bit-identical jaxpr.
+- f32, mode ``"auto"`` (default) -> software cores only when the
+  default backend is TPU-class (``tpu``/``axon``).  CPU's native f32
+  transcendentals are already ~0.5 ulp, so the software cores would
+  only cost accuracy AND speed there (measured: the round-4
+  dtype-only dispatch moved CPU-f32 ``gp_direct_vs_mvn`` from 5.8e-7
+  to 3.7e-6 while slowing the n^2 kernel assembly).
+- f32, mode ``"on"``/``"off"`` -> force software / native regardless
+  of backend.  ``BI_PRECISE=off python bench.py`` is the on-chip A/B
+  that separates precise-op cost from host/box drift
+  (PERFORMANCE.md "precise-transcendentals A/B").
+
+Set the mode with the ``BI_PRECISE`` environment variable (read at
+import) or :func:`set_precise_mode`.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,9 +64,51 @@ import numpy as np
 __all__ = [
     "exp_precise",
     "gammaln_precise",
+    "get_precise_mode",
     "log1p_precise",
     "log_precise",
+    "set_precise_mode",
 ]
+
+_MODES = ("auto", "on", "off")
+_TPU_CLASS_BACKENDS = ("tpu", "axon")
+_mode = os.environ.get("BI_PRECISE", "auto").strip().lower()
+if _mode in ("1", "true"):
+    _mode = "on"
+elif _mode in ("0", "false"):
+    _mode = "off"
+if _mode not in _MODES:
+    raise ValueError(
+        f"BI_PRECISE must be one of {_MODES} (or 0/1), got {_mode!r}"
+    )
+
+
+def set_precise_mode(mode: str) -> None:
+    """Select which f32 implementation the ``*_precise`` wrappers trace:
+    ``"auto"`` (software cores on TPU-class backends, native elsewhere),
+    ``"on"`` (always software), ``"off"`` (always native).  Takes effect
+    for traces that happen after the call; already-compiled programs
+    keep whatever they traced."""
+    global _mode
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    _mode = mode
+
+
+def get_precise_mode() -> str:
+    """The current dispatch mode (``"auto"``/``"on"``/``"off"``)."""
+    return _mode
+
+
+def _use_software(x) -> bool:
+    """Trace-time choice between the software cores and the native op."""
+    if jnp.result_type(x) != jnp.float32:
+        return False
+    if _mode == "on":
+        return True
+    if _mode == "off":
+        return False
+    return jax.default_backend() in _TPU_CLASS_BACKENDS
 
 # ln 2 split Cody–Waite style: LN2_HI has 11 trailing zero bits, so
 # n * LN2_HI is EXACT in f32 for |n| < 2^11 (covers the whole f32
@@ -57,15 +119,11 @@ _LOG2E = np.float32(1.4426950408889634)
 _HALF_LN_2PI = np.float32(0.9189385332046727)
 
 
-def _is_f32(x) -> bool:
-    return jnp.result_type(x) == jnp.float32
-
-
 def _log_core_f32(x):
     """log(x) for normal positive finite f32 x, ~1.6 ulp max (measured
     on-chip vs f64).  Split x = m * 2^e with m in [2/3, 4/3), then
     log m = 2 atanh(s), s = (m-1)/(m+1) in (-0.2, 0.2), via an odd
-    series to s^13; assemble hi/lo so the exponent term stays exact."""
+    series to s^11; assemble hi/lo so the exponent term stays exact."""
     xi = jax.lax.bitcast_convert_type(x, jnp.int32)
     exp_raw = ((xi >> 23) & 0xFF) - 127
     man = jax.lax.bitcast_convert_type(
@@ -113,11 +171,12 @@ def log_precise(x):
     """``jnp.log`` with ~1.6-ulp f32 accuracy on TPU (native: ~2.4e3
     ulps).  Non-f32 dtypes use the native log unchanged; non-normal
     arguments (<= 0, denormal, inf, nan) defer to the native log's
-    semantics.  The dtype dispatch happens at TRACE time, outside the
-    ``custom_jvp`` wrapper, so non-f32 call sites produce jaxprs (and
-    persistent-cache keys) bit-identical to plain ``jnp.log``."""
+    semantics.  The dtype/backend/mode dispatch (module docstring)
+    happens at TRACE time, outside the ``custom_jvp`` wrapper, so
+    native-path call sites produce jaxprs (and persistent-cache keys)
+    bit-identical to plain ``jnp.log``."""
     x = jnp.asarray(x)
-    if not _is_f32(x):
+    if not _use_software(x):
         return jnp.log(x)
     return _log_precise_f32(x)
 
@@ -154,11 +213,12 @@ def log1p_precise(x):
     """``jnp.log1p`` with ~2-ulp f32 accuracy on TPU.  Evaluates the
     atanh-series core directly on s = x/(x+2) when 1+x lands in
     [2/3, 4/3] (no cancellation, exact as x -> 0) and otherwise defers
-    to :func:`log_precise` of the rounded 1+x.  Non-f32 dtypes are
-    dispatched to the native ``jnp.log1p`` at trace time (jaxprs stay
-    bit-identical to the pre-precise code)."""
+    to :func:`log_precise` of the rounded 1+x.  Non-f32 dtypes (and
+    native-mode/CPU f32, module docstring) dispatch to the native
+    ``jnp.log1p`` at trace time (jaxprs stay bit-identical to the
+    pre-precise code)."""
     x = jnp.asarray(x)
-    if not _is_f32(x):
+    if not _use_software(x):
         return jnp.log1p(x)
     return _log1p_precise_f32(x)
 
@@ -202,9 +262,10 @@ def exp_precise(x):
     """``jnp.exp`` with ~2-ulp f32 accuracy on TPU (native: ~40 ulps).
     Cody–Waite: n = round(x/ln2), r = (x - n*LN2_HI) - n*LN2_LO exact,
     exp(x) = 2^n * P(r) with a degree-6 Taylor core on |r| <= ln2/2.
-    Non-f32 dtypes dispatch to the native ``jnp.exp`` at trace time."""
+    Non-f32 dtypes (and native-mode/CPU f32, module docstring) dispatch
+    to the native ``jnp.exp`` at trace time."""
     x = jnp.asarray(x)
-    if not _is_f32(x):
+    if not _use_software(x):
         return jnp.exp(x)
     return _exp_precise_f32(x)
 
@@ -259,9 +320,10 @@ def gammaln_precise(x):
     directly; x < 8 shifts into the Stirling regime via
     ``gammaln(x) = stirling(x+8) - log(x (x+1) ... (x+7))`` with the
     product's log taken precisely.  Non-positive arguments fall back to
-    the native implementation; non-f32 dtypes dispatch to the native
-    ``gammaln`` at trace time."""
+    the native implementation; non-f32 dtypes (and native-mode/CPU f32,
+    module docstring) dispatch to the native ``gammaln`` at trace
+    time."""
     x = jnp.asarray(x)
-    if not _is_f32(x):
+    if not _use_software(x):
         return jax.scipy.special.gammaln(x)
     return _gammaln_precise_f32(x)

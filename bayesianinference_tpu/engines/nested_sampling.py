@@ -93,6 +93,31 @@ def resolve_monte_carlo_method(method: str, dim: int) -> str:
     return method
 
 
+def warn_if_slice_steps_below_dim(method: str, monte_carlo_steps, dim: int):
+    """Warn when slice replacements get fewer axis updates than there are
+    dimensions — the measured logZ-bias trap (shared by every front-end
+    that feeds a loop config, incl. the mesh engines that bypass
+    :func:`nested_sampling_loop`'s inline checks)."""
+    if method != "slice":
+        return
+    steps0 = (
+        monte_carlo_steps
+        if isinstance(monte_carlo_steps, int)
+        else monte_carlo_steps[0]
+    )
+    if steps0 < dim:
+        import warnings
+
+        warnings.warn(
+            f"{steps0} slice updates per replacement at d={dim}: "
+            "fewer updates than dimensions leaves seed-replacement "
+            "correlation that biases logZ high by several nats "
+            "(measured +4 at d=64 with 50); use roughly 2-5x the "
+            "dimension",
+            stacklevel=3,
+        )
+
+
 def _accumulate_evals(counter: jnp.ndarray, inc: jnp.ndarray) -> jnp.ndarray:
     """Add ``inc`` to the (hi, lo) eval counter without int32 wraparound.
 
@@ -278,23 +303,7 @@ def nested_sampling_loop(
         progress_callback, progress_interval, interrupt_check
     )
     monte_carlo_method = resolve_monte_carlo_method(monte_carlo_method, _dim)
-    if monte_carlo_method == "slice":
-        _steps0 = (
-            monte_carlo_steps
-            if isinstance(monte_carlo_steps, int)
-            else monte_carlo_steps[0]
-        )
-        if _steps0 < _dim:
-            import warnings
-
-            warnings.warn(
-                f"{_steps0} slice updates per replacement at d={_dim}: "
-                "fewer updates than dimensions leaves seed-replacement "
-                "correlation that biases logZ high by several nats "
-                "(measured +4 at d=64 with 50); use roughly 2-5x the "
-                "dimension",
-                stacklevel=2,
-            )
+    warn_if_slice_steps_below_dim(monte_carlo_method, monte_carlo_steps, _dim)
     cfg = make_loop_config(
         max_iterations=max_iterations,
         min_iterations=min_iterations,

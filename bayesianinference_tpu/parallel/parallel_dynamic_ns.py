@@ -51,6 +51,7 @@ from ..engines.nested_sampling import (
     evals_to_int,
     make_loop_config,
     resolve_monte_carlo_method,
+    warn_if_slice_steps_below_dim,
 )
 from ..models.problem import InferenceProblem
 from .parallel_ns import _parallel_runs_program
@@ -156,7 +157,20 @@ def parallel_dynamic_nested_sampling(
     key = jax.random.PRNGKey(0) if key is None else key
     k_base, k_batches, k_post = jax.random.split(key, 3)
     batch_size = batch_size or sample_pool_size
+    # mirror nested_sampling_loop's argument checks (this front-end feeds
+    # _ns_loop_jit directly via shard_map, bypassing them): a num_delete
+    # at or above either per-run pool would otherwise fail deep inside
+    # the compiled loop with an obscure trace error
+    if num_delete < 1 or num_delete >= min(
+        int(sample_pool_size), int(batch_size)
+    ):
+        raise ValueError(
+            "need 1 <= num_delete < min(sample_pool_size, batch_size) "
+            f"(got num_delete={num_delete}, sample_pool_size="
+            f"{sample_pool_size}, batch_size={batch_size})"
+        )
     method = resolve_monte_carlo_method(monte_carlo_method, problem.dim)
+    warn_if_slice_steps_below_dim(method, monte_carlo_steps, problem.dim)
 
     # the user's min_iterations applies to the BASE run; batch runs
     # always use min_iterations=1 (they terminate at the level cap, like

@@ -95,6 +95,18 @@ def test_parallel_ibis_validation(normal_mean_setup):
         )
 
 
+def test_parallel_dynamic_ns_validates_num_delete(normal_mean_setup):
+    # round-4 ADVICE: this front-end feeds _ns_loop_jit via shard_map,
+    # bypassing nested_sampling_loop's checks — it must reject
+    # num_delete >= min(pool, batch) up front, not deep in the trace
+    problem, *_ = normal_mean_setup
+    with pytest.raises(ValueError, match="num_delete"):
+        parallel_dynamic_nested_sampling(
+            problem, jax.random.PRNGKey(0),
+            sample_pool_size=48, batch_size=16, num_delete=16,
+        )
+
+
 def test_parallel_dynamic_ns_oracle(normal_mean_setup):
     problem, _, data, post_mean, post_var, log_z = normal_mean_setup
     res = parallel_dynamic_nested_sampling(

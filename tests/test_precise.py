@@ -3,12 +3,15 @@
 The module exists because TPU's native f32 ``log``/``exp``/``gammaln``
 are approximate (~2.4e3 ulps for log, measured; see the module
 docstring), which dominated the on-chip PRECISION.json ``tpu_f32`` logZ
-errors.  These tests pin the replacements against f64 numpy/scipy
-oracles ON CPU f32 (the implementations are dtype-dispatched, not
-platform-dispatched, so CPU exercises the identical compiled graph the
-chip runs), plus the edge-case semantics and the custom-JVP derivatives
-AD relies on.  Reference accuracy machinery this feeds:
-GaussianProcess.wl:161-199, LinearRegression.wl:289-366.
+errors.  These tests pin the SOFTWARE CORES (``_*_precise_f32``)
+against f64 numpy/scipy oracles on CPU f32 — the cores are pure
+dtype-generic jaxprs, so CPU runs the identical compiled graph the
+chip runs — plus the edge-case semantics and the custom-JVP
+derivatives AD relies on.  The public wrappers dispatch per
+dtype/backend/mode (module docstring of ``core.precise``); that
+dispatch is pinned separately in :class:`TestModeDispatch`.
+Reference accuracy machinery this feeds: GaussianProcess.wl:161-199,
+LinearRegression.wl:289-366.
 """
 
 from __future__ import annotations
@@ -19,11 +22,12 @@ import numpy as np
 import pytest
 import scipy.special as sps
 
+from bayesianinference_tpu.core import precise
 from bayesianinference_tpu.core.precise import (
-    exp_precise,
-    gammaln_precise,
-    log1p_precise,
-    log_precise,
+    _exp_precise_f32 as exp_precise,
+    _gammaln_precise_f32 as gammaln_precise,
+    _log1p_precise_f32 as log1p_precise,
+    _log_precise_f32 as log_precise,
 )
 
 
@@ -169,25 +173,66 @@ class TestGammalnPrecise:
         )
 
 
-class TestDtypeDispatch:
-    """f64 (and any non-f32) must be bitwise the native functions — this
-    is what keeps the CPU-x64 oracle suite pinning unchanged math."""
+class TestModeDispatch:
+    """The public wrappers choose an implementation at trace time from
+    (dtype, backend, mode) — see the ``core.precise`` module docstring.
+    f64 (and any non-f32) must be bitwise the native functions in every
+    mode — this is what keeps the CPU-x64 oracle suite pinning unchanged
+    math."""
+
+    @pytest.fixture()
+    def mode(self):
+        prev = precise.get_precise_mode()
+        yield precise.set_precise_mode
+        precise.set_precise_mode(prev)
 
     @pytest.mark.parametrize(
-        "precise, native",
+        "wrapper, native",
         [
-            (log_precise, jnp.log),
-            (log1p_precise, jnp.log1p),
-            (exp_precise, jnp.exp),
-            (gammaln_precise, jax.scipy.special.gammaln),
+            (precise.log_precise, jnp.log),
+            (precise.log1p_precise, jnp.log1p),
+            (precise.exp_precise, jnp.exp),
+            (precise.gammaln_precise, jax.scipy.special.gammaln),
         ],
     )
-    def test_f64_bitwise_native(self, precise, native):
+    def test_f64_bitwise_native(self, wrapper, native, mode):
         x = jnp.asarray([0.3, 1.0, 7.5, 123.456], jnp.float64)
         assert x.dtype == jnp.float64  # conftest enables x64
+        for m in ("auto", "on", "off"):
+            mode(m)
+            np.testing.assert_array_equal(
+                np.asarray(wrapper(x)), np.asarray(native(x))
+            )
+
+    def test_auto_is_native_on_cpu_f32(self, mode):
+        # the suite runs on CPU (conftest), whose native f32 log is
+        # ~0.5 ulp: "auto" must leave it alone (round-4 ADVICE — the
+        # software core measurably REGRESSED CPU f32 GP accuracy)
+        mode("auto")
+        assert jax.default_backend() == "cpu"
+        x = jnp.asarray([0.37, 1.0, 42.0], jnp.float32)
         np.testing.assert_array_equal(
-            np.asarray(precise(x)), np.asarray(native(x))
+            np.asarray(precise.log_precise(x)), np.asarray(jnp.log(x))
         )
+
+    def test_on_forces_software_core(self, mode):
+        mode("on")
+        x = jnp.asarray(np.exp(np.linspace(-5, 5, 64)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(precise.log_precise(x)),
+            np.asarray(log_precise(x)),
+        )
+
+    def test_off_forces_native(self, mode):
+        mode("off")
+        x = jnp.asarray(np.exp(np.linspace(-5, 5, 64)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(precise.exp_precise(x)), np.asarray(jnp.exp(x))
+        )
+
+    def test_bad_mode_rejected(self, mode):
+        with pytest.raises(ValueError):
+            precise.set_precise_mode("fast")
 
     def test_vmap_jit_compose(self):
         f = jax.jit(jax.vmap(lambda t: log_precise(t) + exp_precise(-t)))
