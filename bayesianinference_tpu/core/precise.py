@@ -67,6 +67,7 @@ __all__ = [
     "get_precise_mode",
     "log1p_precise",
     "log_precise",
+    "log_precise_norm",
     "set_precise_mode",
 ]
 
@@ -165,6 +166,32 @@ def _log_precise_jvp(primals, tangents):
     (x,) = primals
     (dx,) = tangents
     return _log_precise_f32(x), dx / jnp.asarray(x)
+
+
+_NORM_ARG_SIZE_LIMIT = 16
+
+
+def log_precise_norm(x):
+    """``log_precise`` for theta-dependent NORMALIZATION arguments
+    (scale/rate parameters) that users may broadcast to data shape.
+
+    Software-precise only when the per-evaluation argument is scalar or
+    parameter-shaped (trace-time ``size <= 16``): there, ONE rounding
+    error is coherently amplified by the data count (the Gaussian
+    ``n/2 * log(var)`` term — the round-4 accuracy win).  Data-shaped
+    arguments (> 16 elements per density evaluation) dispatch to the
+    native log instead: their per-element errors enter the density sum
+    INCOHERENTLY (~sqrt(n) * ulp instead of n * ulp), while the
+    software core's ~15 VPU ops per element sit directly on the
+    per-chain-step hot path — the round-4 GBM bench regression
+    (396M -> 214M evals/s) was 256 software logs of a data-shaped
+    LogNormal scale per likelihood eval at 32k chains x 200 steps.
+    Under ``vmap`` the check sees the per-chain abstract shape, so a
+    batched scalar scale stays precise."""
+    x = jnp.asarray(x)
+    if x.size > _NORM_ARG_SIZE_LIMIT:
+        return jnp.log(x)
+    return log_precise(x)
 
 
 def log_precise(x):

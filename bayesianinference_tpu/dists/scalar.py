@@ -20,7 +20,12 @@ import jax.numpy as jnp
 from jax.scipy import special as jsp
 
 from ..core.numerics import LOG2PI, log_zero, xlogy
-from ..core.precise import gammaln_precise, log1p_precise, log_precise
+from ..core.precise import (
+    gammaln_precise,
+    log1p_precise,
+    log_precise,
+    log_precise_norm,
+)
 from .base import Distribution, dist_dataclass
 
 __all__ = [
@@ -63,7 +68,7 @@ class Normal(Distribution):
     def log_prob(self, x):
         x, loc, scale = _f(x), _f(self.loc), _f(self.scale)
         z = (x - loc) / scale
-        logp = -0.5 * (z * z + LOG2PI) - log_precise(scale)
+        logp = -0.5 * (z * z + LOG2PI) - log_precise_norm(scale)
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -170,7 +175,7 @@ class Exponential(Distribution):
 
     def log_prob(self, x):
         x, rate = _f(x), _f(self.rate)
-        logp = log_precise(rate) - rate * x
+        logp = log_precise_norm(rate) - rate * x
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -204,7 +209,12 @@ class Gamma(Distribution):
     def log_prob(self, x):
         x, a, b = _f(x), _f(self.a), _f(self.rate)
         safe_x = jnp.where(x > 0, x, 1.0)
-        logp = a * log_precise(b) + (a - 1.0) * log_precise(safe_x) - b * x - gammaln_precise(a)
+        logp = (
+            a * log_precise_norm(b)
+            + (a - 1.0) * log_precise(safe_x)
+            - b * x
+            - gammaln_precise(a)
+        )
         # open support (x = 0 boundary -> sentinel, not the safe-point value)
         return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
 
@@ -241,7 +251,7 @@ class InverseGamma(Distribution):
         x, a, b = _f(x), _f(self.a), _f(self.b)
         safe_x = jnp.where(x > 0, x, 1.0)
         logp = (
-            a * log_precise(b)
+            a * log_precise_norm(b)
             - (a + 1.0) * log_precise(safe_x)
             - b / safe_x
             - gammaln_precise(a)
@@ -325,9 +335,9 @@ class StudentT(Distribution):
         logp = (
             gammaln_precise(0.5 * (v + 1.0))
             - gammaln_precise(0.5 * v)
-            - 0.5 * log_precise(v)
+            - 0.5 * log_precise_norm(v)
             - 0.5 * _LOGPI
-            - log_precise(s)
+            - log_precise_norm(s)
             - 0.5 * (v + 1.0) * log1p_precise(z * z / v)
         )
         return self._mask_support(x, logp)
@@ -371,7 +381,7 @@ class Cauchy(Distribution):
     def log_prob(self, x):
         x, loc, s = _f(x), _f(self.loc), _f(self.scale)
         z = (x - loc) / s
-        logp = -_LOGPI - log_precise(s) - log1p_precise(z * z)
+        logp = -_LOGPI - log_precise_norm(s) - log1p_precise(z * z)
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -402,7 +412,10 @@ class HalfCauchy(Distribution):
     def log_prob(self, x):
         x, s = _f(x), _f(self.scale)
         z = x / s
-        logp = log_precise(2.0) - _LOGPI - log_precise(s) - log1p_precise(z * z)
+        logp = (
+            log_precise(2.0) - _LOGPI - log_precise_norm(s)
+            - log1p_precise(z * z)
+        )
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -429,7 +442,11 @@ class LogNormal(Distribution):
         x, mu, s = _f(x), _f(self.loc), _f(self.scale)
         safe_x = jnp.where(x > 0, x, 1.0)
         z = (log_precise(safe_x) - mu) / s
-        logp = -0.5 * (z * z + LOG2PI) - log_precise(s) - log_precise(safe_x)
+        logp = (
+            -0.5 * (z * z + LOG2PI)
+            - log_precise_norm(s)
+            - log_precise(safe_x)
+        )
         # open support (the x = 0 boundary density is 0 -> sentinel)
         return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
 
@@ -464,7 +481,7 @@ class Laplace(Distribution):
 
     def log_prob(self, x):
         x, loc, s = _f(x), _f(self.loc), _f(self.scale)
-        logp = -jnp.abs(x - loc) / s - log_precise(2.0 * s)
+        logp = -jnp.abs(x - loc) / s - log_precise_norm(2.0 * s)
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -629,7 +646,7 @@ class Weibull(Distribution):
         x, k, lam = _f(x), _f(self.k), _f(self.scale)
         safe = jnp.where(x > 0, x, 1.0)
         z = safe / lam
-        logp = log_precise(k / lam) + (k - 1.0) * log_precise(z) - z**k
+        logp = log_precise_norm(k / lam) + (k - 1.0) * log_precise(z) - z**k
         # open support: the x=0 boundary density is 0/inf depending on k;
         # map it to the sentinel rather than evaluating at the safe point
         return jnp.where(x > 0, self._mask_support(x, logp), log_zero(logp.dtype))
@@ -671,7 +688,7 @@ class Logistic(Distribution):
 
     def log_prob(self, x):
         z = (_f(x) - _f(self.loc)) / _f(self.scale)
-        logp = -z - 2.0 * jax.nn.softplus(-z) - log_precise(_f(self.scale))
+        logp = -z - 2.0 * jax.nn.softplus(-z) - log_precise_norm(_f(self.scale))
         return self._mask_support(_f(x), logp)
 
     def sample(self, key, shape=()):
@@ -735,7 +752,7 @@ class Gumbel(Distribution):
 
     def log_prob(self, x):
         z = (_f(x) - _f(self.loc)) / _f(self.scale)
-        logp = -(z + jnp.exp(-z)) - log_precise(_f(self.scale))
+        logp = -(z + jnp.exp(-z)) - log_precise_norm(_f(self.scale))
         return self._mask_support(_f(x), logp)
 
     def sample(self, key, shape=()):
@@ -772,7 +789,10 @@ class Pareto(Distribution):
     def log_prob(self, x):
         x, m, a = _f(x), _f(self.xmin), _f(self.alpha)
         safe = jnp.where(x > 0, x, 1.0)
-        logp = log_precise(a) + a * log_precise(m) - (a + 1.0) * log_precise(safe)
+        logp = (
+            log_precise_norm(a) + a * log_precise_norm(m)
+            - (a + 1.0) * log_precise(safe)
+        )
         return self._mask_support(x, logp)
 
     def sample(self, key, shape=()):
@@ -816,7 +836,7 @@ class NegativeBinomial(Distribution):
             gammaln_precise(x + r)
             - gammaln_precise(r)
             - gammaln_precise(x + 1.0)
-            + r * log_precise(p)
+            + r * log_precise_norm(p)
             + xlogy(x, 1.0 - p)
         )
         is_int = x == jnp.floor(x)
@@ -855,7 +875,7 @@ class Geometric(Distribution):
 
     def log_prob(self, x):
         x, p = _f(x), _f(self.p)
-        logp = log_precise(p) + xlogy(x, 1.0 - p)
+        logp = log_precise_norm(p) + xlogy(x, 1.0 - p)
         is_int = x == jnp.floor(x)
         return jnp.where(
             is_int, self._mask_support(x, logp), log_zero(logp.dtype)

@@ -30,6 +30,7 @@ the hot path; the event merge is a one-off host-side sort per fit.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -77,17 +78,38 @@ class NSSegment:
 def segment_from_run(
     run: NSRunData, constraint_logl: float = -np.inf
 ) -> NSSegment:
-    """Normalize a loop output into an :class:`NSSegment` (host-side)."""
-    points, logl, logp, _, nd = run.finalize()
+    """Normalize a loop output into an :class:`NSSegment` (host-side).
+
+    One batched ``device_get`` of the raw buffers, then numpy for the
+    slice/sort/concat — through the remote-chip tunnel every separate
+    eager op or fetch pays ~10-20 ms of dispatch latency, and
+    ``finalize()``'s op-by-op path was a measured chunk of the round-4
+    dynamic-NS orchestration tax (12.4M evals/s end-to-end vs 525M
+    static, PERFORMANCE.md)."""
+    s = run.state
+    dp, dl, dpr, lp, ll, lpr, nd, evals = jax.device_get(
+        (
+            s.dead_points,
+            s.dead_logl,
+            s.dead_logp,
+            s.live_points,
+            s.live_logl,
+            s.live_logp,
+            s.n_dead,
+            s.num_likelihood_evals,
+        )
+    )
+    nd = int(nd)
+    order = np.argsort(ll, kind="stable")
     return NSSegment(
-        points=np.asarray(points),
-        log_likelihoods=np.asarray(logl),
-        log_priors=np.asarray(logp),
+        points=np.concatenate([dp[:nd], lp[order]]),
+        log_likelihoods=np.concatenate([dl[:nd], ll[order]]),
+        log_priors=np.concatenate([dpr[:nd], lpr[order]]),
         n_live=run.n_live,
         num_delete=run.num_delete,
         n_dead=nd,
         constraint_logl=float(constraint_logl),
-        num_likelihood_evals=evals_to_int(run.state.num_likelihood_evals),
+        num_likelihood_evals=evals_to_int(evals),
     )
 
 
@@ -152,6 +174,63 @@ def merge_segments(segments):
     return points[order], levels_s, logp[order], m.astype(float)
 
 
+@functools.partial(jax.jit, static_argnames=("num_runs",))
+def _merged_post_program(points, logl, logp, m, key, num_runs):
+    """All device math of :func:`merged_evidence_sampling` fused into
+    ONE jitted program (the round-4 eager chain was ~25 separate
+    dispatches, a measured chunk of the dynamic-NS orchestration tax).
+    Returns a dict of device arrays; the caller assembles the result
+    object without forcing any host fetch."""
+    dtype = logl.dtype
+    n_total = logl.shape[0]
+    # crude deterministic schedule
+    log_x = -jnp.cumsum(1.0 / m)
+    crude_w = log_trapezoid_weights(log_x)
+    crude_lw = crude_w + logl
+    crude_log_z = logsumexp(crude_lw)
+    crude_entropy = entropy_from_weights(crude_lw, logl, crude_log_z)
+    ll_max = jnp.max(logl)
+    order = jnp.argsort(-crude_lw, stable=True)
+    out = dict(
+        points=points[order],
+        logl=logl[order],
+        logp=logp[order],
+        crude_lpw=(crude_lw - crude_log_z)[order],
+        log_x=log_x[order],
+        crude_log_z=crude_log_z,
+        ll_max=ll_max,
+        log_missing=log_x[-1] + ll_max,
+        crude_entropy=crude_entropy,
+    )
+    if not num_runs:
+        out["crude_param_means"] = jnp.einsum(
+            "n,nd->d", jnp.exp(crude_lw - crude_log_z), points
+        )
+        return out
+
+    # simulated trajectories: one batched program (BS:1200-1235 pattern)
+    e = jax.random.exponential(key, (num_runs, n_total), dtype)
+    s_log_x = -jnp.cumsum(e / m[None, :], axis=-1)
+    w = log_trapezoid_weights(s_log_x)
+    log_ev_w = w + logl[None, :]
+    z_samples = logsumexp(log_ev_w, axis=-1)
+    log_post_w = log_ev_w - z_samples[:, None]
+    post_w = jnp.exp(log_post_w)
+    param_means = post_w @ points.astype(dtype)
+    lz = log_zero(dtype)
+    safe_ll = jnp.where(logl > 0.5 * lz, logl, 0.0)
+    rel_entropy = post_w @ safe_ll - z_samples
+    out.update(
+        sampled_log_x=_mean_and_error(s_log_x[:, order]),
+        log_posterior_weights=_mean_and_error(log_post_w[:, order]),
+        log_evidence=_mean_and_error(z_samples),
+        relative_entropy=_mean_and_error(rel_entropy),
+        parameter_expected_values=_mean_and_error(param_means),
+        post_w_ordered=post_w[:, order],
+    )
+    return out
+
+
 def merged_evidence_sampling(
     *,
     points,
@@ -181,42 +260,32 @@ def merged_evidence_sampling(
     m = jnp.asarray(schedule, dtype)
     n_total = logl.shape[0]
     key = jax.random.PRNGKey(0) if key is None else key
+    runs = int(num_runs) if num_runs and num_runs > 0 else 0
+    r = _merged_post_program(points, logl, logp, m, key, runs)
 
-    # crude deterministic schedule
-    log_x = -jnp.cumsum(1.0 / m)
-    crude_w = log_trapezoid_weights(log_x)
-    crude_lw = crude_w + logl
-    crude_log_z = logsumexp(crude_lw)
-    crude_entropy = entropy_from_weights(crude_lw, logl, crude_log_z)
-    ll_max = jnp.max(logl)
-    log_missing = log_x[-1] + ll_max
-    order = jnp.argsort(-crude_lw, stable=True)
-
-    if not num_runs or num_runs <= 0:
+    if not runs:
         nanv = jnp.full((n_total,), jnp.nan, dtype)
         me_nan = MeanAndError(nanv, nanv)
         return NestedSamplingResult(
-            points=points[order],
-            log_likelihoods=logl[order],
-            log_priors=logp[order],
-            crude_log_posterior_weights=(crude_lw - crude_log_z)[order],
-            log_x=log_x[order],
+            points=r["points"],
+            log_likelihoods=r["logl"],
+            log_priors=r["logp"],
+            crude_log_posterior_weights=r["crude_lpw"],
+            log_x=r["log_x"],
             sampled_log_x=me_nan,
             log_posterior_weights=me_nan,
             log_evidence=MeanAndError(
-                crude_log_z, jnp.asarray(jnp.nan, dtype)
+                r["crude_log_z"], jnp.asarray(jnp.nan, dtype)
             ),
-            crude_log_evidence=crude_log_z,
-            log_likelihood_maximum=ll_max,
-            log_estimated_missing_evidence=log_missing,
-            crude_relative_entropy=crude_entropy,
+            crude_log_evidence=r["crude_log_z"],
+            log_likelihood_maximum=r["ll_max"],
+            log_estimated_missing_evidence=r["log_missing"],
+            crude_relative_entropy=r["crude_entropy"],
             relative_entropy=MeanAndError(
-                crude_entropy, jnp.asarray(jnp.nan, dtype)
+                r["crude_entropy"], jnp.asarray(jnp.nan, dtype)
             ),
             parameter_expected_values=MeanAndError(
-                jnp.einsum(
-                    "n,nd->d", jnp.exp(crude_lw - crude_log_z), points
-                ),
+                r["crude_param_means"],
                 jnp.full((points.shape[1],), jnp.nan, dtype),
             ),
             sample_pool_size=sample_pool_size,
@@ -226,63 +295,53 @@ def merged_evidence_sampling(
             empirical_posterior_type=empirical_posterior_type,
         )
 
-    # simulated trajectories: one batched program (BS:1200-1235 pattern)
-    e = jax.random.exponential(key, (int(num_runs), n_total), dtype)
-    s_log_x = -jnp.cumsum(e / m[None, :], axis=-1)
-    w = log_trapezoid_weights(s_log_x)
-    log_ev_w = w + logl[None, :]
-    z_samples = logsumexp(log_ev_w, axis=-1)
-    log_post_w = log_ev_w - z_samples[:, None]
-    post_w = jnp.exp(log_post_w)
-    param_means = post_w @ points.astype(dtype)
-    lz = log_zero(dtype)
-    safe_ll = jnp.where(logl > 0.5 * lz, logl, 0.0)
-    rel_entropy = post_w @ safe_ll - z_samples
-
     return NestedSamplingResult(
-        points=points[order],
-        log_likelihoods=logl[order],
-        log_priors=logp[order],
-        crude_log_posterior_weights=(crude_lw - crude_log_z)[order],
-        log_x=log_x[order],
-        sampled_log_x=_mean_and_error(s_log_x[:, order]),
-        log_posterior_weights=_mean_and_error(log_post_w[:, order]),
-        log_evidence=_mean_and_error(z_samples),
-        crude_log_evidence=crude_log_z,
-        log_likelihood_maximum=ll_max,
-        log_estimated_missing_evidence=log_missing,
-        crude_relative_entropy=crude_entropy,
-        relative_entropy=_mean_and_error(rel_entropy),
-        parameter_expected_values=_mean_and_error(param_means),
+        points=r["points"],
+        log_likelihoods=r["logl"],
+        log_priors=r["logp"],
+        crude_log_posterior_weights=r["crude_lpw"],
+        log_x=r["log_x"],
+        sampled_log_x=r["sampled_log_x"],
+        log_posterior_weights=r["log_posterior_weights"],
+        log_evidence=r["log_evidence"],
+        crude_log_evidence=r["crude_log_z"],
+        log_likelihood_maximum=r["ll_max"],
+        log_estimated_missing_evidence=r["log_missing"],
+        crude_relative_entropy=r["crude_entropy"],
+        relative_entropy=r["relative_entropy"],
+        parameter_expected_values=r["parameter_expected_values"],
         sample_pool_size=sample_pool_size,
         generated_nested_samples=int(n_total),
         total_samples=int(n_total),
         param_names=tuple(param_names),
         empirical_posterior_type=empirical_posterior_type,
         posterior_weight_runs=(
-            post_w[:, order]
+            r["post_w_ordered"]
             if empirical_posterior_type != "Simple"
             else None
         ),
     )
 
 
-def _decorrelate_seeds(
-    problem: InferenceProblem,
-    key,
-    seeds,
-    threshold: float,
-    cov,
-    steps: int,
-    method: str,
+@functools.partial(
+    jax.jit, static_argnames=("n_seeds", "steps", "method")
+)
+def _decorrelate_program(
+    problem, key, candidates, threshold, cov, n_seeds, steps, method
 ):
-    """Turn points already above ``threshold`` into approximately
-    independent draws from the constrained prior (prior restricted to
-    logL > threshold) by running the SAME chain kernels the NS loop
-    uses for replacements."""
+    """Pick ``n_seeds`` rows from ``candidates`` (points already above
+    ``threshold``) and turn them into approximately independent draws
+    from the constrained prior (prior restricted to logL > threshold)
+    by running the SAME chain kernels the NS loop uses for
+    replacements.  ONE jitted program — the round-4 version ran the
+    vmapped chains eagerly, paying per-primitive tunnel dispatch
+    latency on every batch stage."""
     from ..ops.metropolis import _cholesky, am_init, proposal_chol, run_chain
     from ..ops.slice import run_slice_chain
 
+    k_pick, k_chain = jax.random.split(key)
+    idx = jax.random.randint(k_pick, (n_seeds,), 0, candidates.shape[0])
+    seeds = candidates[idx]
     lz = log_zero(seeds.dtype)
     thr = jnp.asarray(threshold, seeds.dtype)
 
@@ -294,7 +353,7 @@ def _decorrelate_seeds(
 
     dim = seeds.shape[-1]
     cov = jnp.asarray(cov, seeds.dtype)
-    keys = jax.random.split(key, seeds.shape[0])
+    keys = jax.random.split(k_chain, n_seeds)
     if method == "slice":
         dir_chol = _cholesky(cov + 1e-10 * jnp.eye(dim, dtype=cov.dtype))
         dir_chol = jnp.where(
@@ -317,7 +376,25 @@ def _decorrelate_seeds(
             return st.x, jnp.asarray(steps, jnp.int32)
 
     xs, evals = jax.vmap(one)(keys, seeds)
-    return xs, int(jnp.sum(evals))
+    return xs, jnp.sum(evals)
+
+
+@jax.jit
+def _stage_importance_program(logl, m, g):
+    """Merged-run importance function (dynesty eqs. 4-5) + posterior ESS
+    as ONE jitted program — the shrinkage/trapezoid/normalization chain
+    is ~10 eager dispatches otherwise, each paying tunnel latency."""
+    log_x = -jnp.cumsum(1.0 / m)
+    lw = log_trapezoid_weights(log_x) + logl
+    log_z = logsumexp(lw)
+    w_post = jnp.exp(lw - log_z)
+    ess = 1.0 / jnp.sum(w_post * w_post)
+    imp_z = 1.0 - jnp.cumsum(w_post)  # evidence importance: still missing
+    tiny = jnp.asarray(jnp.finfo(w_post.dtype).tiny, w_post.dtype)
+    imp = g * w_post / jnp.maximum(jnp.max(w_post), tiny) + (1.0 - g) * (
+        imp_z / jnp.maximum(jnp.max(imp_z), tiny)
+    )
+    return imp, ess
 
 
 def _stage_interval(
@@ -332,21 +409,16 @@ def _stage_interval(
     is met, else ``(log_l_lo, log_l_hi, pts, logl)`` (the merged arrays
     are returned so the caller can seed from them without re-merging)."""
     pts, logl, logp, m = merge_segments(segments)
-    log_x = -np.cumsum(1.0 / m)
-    lw = np.asarray(log_trapezoid_weights(jnp.asarray(log_x))) + logl
-    log_z = float(logsumexp(jnp.asarray(lw)))
-    w_post = np.exp(lw - log_z)  # posterior importance
-    if (
-        target_posterior_ess
-        and 1.0 / np.sum(w_post**2) >= target_posterior_ess
-    ):
-        return None
-    z_frac = np.cumsum(w_post)
-    imp_z = 1.0 - z_frac  # evidence importance: what's still missing
-    g = posterior_fraction
-    imp = g * w_post / max(w_post.max(), 1e-300) + (1.0 - g) * (
-        imp_z / max(imp_z.max(), 1e-300)
+    dtype = jnp.asarray(logl).dtype
+    imp, ess = jax.device_get(
+        _stage_importance_program(
+            jnp.asarray(logl),
+            jnp.asarray(m, dtype),
+            jnp.asarray(posterior_fraction, dtype),
+        )
     )
+    if target_posterior_ess and float(ess) >= target_posterior_ess:
+        return None
     qual = np.nonzero(imp > importance_fraction * imp.max())[0]
     lo_idx, hi_idx = int(qual[0]), int(qual[-1])
     log_l_lo = -np.inf if lo_idx == 0 else float(logl[lo_idx - 1])
@@ -372,32 +444,34 @@ def _stage_seeds(
     full-length chains.  Returns (seeds [n_seeds, d], extra_evals)."""
     if np.isneginf(log_l_lo):
         return generate_starting_points(problem, key, n_seeds), 0
-    k_seed, k_chain = jax.random.split(key)
     above = np.nonzero(logl > log_l_lo)[0]
     # least upward-biased seeds: the points just above the constraint
-    pick = above[
-        np.asarray(
-            jax.random.randint(
-                k_seed, (n_seeds,), 0,
-                min(len(above), max(n_seeds, 4 * num_delete)),
-            )
-        )
-    ]
+    # (the random pick happens INSIDE the jitted program); the candidate
+    # window always holds exactly max(n_seeds, 4*num_delete) rows — its
+    # shape is a compile key, so it must not depend on how many points
+    # cleared log_l_lo — tiling the available points when fewer did
+    window = max(n_seeds, 4 * num_delete)
+    candidates = pts[above[:window]]
+    if candidates.shape[0] < window:
+        reps = -(-window // candidates.shape[0])
+        candidates = np.tile(candidates, (reps, 1))[:window]
     cov = np.cov(pts[above].T).reshape(pts.shape[1], pts.shape[1])
     steps = (
         monte_carlo_steps
         if isinstance(monte_carlo_steps, int)
         else monte_carlo_steps[0]
     )
-    return _decorrelate_seeds(
+    xs, evals = _decorrelate_program(
         problem,
-        k_chain,
-        jnp.asarray(pts[pick]),
+        key,
+        jnp.asarray(candidates),
         log_l_lo,
         cov + 1e-12 * np.eye(pts.shape[1]),
+        n_seeds,
         steps,
         method,
     )
+    return xs, int(evals)
 
 
 def dynamic_nested_sampling(

@@ -230,6 +230,22 @@ class TestModeDispatch:
             np.asarray(precise.exp_precise(x)), np.asarray(jnp.exp(x))
         )
 
+    def test_norm_variant_native_for_bulk_args(self, mode):
+        # log_precise_norm: precise for scalar/parameter-shaped
+        # normalization args, native for data-shaped ones (the round-4
+        # GBM hot-path regression — see the core.precise docstring)
+        mode("on")
+        small = jnp.asarray(np.exp(np.linspace(-2, 2, 8)), jnp.float32)
+        big = jnp.asarray(np.exp(np.linspace(-2, 2, 64)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(precise.log_precise_norm(small)),
+            np.asarray(log_precise(small)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(precise.log_precise_norm(big)),
+            np.asarray(jnp.log(big)),
+        )
+
     def test_bad_mode_rejected(self, mode):
         with pytest.raises(ValueError):
             precise.set_precise_mode("fast")
