@@ -252,24 +252,31 @@ def log1p_precise(x):
 
 @jax.custom_jvp
 def _exp_precise_f32(x):
+    # Cody–Waite reduction, then exp(r) = 1 + (r + (r^2/2 + r^3 Q(r)))
+    # with the Taylor tail through degree 8.  Ordering matters: the
+    # small terms (r^2/2 <= 0.061, r^3 Q <= 0.008) accumulate at their
+    # own scale before the single rounding against r and the single
+    # final rounding against 1, leaving ~0.9 ulp max / 0.32 rms
+    # (measured vs f64; the round-4 degree-6 flat Horner was 2.7 ulp
+    # max — its r^7/5040 truncation alone is ~1 ulp at |r| = ln2/2,
+    # and that 2-ulp class was what held the GP PRECISION config at
+    # ~4e-6: kernel-entry exp error, not Cholesky, dominates there).
     n = jnp.round(x * _LOG2E)
     r = (x - n * _LN2_HI) - n * _LN2_LO
-    p = 1.0 + r * (
-        1.0
+    r2 = r * r
+    q = jnp.float32(1 / 6) + r * (
+        jnp.float32(1 / 24)
         + r
         * (
-            jnp.float32(0.5)
+            jnp.float32(1 / 120)
             + r
             * (
-                jnp.float32(1 / 6)
-                + r
-                * (
-                    jnp.float32(1 / 24)
-                    + r * (jnp.float32(1 / 120) + r * jnp.float32(1 / 720))
-                )
+                jnp.float32(1 / 720)
+                + r * (jnp.float32(1 / 5040) + r * jnp.float32(1 / 40320))
             )
         )
     )
+    p = 1.0 + (r + (jnp.float32(0.5) * r2 + r2 * r * q))
     # |x| > 80 over/underflows f32 anyway — defer to native for the
     # saturating cases (and nan/inf), keep ldexp exponents in range
     core_ok = jnp.abs(x) <= jnp.float32(80.0)
@@ -286,9 +293,9 @@ def _exp_precise_jvp(primals, tangents):
 
 
 def exp_precise(x):
-    """``jnp.exp`` with ~2-ulp f32 accuracy on TPU (native: ~40 ulps).
+    """``jnp.exp`` with ~0.9-ulp f32 accuracy on TPU (native: ~40 ulps).
     Cody–Waite: n = round(x/ln2), r = (x - n*LN2_HI) - n*LN2_LO exact,
-    exp(x) = 2^n * P(r) with a degree-6 Taylor core on |r| <= ln2/2.
+    exp(x) = 2^n * P(r) with a degree-8 Taylor core on |r| <= ln2/2.
     Non-f32 dtypes (and native-mode/CPU f32, module docstring) dispatch
     to the native ``jnp.exp`` at trace time."""
     x = jnp.asarray(x)

@@ -19,6 +19,7 @@ from jax.scipy.linalg import solve_triangular
 
 from ..core.numerics import LOG2PI, guard_log_density, log_zero, xlogy
 from ..core.precise import gammaln_precise, log1p_precise, log_precise
+from ..ops.metropolis import _cholesky
 from .base import Distribution, dist_dataclass
 
 __all__ = [
@@ -99,7 +100,7 @@ class MultivariateNormal(Distribution):
         return (jnp.shape(self.mean_)[-1],)
 
     def _chol(self):
-        return jnp.linalg.cholesky(_f(self.cov))
+        return _cholesky(_f(self.cov))
 
     def log_prob(self, x):
         x = _f(x)
@@ -144,7 +145,7 @@ class MultivariateNormalPrecision(Distribution):
         x = _f(x)
         d = x.shape[-1]
         P = _f(self.precision)
-        Lp = jnp.linalg.cholesky(P)
+        Lp = _cholesky(P)
         dx = x - _f(self.mean_)
         # z = Lp^T dx  =>  dx^T P dx = |z|^2
         z = jnp.einsum("ji,...j->...i", Lp, dx)
@@ -153,7 +154,7 @@ class MultivariateNormalPrecision(Distribution):
 
     def sample(self, key, shape=()):
         d = self.event_shape[0]
-        Lp = jnp.linalg.cholesky(_f(self.precision))
+        Lp = _cholesky(_f(self.precision))
         full = _param_batch(shape, (self.mean_, 1), (self.precision, 2))
         z = jax.random.normal(key, full + (d,), dtype=Lp.dtype)
         # x = mean + Lp^{-T} z
@@ -189,7 +190,7 @@ class MultivariateT(Distribution):
         x = _f(x)
         d = x.shape[-1]
         v = _f(self.df)
-        L = jnp.linalg.cholesky(_f(self.shape_matrix))
+        L = _cholesky(_f(self.shape_matrix))
         z = _whiten(L, x - _f(self.loc))
         q = jnp.sum(z * z, axis=-1)
         logp = (
@@ -204,7 +205,7 @@ class MultivariateT(Distribution):
     def sample(self, key, shape=()):
         d = self.event_shape[0]
         k1, k2 = jax.random.split(key)
-        L = jnp.linalg.cholesky(_f(self.shape_matrix))
+        L = _cholesky(_f(self.shape_matrix))
         v = _f(self.df)
         full = _param_batch(
             shape, (self.df, 0), (self.loc, 1), (self.shape_matrix, 2)
@@ -240,8 +241,8 @@ class MatrixNormal(Distribution):
     def log_prob(self, x):
         x = _f(x)
         n, p = x.shape[-2], x.shape[-1]
-        Lu = jnp.linalg.cholesky(_f(self.row_cov))
-        Lv = jnp.linalg.cholesky(_f(self.col_cov))
+        Lu = _cholesky(_f(self.row_cov))
+        Lv = _cholesky(_f(self.col_cov))
         dx = x - _f(self.loc)
         # Z = Lu^{-1} dx Lv^{-T}; tr(V^-1 dx^T U^-1 dx) = |Z|_F^2
         a = _solve_tri(Lu, dx)
@@ -254,8 +255,8 @@ class MatrixNormal(Distribution):
 
     def sample(self, key, shape=()):
         n, p = self.event_shape
-        Lu = jnp.linalg.cholesky(_f(self.row_cov))
-        Lv = jnp.linalg.cholesky(_f(self.col_cov))
+        Lu = _cholesky(_f(self.row_cov))
+        Lv = _cholesky(_f(self.col_cov))
         full = _param_batch(
             shape, (self.loc, 2), (self.row_cov, 2), (self.col_cov, 2)
         )
@@ -290,8 +291,8 @@ class MatrixT(Distribution):
         x = _f(x)
         n, p = x.shape[-2], x.shape[-1]
         v = _f(self.df)
-        Lu = jnp.linalg.cholesky(_f(self.row_cov))
-        Lv = jnp.linalg.cholesky(_f(self.col_cov))
+        Lu = _cholesky(_f(self.row_cov))
+        Lv = _cholesky(_f(self.col_cov))
         dx = x - _f(self.loc)
         a = _solve_tri(Lu, dx)  # [..., n, p]
         z = _solve_tri(Lv, jnp.swapaxes(a, -1, -2))  # [..., p, n]
@@ -302,7 +303,7 @@ class MatrixT(Distribution):
         # S = I + Z Z^T is PD by construction: Cholesky logdet with
         # precise logs (slogdet's LU path keeps TPU's ~300-ulp native
         # log); a failed factorization propagates NaN into the guard
-        logdet_s = _chol_logdet(jnp.linalg.cholesky(s))
+        logdet_s = _chol_logdet(_cholesky(s))
         alpha = 0.5 * (v + n + p - 1.0)
         beta = 0.5 * (v + p - 1.0)
         logp = (
@@ -329,8 +330,8 @@ class MatrixT(Distribution):
         # request shape alone would share a single IW draw across
         # param-broadcast batch elements (the shared-draw bug class)
         s = iw.sample(k1, full)  # [full..., p, p]
-        Lu = jnp.linalg.cholesky(_f(self.row_cov))
-        Ls = jnp.linalg.cholesky(s)
+        Lu = _cholesky(_f(self.row_cov))
+        Ls = _cholesky(s)
         z = jax.random.normal(k2, full + (n, p), dtype=Lu.dtype)
         return _f(self.loc) + jnp.einsum("...ij,...jk,...lk->...il", Lu, z, Ls)
 
@@ -387,8 +388,8 @@ class Wishart(Distribution):
         x = _f(x)
         d = x.shape[-1]
         v = _f(self.df)
-        Ls = jnp.linalg.cholesky(_f(self.scale))
-        Lx = jnp.linalg.cholesky(x)
+        Ls = _cholesky(_f(self.scale))
+        Lx = _cholesky(x)
         logdet_x = _chol_logdet(Lx)
         # tr(S^-1 X) = |Ls^{-1} Lx|_F^2
         a = _solve_tri(Ls, Lx)
@@ -404,7 +405,7 @@ class Wishart(Distribution):
 
     def sample(self, key, shape=()):
         d = jnp.shape(self.scale)[-1]
-        Ls = jnp.linalg.cholesky(_f(self.scale))
+        Ls = _cholesky(_f(self.scale))
         dtype = Ls.dtype
         full = _param_batch(shape, (self.df, 0), (self.scale, 2))
         a = _bartlett(key, _f(self.df), d, dtype, full)
@@ -434,8 +435,8 @@ class InverseWishart(Distribution):
         x = _f(x)
         d = x.shape[-1]
         v = _f(self.df)
-        Lp = jnp.linalg.cholesky(_f(self.scale))
-        Lx = jnp.linalg.cholesky(x)
+        Lp = _cholesky(_f(self.scale))
+        Lx = _cholesky(x)
         logdet_x = _chol_logdet(Lx)
         # tr(Psi X^-1) = |Lx^{-1} Lp|_F^2 (Lx may be batched)
         a = solve_triangular(Lx, jnp.broadcast_to(Lp, Lx.shape), lower=True)
@@ -451,7 +452,7 @@ class InverseWishart(Distribution):
 
     def sample(self, key, shape=()):
         d = jnp.shape(self.scale)[-1]
-        Lp = jnp.linalg.cholesky(_f(self.scale))
+        Lp = _cholesky(_f(self.scale))
         dtype = Lp.dtype
         full = _param_batch(shape, (self.df, 0), (self.scale, 2))
         a = _bartlett(key, _f(self.df), d, dtype, full)

@@ -30,6 +30,7 @@ import optax
 
 from ..core.numerics import HashableFn, as_hashable_fn
 from ..core.precise import log_precise
+from ..ops.metropolis import _cholesky
 from ..dists.base import Distribution
 from ..dists.empirical import ParameterMixture
 from ..dists.multivariate import MultivariateNormal
@@ -63,7 +64,12 @@ def laplace_log_evidence(max_log_density, precision_matrix):
     # path keeps TPU's ~300-ulp native log, which lands 1:1 in logZ
     # (core.precise); a non-PD matrix gives NaN diagonal entries, so the
     # isfinite test reproduces the sign>0 -> NaN contract below
-    diag = jnp.diagonal(jnp.linalg.cholesky(p), axis1=-2, axis2=-1)
+    # size-dispatched factorization: XLA's TPU cholesky lowers tiny
+    # [d, d] matrices through a serialized kernel costing ~ms per call
+    # (the CLAUDE.md small-matrix pathology) -- the unrolled Crout form
+    # is a handful of fused VPU ops (measured: the round-4 slogdet->
+    # cholesky swap cost the Iris fit ~9 ms/fit on chip until this)
+    diag = jnp.diagonal(_cholesky(p), axis1=-2, axis2=-1)
     logdet = 2.0 * jnp.sum(log_precise(diag), axis=-1)
     out = _f(max_log_density) + 0.5 * (k * jnp.log(2.0 * jnp.pi) - logdet)
     return jnp.where(jnp.isfinite(logdet), out, jnp.nan)

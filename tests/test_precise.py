@@ -100,10 +100,14 @@ class TestLog1pPrecise:
 
 class TestExpPrecise:
     def test_ulp_accuracy_vs_f64(self):
+        # round-5 core: degree-8 Taylor + scale-ordered assembly,
+        # 0.92 ulp max / 0.32 rms measured over 200k samples (the
+        # round-4 degree-6 core was 2.7 ulp max — and its ~2-ulp class
+        # was what held the GP PRECISION config at ~4e-6 on chip)
         rng = np.random.default_rng(2)
         x = rng.uniform(-80.0, 80.0, 4096).astype(np.float32)
         got = jax.jit(exp_precise)(jnp.asarray(x))
-        assert max_ulp_err(got, np.exp(x.astype(np.float64))) <= 2.5
+        assert max_ulp_err(got, np.exp(x.astype(np.float64))) <= 1.1
 
     def test_saturating_and_special(self):
         x = jnp.asarray(
