@@ -380,10 +380,12 @@ def _decorrelate_program(
 
 
 @jax.jit
-def _stage_importance_program(logl, m, g):
-    """Merged-run importance function (dynesty eqs. 4-5) + posterior ESS
-    as ONE jitted program — the shrinkage/trapezoid/normalization chain
-    is ~10 eager dispatches otherwise, each paying tunnel latency."""
+def _stage_interval_program(logl, m, g, frac):
+    """Merged-run importance (dynesty eqs. 4-5), posterior ESS, and the
+    qualifying logL interval as ONE jitted program returning three
+    scalars — the shrinkage/trapezoid/threshold chain is ~10 eager
+    dispatches plus an O(n) fetch otherwise, each paying tunnel
+    latency."""
     log_x = -jnp.cumsum(1.0 / m)
     lw = log_trapezoid_weights(log_x) + logl
     log_z = logsumexp(lw)
@@ -394,7 +396,19 @@ def _stage_importance_program(logl, m, g):
     imp = g * w_post / jnp.maximum(jnp.max(w_post), tiny) + (1.0 - g) * (
         imp_z / jnp.maximum(jnp.max(imp_z), tiny)
     )
-    return imp, ess
+    # first/last index where imp exceeds frac * max (the batch interval);
+    # the max element itself always qualifies for frac < 1
+    mask = imp > frac * jnp.max(imp)
+    lo_idx = jnp.argmax(mask)
+    hi_idx = logl.shape[0] - 1 - jnp.argmax(mask[::-1])
+    log_l_lo = jnp.where(
+        lo_idx == 0,
+        jnp.asarray(-jnp.inf, logl.dtype),
+        logl[jnp.maximum(lo_idx, 1) - 1],
+    )
+    # one stacked array = ONE host fetch (scalars fetch serially through
+    # the tunnel at ~24 ms each)
+    return jnp.stack([ess.astype(logl.dtype), log_l_lo, logl[hi_idx]])
 
 
 def _stage_interval(
@@ -410,20 +424,17 @@ def _stage_interval(
     are returned so the caller can seed from them without re-merging)."""
     pts, logl, logp, m = merge_segments(segments)
     dtype = jnp.asarray(logl).dtype
-    imp, ess = jax.device_get(
-        _stage_importance_program(
+    ess, lo, hi = np.asarray(
+        _stage_interval_program(
             jnp.asarray(logl),
             jnp.asarray(m, dtype),
             jnp.asarray(posterior_fraction, dtype),
+            jnp.asarray(importance_fraction, dtype),
         )
     )
     if target_posterior_ess and float(ess) >= target_posterior_ess:
         return None
-    qual = np.nonzero(imp > importance_fraction * imp.max())[0]
-    lo_idx, hi_idx = int(qual[0]), int(qual[-1])
-    log_l_lo = -np.inf if lo_idx == 0 else float(logl[lo_idx - 1])
-    log_l_hi = float(logl[hi_idx])
-    return log_l_lo, log_l_hi, pts, logl
+    return float(lo), float(hi), pts, logl
 
 
 def _stage_seeds(

@@ -317,11 +317,22 @@ def nested_sampling_loop(
         progress_interval=progress_interval,
         interrupt_check=interrupt_check,
         monte_carlo_method=monte_carlo_method,
-        stop_at_log_likelihood=stop_at_log_likelihood,
         chmc_step_size=chmc_step_size,
         chmc_num_leapfrog=chmc_num_leapfrog,
     )
-    state = _ns_loop_jit(problem, starting_points, key, cfg)
+    # the stop level is a TRACED operand, not part of the static config:
+    # dynamic-NS batch stages pick a data-dependent level per stage, and
+    # a static field would recompile the whole loop every stage (measured
+    # ~13.5 s per remote compile on chip — the round-4 dynamic-NS tax)
+    state = _ns_loop_jit(
+        problem,
+        starting_points,
+        key,
+        cfg,
+        None
+        if stop_at_log_likelihood is None
+        else jnp.asarray(stop_at_log_likelihood),
+    )
     return NSRunData(
         state=state,
         n_live=n_live,
@@ -344,14 +355,16 @@ def make_loop_config(
     progress_interval: int = 0,
     interrupt_check=None,
     monte_carlo_method: str = "auto",
-    stop_at_log_likelihood=None,
     chmc_step_size: float = 0.4,
     chmc_num_leapfrog: int = 16,
 ) -> "_LoopConfig":
     """Canonicalize the loop options into the hashable static config (the
     jit cache key) — shared by the single-device front-end and the
     mesh-parallel program factories.  ``monte_carlo_method`` must already
-    be resolved (not "auto") unless the caller resolves it separately."""
+    be resolved (not "auto") unless the caller resolves it separately.
+    The dynamic-NS stop level is NOT part of the config — it is a traced
+    operand of ``_ns_loop_jit`` (a static field recompiled the loop on
+    every data-dependent batch stage)."""
     if isinstance(monte_carlo_steps, int):
         mc_steps = (monte_carlo_steps, monte_carlo_steps, 5 * monte_carlo_steps)
     else:
@@ -369,11 +382,6 @@ def make_loop_config(
         progress_interval=progress_interval,
         interrupt_check=interrupt_check,
         monte_carlo_method=monte_carlo_method,
-        stop_at_log_likelihood=(
-            float(stop_at_log_likelihood)
-            if stop_at_log_likelihood is not None
-            else None
-        ),
         chmc_step_size=float(chmc_step_size),
         chmc_num_leapfrog=int(chmc_num_leapfrog),
     )
@@ -394,17 +402,20 @@ class _LoopConfig(NamedTuple):
     progress_interval: int = 0
     interrupt_check: Optional[Callable] = None
     monte_carlo_method: str = "adaptive_metropolis"
-    # dynamic-NS batch runs: iterate while the NEXT deletion threshold is
-    # still <= this level (replaces the missing-evidence criterion)
-    stop_at_log_likelihood: Optional[float] = None
     # chmc kernel tuning (ignored by the other methods)
     chmc_step_size: float = 0.4
     chmc_num_leapfrog: int = 16
 
 
-def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig):
+def _build_loop(
+    problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig,
+    stop_at=None,
+):
     """Construct the (cond, body) pair of the NS while_loop — shared by the
-    fresh-start and checkpoint-resume entry points."""
+    fresh-start and checkpoint-resume entry points.  ``stop_at`` (a traced
+    scalar or None) switches the termination predicate to the dynamic-NS
+    batch form: iterate while the next deletion threshold is still <= the
+    level, ignoring the evidence criterion."""
     lz = log_zero(dtype)
     num_steps, extra_steps, max_steps = cfg.mc_steps
     capacity = cfg.max_iterations * cfg.num_delete
@@ -416,11 +427,11 @@ def _build_loop(problem: InferenceProblem, n_live, dim, dtype, cfg: _LoopConfig)
     log_term = jnp.log(jnp.asarray(cfg.termination_fraction, dtype))
 
     def cond(s: NSState):
-        if cfg.stop_at_log_likelihood is not None:
+        if stop_at is not None:
             # dynamic-NS batch segment: march the threshold up to the
             # target level, ignore the evidence criterion
             keep_going = s.live_logl[cfg.num_delete - 1] <= jnp.asarray(
-                cfg.stop_at_log_likelihood, dtype
+                stop_at, dtype
             )
         else:
             keep_going = s.log_missing > s.log_z + log_term
@@ -630,6 +641,7 @@ def _ns_loop_jit(
     starting_points,
     key,
     cfg: _LoopConfig,
+    stop_at=None,
 ) -> NSState:
     n_live, dim = starting_points.shape
     dtype = jnp.result_type(starting_points.dtype, float)
@@ -659,7 +671,7 @@ def _ns_loop_jit(
         num_likelihood_evals=jnp.zeros((2,), jnp.int32),
         interrupted=jnp.asarray(False),
     )
-    cond, body = _build_loop(problem, n_live, dim, dtype, cfg)
+    cond, body = _build_loop(problem, n_live, dim, dtype, cfg, stop_at)
     return jax.lax.while_loop(cond, body, init)
 
 
@@ -669,10 +681,11 @@ def _ns_resume_jit(
     state: NSState,
     cfg: _LoopConfig,
     n_live: int,
+    stop_at=None,
 ) -> NSState:
     dim = state.live_points.shape[1]
     dtype = state.live_points.dtype
-    cond, body = _build_loop(problem, n_live, dim, dtype, cfg)
+    cond, body = _build_loop(problem, n_live, dim, dtype, cfg, stop_at)
     return jax.lax.while_loop(cond, body, state)
 
 

@@ -16,11 +16,11 @@ The importance-interval selection and seed decorrelation are shared
 with the single-device engine (``_stage_interval`` / ``_stage_seeds``),
 so the two front-ends cannot drift.
 
-Serving note: ``stop_at_log_likelihood`` is a static field of the loop
-config (it pins the while_loop's extra termination predicate), so each
-STAGE compiles its own program — the same per-batch retrace the
-single-device engine pays.  Amortize with the persistent compilation
-cache; the chain work inside each stage is the standard cached NS loop.
+Serving note: the per-stage stop level is a TRACED replicated scalar of
+the batch program (round 5; it was a static config field before, which
+recompiled the loop on every data-dependent stage — measured ~13.5 s
+per remote compile on chip), so all stages of all fits share one
+compiled program per (mesh, static config).
 
 Reference: parallelNestedSampling merges equal full runs
 (BayesianStatistics.wl:1317-1371); dynamic allocation is
@@ -62,18 +62,22 @@ __all__ = ["parallel_dynamic_nested_sampling"]
 @functools.lru_cache(maxsize=16)
 def _batch_runs_program(mesh, cfg):
     """R constrained batch runs (explicit per-run starting points) as ONE
-    jitted shard_map program, cached per (mesh, static loop config)."""
+    jitted shard_map program, cached per (mesh, static loop config).  The
+    per-stage stop level is a TRACED replicated scalar, so every stage of
+    every fit reuses this one compiled program (a static stop field
+    recompiled the loop per stage — measured ~13.5 s per remote compile
+    on chip)."""
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("runs"), P("runs"), P()),
+        in_specs=(P("runs"), P("runs"), P(), P()),
         out_specs=P("runs"),
         check_vma=False,
     )
-    def sharded(keys_shard, starts_shard, problem):
+    def sharded(keys_shard, starts_shard, problem, stop_at):
         def single_run(k, starts):
-            s = _ns_loop_jit(problem, starts, k, cfg)
+            s = _ns_loop_jit(problem, starts, k, cfg, stop_at)
             return (
                 s.dead_points,
                 s.dead_logl,
@@ -220,13 +224,13 @@ def parallel_dynamic_nested_sampling(
             monte_carlo_steps=monte_carlo_steps,
             monte_carlo_method=method,
             num_delete=num_delete,
-            stop_at_log_likelihood=log_l_hi,
             **loop_kwargs,
         )
         out = _batch_runs_program(mesh, cfg)(
             jax.random.split(k_run, n_runs),
             jnp.reshape(seeds, (n_runs, batch_size, problem.dim)),
             problem,
+            jnp.asarray(log_l_hi),
         )
         segments.extend(
             _segments_from_stacked(out, batch_size, num_delete, log_l_lo)
