@@ -62,6 +62,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "exp_neg_precise",
     "exp_precise",
     "gammaln_precise",
     "get_precise_mode",
@@ -290,6 +291,68 @@ def _exp_precise_jvp(primals, tangents):
     (dx,) = tangents
     y = _exp_precise_f32(x)
     return y, y * dx
+
+
+@jax.custom_jvp
+def _exp_neg_precise_f32(x):
+    # same reduction + degree-8 core as _exp_precise_f32, but 2^n is
+    # constructed by writing the exponent field directly (valid for the
+    # whole n <= 0 range plus n up to +126) and deep underflow is ONE
+    # final select — no ldexp, no second jnp.exp branch.  Measured on
+    # chip at n=16k GP logML+grad: this form is fusion-transparent
+    # (213.1 ms vs native 211.8), where the ldexp + dual-branch general
+    # core cost +46 ms (257.7 ms) in the same program.
+    n = jnp.round(x * _LOG2E)
+    r = (x - n * _LN2_HI) - n * _LN2_LO
+    r2 = r * r
+    q = jnp.float32(1 / 6) + r * (
+        jnp.float32(1 / 24)
+        + r
+        * (
+            jnp.float32(1 / 120)
+            + r
+            * (
+                jnp.float32(1 / 720)
+                + r * (jnp.float32(1 / 5040) + r * jnp.float32(1 / 40320))
+            )
+        )
+    )
+    p = 1.0 + (r + (jnp.float32(0.5) * r2 + r2 * r * q))
+    ni = n.astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        jnp.maximum(ni + 127, 0) << 23, jnp.float32
+    )
+    return jnp.where(x > jnp.float32(-87.0), p * scale, jnp.float32(0.0))
+
+
+@_exp_neg_precise_f32.defjvp
+def _exp_neg_precise_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    y = _exp_neg_precise_f32(x)
+    return y, y * dx
+
+
+def exp_neg_precise(x):
+    """``jnp.exp`` for NON-POSITIVE arguments (stationary-kernel cores:
+    SE/Matern/RQ/periodic all evaluate ``exp(t)`` with ``t <= 0`` by
+    construction) with ~0.9-ulp f32 accuracy at native speed.
+
+    Contract: finite ``x <= 0`` (underflow below ``exp(-87)`` flushes
+    to 0, skipping f32's subnormal range); arguments in ``(0, 87]``
+    also happen to evaluate correctly, but NaN/inf propagate
+    arbitrarily — use :func:`exp_precise` for general arguments.  The
+    restricted domain is what buys the speed: 2^n comes from writing
+    the f32 exponent field directly and the only data-dependent select
+    is the underflow flush, which XLA fuses into the surrounding
+    elementwise chain (measured: the general core's ldexp + native
+    fallback branch cost +46 ms on the n=16k GP gradient; this form is
+    within noise of native ``jnp.exp``).  Non-f32 dtypes and mode
+    ``"off"``/CPU-``"auto"`` dispatch to ``jnp.exp`` at trace time."""
+    x = jnp.asarray(x)
+    if not _use_software(x):
+        return jnp.exp(x)
+    return _exp_neg_precise_f32(x)
 
 
 def exp_precise(x):

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.scipy.linalg import cho_solve, solve_triangular
 
 from ..core.numerics import LOG2PI, log_zero
-from ..core.precise import exp_precise, log_precise
+from ..core.precise import exp_neg_precise, log_precise
 
 __all__ = [
     "Kernel",
@@ -123,7 +123,7 @@ def se_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
     BASELINE kernel.  ``lengthscale`` scalar or [d] (ARD)."""
 
     def f(sq):
-        return exp_precise(-0.5 * sq)
+        return exp_neg_precise(-0.5 * sq)
 
     return _stationary(f, variance, lengthscale)
 
@@ -133,7 +133,7 @@ def matern12_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
     scalar or [d] (ARD)."""
 
     def f(sq):
-        return exp_precise(-jnp.sqrt(sq + 1e-36))
+        return exp_neg_precise(-jnp.sqrt(sq + 1e-36))
 
     return _stationary(f, variance, lengthscale)
 
@@ -144,7 +144,7 @@ def matern32_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
 
     def f(sq):
         r = jnp.sqrt(3.0 * sq + 1e-36)
-        return (1.0 + r) * exp_precise(-r)
+        return (1.0 + r) * exp_neg_precise(-r)
 
     return _stationary(f, variance, lengthscale)
 
@@ -155,7 +155,7 @@ def matern52_kernel(variance=1.0, lengthscale=1.0) -> Kernel:
 
     def f(sq):
         r = jnp.sqrt(5.0 * sq + 1e-36)
-        return (1.0 + r + r * r / 3.0) * exp_precise(-r)
+        return (1.0 + r + r * r / 3.0) * exp_neg_precise(-r)
 
     return _stationary(f, variance, lengthscale)
 
@@ -168,7 +168,7 @@ def rational_quadratic_kernel(variance=1.0, lengthscale=1.0, alpha=1.0) -> Kerne
     def f(sq):
         # x^-a = exp(-a log x) with precise transcendentals (native pow
         # inherits TPU's ~300-ulp log, squarely in the kernel entries)
-        return exp_precise(-a * log_precise(1.0 + sq / (2.0 * a)))
+        return exp_neg_precise(-a * log_precise(1.0 + sq / (2.0 * a)))
 
     return _stationary(f, variance, lengthscale)
 
@@ -180,7 +180,7 @@ def periodic_kernel(variance=1.0, lengthscale=1.0, period=1.0) -> Kernel:
     def matrix(a, b):
         a, b = _f(a), _f(b)
         r = jnp.abs(a[:, None, :] - b[None, :, :]).sum(-1)
-        return v * exp_precise(-2.0 * jnp.sin(jnp.pi * r / p) ** 2 / l**2)
+        return v * exp_neg_precise(-2.0 * jnp.sin(jnp.pi * r / p) ** 2 / l**2)
 
     return Kernel(
         matrix=matrix,

@@ -137,6 +137,48 @@ class TestExpPrecise:
         np.testing.assert_allclose(rt, x.astype(np.float64), rtol=5e-6)
 
 
+class TestExpNegPrecise:
+    """The stationary-kernel exp specialization (argument <= 0): same
+    accuracy class as the general core, but fusion-transparent on TPU
+    (exponent-field bitcast instead of ldexp + native fallback — the
+    general core cost +46 ms on the n=16k GP gradient program)."""
+
+    def test_ulp_accuracy_nonpositive(self):
+        from bayesianinference_tpu.core.precise import _exp_neg_precise_f32
+
+        rng = np.random.default_rng(5)
+        x = -np.abs(rng.uniform(0.0, 80.0, 4096)).astype(np.float32)
+        got = jax.jit(_exp_neg_precise_f32)(jnp.asarray(x))
+        assert max_ulp_err(got, np.exp(x.astype(np.float64))) <= 1.1
+
+    def test_underflow_flush_and_zero(self):
+        from bayesianinference_tpu.core.precise import _exp_neg_precise_f32
+
+        x = jnp.asarray([0.0, -86.0, -88.0, -1000.0], jnp.float32)
+        got = np.asarray(_exp_neg_precise_f32(x))
+        assert got[0] == 1.0 and got[1] > 0.0
+        assert got[2] == 0.0 and got[3] == 0.0
+
+    def test_grad_is_self(self):
+        from bayesianinference_tpu.core.precise import _exp_neg_precise_f32
+
+        x = jnp.asarray(-2.7, jnp.float32)
+        np.testing.assert_allclose(
+            float(jax.grad(_exp_neg_precise_f32)(x)),
+            float(np.exp(-2.7)),
+            rtol=1e-6,
+        )
+
+    def test_dispatch(self):
+        from bayesianinference_tpu.core import precise
+
+        x64 = jnp.asarray([-0.5, -3.0], jnp.float64)
+        np.testing.assert_array_equal(
+            np.asarray(precise.exp_neg_precise(x64)),
+            np.asarray(jnp.exp(x64)),
+        )
+
+
 class TestGammalnPrecise:
     def test_abs_accuracy_positive_axis(self):
         rng = np.random.default_rng(4)
