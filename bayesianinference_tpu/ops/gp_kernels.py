@@ -51,6 +51,13 @@ def _f(x):
     return jnp.asarray(x, jnp.result_type(jnp.asarray(x).dtype, float))
 
 
+# Largest [n1, n2, d] difference temp (elements) for which
+# squared_distances takes the accurate direct-difference form; above it,
+# the MXU matmul identity.  Module-level so tests can exercise both
+# branches at small shapes.
+_DIRECT_SQDIST_MAX_ELEMS = 1 << 24
+
+
 def squared_distances(x1, x2):
     """Pairwise squared Euclidean distances via the matmul identity
     |a-b|^2 = |a|^2 + |b|^2 - 2 a.b  — one MXU matmul instead of an
@@ -62,8 +69,24 @@ def squared_distances(x1, x2):
     assembled covariance NON-positive-definite past small nuggets
     (measured: min eig -8e-4 at n=256, nugget 0.05 -> Cholesky NaN ->
     sentinel logML).  The sqdist matmul is O(n^2 d) against the
-    factorization's O(n^3), so full precision here is free."""
+    factorization's O(n^3), so full precision here is free.
+
+    Small problems take the direct-difference form sum((a-b)^2) instead:
+    the matmul identity cancels catastrophically when |a.b| >> |a-b|^2,
+    inflating f32 entry error ~22x over exact rounding (1.3e-6 vs 6e-8
+    max abs at the PRECISION gp config) and roughly DOUBLING the final
+    f32 logML error (2.5e-6 -> 1.4e-6 measured,
+    scratch/probe_gp_f32_floor.py).  The [n1, n2, d] difference temp
+    makes it O(n^2 d) memory, so it is gated to shapes whose temp fits
+    comfortably in HBM slack (<= 2^24 elements, 64 MB f32 — n=2048 at
+    d=4); above that the matmul form's error is dominated by the f32
+    factorization anyway (PERFORMANCE.md "f32 GP logML floor")."""
     x1, x2 = _f(x1), _f(x2)
+    n1_, d = x1.shape[-2], x1.shape[-1]
+    n2_ = x2.shape[-2]
+    if n1_ * n2_ * d <= _DIRECT_SQDIST_MAX_ELEMS:
+        diff = x1[..., :, None, :] - x2[..., None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
     n1 = jnp.sum(x1 * x1, axis=-1)
     n2 = jnp.sum(x2 * x2, axis=-1)
     g = jnp.matmul(x1, x2.T, precision=jax.lax.Precision.HIGHEST)

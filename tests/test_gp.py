@@ -31,6 +31,28 @@ def test_squared_distances(rng):
     np.testing.assert_allclose(got, want, atol=1e-10)
 
 
+def test_squared_distances_matmul_branch(rng, monkeypatch):
+    """Both dispatch branches agree; the direct-difference form is at
+    least as accurate per entry in f32 (the matmul identity cancels —
+    PERFORMANCE.md 'f32 GP logML floor')."""
+    from bayesianinference_tpu.ops import gp_kernels as gk
+
+    a = rng.normal(size=(32, 3)) + 5.0  # offset => |a.b| >> |a-b|^2
+    b = rng.normal(size=(24, 3)) + 5.0
+    want = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    a32, b32 = jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+
+    direct = np.asarray(squared_distances(a32, b32), np.float64)
+    monkeypatch.setattr(gk, "_DIRECT_SQDIST_MAX_ELEMS", 0)
+    matmul = np.asarray(squared_distances(a32, b32), np.float64)
+
+    np.testing.assert_allclose(matmul, want, rtol=2e-4, atol=1e-4)
+    err_direct = np.abs(direct - want).max()
+    err_matmul = np.abs(matmul - want).max()
+    assert err_direct <= err_matmul
+    assert err_direct < 5e-6
+
+
 def test_kernels_match_direct(rng):
     x = rng.normal(size=(12, 2))
     xj = jnp.asarray(x)
