@@ -40,7 +40,13 @@ def make_problem(dim):
     )
 
 
-def bench_hmc(dim=16, chains=8192, samples=64, warmup=60, leapfrog=16):
+def bench_hmc(dim=16, chains=8192, samples=256, warmup=60, leapfrog=16):
+    # samples=256 (was 64 through round 4): the 64-sample run is ~16M
+    # grad-evals in ~110 ms wall, of which the ~24 ms tunnel fetch floor
+    # is ~20% — the row then rides dispatch jitter (the round-4 VERDICT
+    # flagged 117-150M swings on an unchanged program).  4x the timed
+    # region makes the fetch share ~5%; the kernel and per-step cost are
+    # identical.
     problem = make_problem(dim)
 
     def run(seed):
@@ -100,7 +106,7 @@ def main():
     print(f"[bench] platform={jax.default_backend()}", file=sys.stderr)
     heps, hwall, acc = bench_hmc()
     print(
-        f"[bench] HMC d=16 8192 chains x 124 steps x 16 leapfrog: "
+        f"[bench] HMC d=16 8192 chains x 316 steps x 16 leapfrog: "
         f"{heps/1e6:.0f}M grad-evals/s ({hwall*1e3:.0f} ms/run, "
         f"acceptance {acc:.2f})"
     )

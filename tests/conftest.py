@@ -118,6 +118,38 @@ def pytest_collection_modifyitems(config, items):
     if os.environ.get("BI_REVERSE_TESTS") == "1":
         items.reverse()
 
+    # The fast dev tier (`pytest tests/ -m fast`): tests/fast_tier.txt
+    # lists one nodeid per line — every engine's primary oracle plus the
+    # cheap unit layers, selected from per-test BI_SUITE_DIAG timings to
+    # finish in well under 10 minutes on this box (PERFORMANCE.md
+    # "Test-suite wall time").  The full non-slow suite stays the CI /
+    # order-independence gate.
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "fast_tier.txt")) as f:
+            fast_ids = {
+                ln.strip() for ln in f
+                if ln.strip() and not ln.startswith("#")
+            }
+    except OSError:
+        fast_ids = set()
+    if fast_ids:
+        matched = set()
+        for item in items:
+            if item.nodeid in fast_ids:
+                item.add_marker(pytest.mark.fast)
+                matched.add(item.nodeid)
+        stale = fast_ids - matched
+        # only meaningful when the whole suite was collected (a partial
+        # collection trivially misses ids from other files)
+        if stale and len(items) > 400:
+            import warnings
+
+            warnings.warn(
+                "fast_tier.txt lists nodeids that no longer exist: "
+                + ", ".join(sorted(stale)[:5]),
+                stacklevel=1,
+            )
+
 
 @pytest.hookimpl(trylast=True)
 def pytest_runtest_teardown(item):
