@@ -136,7 +136,9 @@ def am_init(
 _SMALL_CHOL_MAX_DIM = 32
 
 
-def small_cholesky(a: jnp.ndarray) -> jnp.ndarray:
+def small_cholesky(
+    a: jnp.ndarray, *, symmetrize_input: bool = True
+) -> jnp.ndarray:
     """Unrolled Cholesky-Crout for small static d, batched over leading
     dims as pure elementwise ops.
 
@@ -144,7 +146,17 @@ def small_cholesky(a: jnp.ndarray) -> jnp.ndarray:
     proposal covariances of thousands of vmapped chains) to a serialized
     kernel costing ~milliseconds per call; this unrolled form is a handful
     of fused VPU ops regardless of the batch size.  NaN propagates for
-    non-PD inputs (same contract as `jnp.linalg.cholesky`)."""
+    non-PD inputs (same contract as `jnp.linalg.cholesky`).
+
+    ``symmetrize_input=True`` (the default) factorizes ``(a + a^T)/2``,
+    matching ``lax.linalg.cholesky`` — NOT a formality: a nominally-SPD
+    matrix assembled with rounding (e.g. an explicit ``inv(K)``) carries
+    u·cond asymmetry, and at cond ~3e8 the raw lower-triangle
+    factorization's logdet differs from the symmetrized one by ~2e-2
+    (the round-5 gp-classify regression).  Pass ``False`` only when the
+    input is symmetric BY CONSTRUCTION (a syrk) on a hot path."""
+    if symmetrize_input:
+        a = 0.5 * (a + jnp.swapaxes(a, -1, -2))
     d = a.shape[-1]
     rows = [[None] * d for _ in range(d)]
     for i in range(d):
@@ -399,8 +411,12 @@ def am_block(
     )
     syrk = _small_syrk(m) if small else m @ m.T
     cov = syrk + _JITTER * jnp.eye(d, dtype=dtype)
-    chol_new = small_cholesky(cov) if d <= _SMALL_CHOL_MAX_DIM else (
-        jnp.linalg.cholesky(cov)
+    # symmetric by construction (syrk): skip the symmetrization pass —
+    # this rebuild runs per chain BLOCK over a [chains, d, d] batch
+    chol_new = (
+        small_cholesky(cov, symmetrize_input=False)
+        if d <= _SMALL_CHOL_MAX_DIM
+        else jnp.linalg.cholesky(cov)
     )
     chol = jnp.where(jnp.isfinite(chol_new).all(), chol_new, state.chol)
     return AMState(

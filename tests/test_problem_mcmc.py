@@ -204,6 +204,32 @@ def test_small_cholesky_d32_matches_dense(rng):
     assert np.allclose(np.asarray(_cholesky(jnp.asarray(spd))), ref)
 
 
+def test_small_cholesky_symmetrizes_like_lax(rng):
+    """jnp.linalg.cholesky factorizes (a + a^T)/2 (lax symmetrize_input);
+    small_cholesky must match on ASYMMETRIC input — a nominally-SPD
+    matrix assembled with rounding (e.g. an explicit inv(K)) carries
+    u*cond asymmetry, and the raw lower-triangle factorization's logdet
+    drifts ~2e-2 from the symmetrized one at cond ~3e8 (the round-5
+    gp-classify regression: laplace_log_evidence on inv(K) + diag(W))."""
+    from bayesianinference_tpu.ops.metropolis import small_cholesky
+
+    a = rng.normal(size=(3, 12, 12))
+    spd = a @ np.swapaxes(a, -1, -2) + 12 * np.eye(12)
+    skew = rng.normal(size=(3, 12, 12)) * 1e-3
+    asym = spd + (skew - np.swapaxes(skew, -1, -2))
+    ours = np.asarray(small_cholesky(jnp.asarray(asym)))
+    ref = np.asarray(jnp.linalg.cholesky(jnp.asarray(asym)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-12)
+    # and the hot-path opt-out reads the raw lower triangle
+    raw = np.asarray(
+        small_cholesky(jnp.asarray(asym), symmetrize_input=False)
+    )
+    np.testing.assert_allclose(
+        raw, np.linalg.cholesky(np.tril(asym) + np.tril(asym, -1).swapaxes(-1, -2)),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
 def test_mcmc_with_data_serving_reuses_program(key):
     """Chains on a data-carrying problem iterate through a jitted program
     keyed on the problem's callables with the data traced: chains over
