@@ -43,6 +43,7 @@ from ..ops.ns_math import entropy_from_weights, log_trapezoid_weights
 from .evidence import MeanAndError, NestedSamplingResult, _mean_and_error
 from .nested_sampling import (
     NSRunData,
+    default_monte_carlo_steps,
     evals_to_int,
     generate_starting_points,
     nested_sampling_loop,
@@ -364,6 +365,41 @@ def _decorrelate_program(
         def one(ck, x0):
             st = run_slice_chain(ck, x0, density, dir_chol, steps)
             return st.x, st.evals
+    elif method == "chmc":
+        # same constrained-HMC kernel the loop replacements use, so the
+        # seed refresh mixes at the kernel the auto policy chose (an AM
+        # fallback here would re-introduce random-walk seed correlation
+        # at exactly the dimensions where auto picks chmc)
+        from .nested_sampling import (
+            default_chmc_num_leapfrog,
+            default_chmc_step_size,
+        )
+        from ..ops.chmc import run_chmc_chain
+
+        mass_chol = _cholesky(cov + 1e-10 * jnp.eye(dim, dtype=cov.dtype))
+        mass_chol = jnp.where(
+            jnp.isfinite(mass_chol).all(), mass_chol,
+            jnp.eye(dim, dtype=cov.dtype),
+        )
+        n_leap = default_chmc_num_leapfrog(dim)
+        n_traj = max(1, steps // n_leap)
+
+        def one(ck, x0):
+            st = run_chmc_chain(
+                ck,
+                x0,
+                problem.guarded_log_likelihood,
+                problem.guarded_log_prior,
+                thr,
+                mass_chol,
+                problem.lower,
+                problem.upper,
+                n_traj,
+                n_leap,
+                default_chmc_step_size(dim),
+                in_support=problem.in_support,
+            )
+            return st.x, st.evals
     else:
         chol0 = proposal_chol(cov)
         mean0 = jnp.mean(seeds, axis=0)
@@ -495,7 +531,7 @@ def dynamic_nested_sampling(
     target_posterior_ess: Optional[float] = None,
     posterior_fraction: float = 1.0,
     importance_fraction: float = 0.8,
-    monte_carlo_steps=200,
+    monte_carlo_steps=None,
     monte_carlo_method: str = "auto",
     num_delete: int = 1,
     max_iterations: int = 10000,
@@ -534,7 +570,11 @@ def dynamic_nested_sampling(
     key = jax.random.PRNGKey(0) if key is None else key
     k_start, k_loop, k_batches = jax.random.split(key, 3)
     batch_size = batch_size or sample_pool_size
-    method = resolve_monte_carlo_method(monte_carlo_method, problem.dim)
+    method = resolve_monte_carlo_method(
+        monte_carlo_method, problem.dim, gradient_check=problem.gradient_sanity
+    )
+    if monte_carlo_steps is None:
+        monte_carlo_steps = default_monte_carlo_steps(method, problem.dim)
 
     if starting_points is None:
         starting_points = generate_starting_points(

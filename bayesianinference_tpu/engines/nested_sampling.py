@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools as _functools
+import math
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -75,16 +76,98 @@ _EVAL_BASE = 1 << 30  # counter radix: int32-safe per-iteration accumulation
 # faster per wall second and mixes better per update.
 _AUTO_SLICE_DIM = 16
 
+# measured crossover of the round-5 TPU dimension sweep (PERFORMANCE.md
+# "NS above d=32"): with the dimension laws below, constrained HMC is
+# measured ~8x (d=64) to ~3x (d=128-256) less wall per replacement than
+# slice at equal (unbiased) logZ accuracy — straight-line reflected
+# trajectories batch as dense matmul/VPU work while slice's stepping-
+# out/shrink loop serializes, so chmc's eval rate is ~2-3x slice's on
+# top of needing ~1.5x fewer evals per replacement.  chmc needs a
+# usable likelihood gradient, so "auto" only selects it when the caller
+# supplies a gradient probe that passes (see
+# ``resolve_monte_carlo_method``); gradient-free callers keep slice.
+_AUTO_CHMC_DIM = 64
 
-def resolve_monte_carlo_method(method: str, dim: int) -> str:
-    """Resolve ``"auto"`` to the measured-best chain kernel for ``dim``
-    (adaptive-Metropolis at low d, slice above ``_AUTO_SLICE_DIM``);
-    explicit method names pass through unchanged.  ``"chmc"``
-    (constrained HMC, :mod:`..ops.chmc`) is opt-in only: it needs a
-    differentiable likelihood and pays ~2x per evaluation for the
-    gradient, buying HMC-class mixing at high d."""
+
+def default_chmc_step_size(dim: int) -> float:
+    """Dimension-scaled leapfrog step for the constrained-HMC kernel.
+
+    In whitened momentum space a leapfrog step displaces the point by
+    ``eps * |u|`` with ``|u| ~ sqrt(d)``, so a FIXED eps overshoots the
+    O(1)-radius constrained region as d grows: reflected/reversed
+    trajectories stop exploring, and the seed correlation biases logZ
+    high (measured +5 to +80 nats at d=64-256 with the legacy 0.4).
+    Holding the per-step displacement at ~0.8 of the whitened region
+    scale (``eps = 0.8/sqrt(d)``) measured unbiased with a 2x step-size
+    safety margin on both sides (chip + CPU grids, d=16-256,
+    PERFORMANCE.md round-5 chmc grid), with the legacy 0.4 kept as a
+    cap so d <= 4 behavior is unchanged."""
+    return min(0.4, 0.8 / math.sqrt(max(dim, 1)))
+
+
+def default_chmc_num_leapfrog(dim: int) -> int:
+    """Leapfrog steps per trajectory: 16 up to the auto crossover, 4
+    above it.  With a flat prior inside the box each trajectory is a
+    straight line (plus contour reflections) along ONE whitened
+    direction, so at high d the TRAJECTORY COUNT — not trajectory
+    length — is the decorrelation unit, and a fixed step budget buys
+    4x more momentum refreshes with 4-step trajectories.  Measured at
+    d=128 (correlated Gaussian, 800-step budget): 200 four-step
+    trajectories err -0.15 vs 50 sixteen-step trajectories +1.5."""
+    return 16 if dim <= _AUTO_CHMC_DIM else 4
+
+
+def default_monte_carlo_steps(method: str, dim: int) -> int:
+    """Dimension-scaled default chain length per replacement (the
+    reference's fixed MC steps {200, 200, 1000}, BS:869-878, is the
+    d <= 64 limit of these laws).  Slice needs ~3d axis updates to
+    decorrelate a replacement from its seed (the measured 2-5x-d
+    no-bias band); chmc needs ~1.5d trajectories at 4 leapfrog steps
+    each (6d steps) above the crossover — both laws measured unbiased
+    at d=64-256 where the fixed 200 biases logZ by +4 to +80 nats
+    (PERFORMANCE.md round-5 dimension sweep).  Adaptive-Metropolis
+    keeps the reference default (auto only uses it at d <= 16)."""
+    if method == "slice":
+        return max(200, 3 * dim)
+    if method == "chmc":
+        return max(200, 6 * dim) if dim > _AUTO_CHMC_DIM else 200
+    return 200
+
+
+def resolve_monte_carlo_method(
+    method: str, dim: int, gradient_check: Optional[Callable[[], bool]] = None
+) -> str:
+    """Resolve ``"auto"`` to the measured-best chain kernel for ``dim``:
+    adaptive-Metropolis at low d, slice above ``_AUTO_SLICE_DIM``, and
+    constrained HMC (:mod:`..ops.chmc`) above ``_AUTO_CHMC_DIM`` when a
+    ``gradient_check`` thunk is supplied and passes.  Explicit method
+    names pass through unchanged.  chmc pays ~2x per evaluation for the
+    gradient but needs ~1.5x fewer evals per replacement (1.5d four-step
+    trajectories vs 3d slice updates, each update costing several evals)
+    and its straight-line trajectories run at a 2-3x higher eval rate
+    than slice's serialized shrink loop, so it wins the wall clock at
+    high d — but it needs a usable ``grad logL``; callers that cannot
+    certify one (no ``gradient_check``) stay on the gradient-free slice
+    kernel, and a failing probe falls back to slice with a warning."""
     if method == "auto":
-        return "adaptive_metropolis" if dim <= _AUTO_SLICE_DIM else "slice"
+        if dim <= _AUTO_SLICE_DIM:
+            return "adaptive_metropolis"
+        if dim <= _AUTO_CHMC_DIM or gradient_check is None:
+            return "slice"
+        if gradient_check():
+            return "chmc"
+        import warnings
+
+        warnings.warn(
+            f"auto would pick the constrained-HMC kernel at d={dim} "
+            "(measured fastest above d=64), but the likelihood gradient "
+            "probe failed (non-finite or identically zero at the domain "
+            "center); falling back to slice sampling. Pass "
+            "monte_carlo_method='chmc' explicitly if the gradient is "
+            "valid elsewhere in the domain.",
+            stacklevel=3,
+        )
+        return "slice"
     if method not in ("adaptive_metropolis", "slice", "chmc"):
         raise ValueError(
             f"unknown monte_carlo_method {method!r}; expected 'auto', "
@@ -93,19 +176,22 @@ def resolve_monte_carlo_method(method: str, dim: int) -> str:
     return method
 
 
-def warn_if_slice_steps_below_dim(method: str, monte_carlo_steps, dim: int):
-    """Warn when slice replacements get fewer axis updates than there are
-    dimensions — the measured logZ-bias trap (shared by every front-end
-    that feeds a loop config, incl. the mesh engines that bypass
-    :func:`nested_sampling_loop`'s inline checks)."""
-    if method != "slice":
-        return
+def warn_if_slice_steps_below_dim(
+    method: str, monte_carlo_steps, dim: int, chmc_num_leapfrog=None
+):
+    """Warn when replacements get fewer decorrelation units than there
+    are dimensions — the measured logZ-bias trap (shared by every
+    front-end that feeds a loop config, incl. the mesh engines that
+    bypass :func:`nested_sampling_loop`'s inline checks).  The unit is
+    the slice axis update or the chmc trajectory: both explore ONE
+    random direction, so both need to scale with d (slice ~3d updates,
+    chmc ~1.5d trajectories — the round-5 dimension grid)."""
     steps0 = (
         monte_carlo_steps
         if isinstance(monte_carlo_steps, int)
         else monte_carlo_steps[0]
     )
-    if steps0 < dim:
+    if method == "slice" and steps0 < dim:
         import warnings
 
         warnings.warn(
@@ -116,6 +202,25 @@ def warn_if_slice_steps_below_dim(method: str, monte_carlo_steps, dim: int):
             "dimension",
             stacklevel=3,
         )
+    if method == "chmc":
+        n_leap = (
+            chmc_num_leapfrog
+            if chmc_num_leapfrog is not None
+            else default_chmc_num_leapfrog(dim)
+        )
+        if dim > _AUTO_CHMC_DIM and steps0 // max(n_leap, 1) < dim:
+            import warnings
+
+            warnings.warn(
+                f"{steps0 // max(n_leap, 1)} chmc trajectories per "
+                f"replacement at d={dim}: fewer trajectories than "
+                "dimensions leaves seed-replacement correlation that "
+                "biases logZ high (measured +3.9 at d=128 with 12); "
+                "use ~1.5x the dimension (the default "
+                "monte_carlo_steps=None resolves to 6d steps at 4 "
+                "leapfrog steps each)",
+                stacklevel=3,
+            )
 
 
 def _accumulate_evals(counter: jnp.ndarray, inc: jnp.ndarray) -> jnp.ndarray:
@@ -270,7 +375,7 @@ def nested_sampling_loop(
     *,
     max_iterations: int = 10000,
     min_iterations: int = 100,
-    monte_carlo_steps=200,
+    monte_carlo_steps=None,
     termination_fraction: float = 0.01,
     num_delete: int = 1,
     min_max_acceptance_rate: Tuple[float, float] = (0.0, 1.0),
@@ -281,8 +386,8 @@ def nested_sampling_loop(
     interrupt_check: Optional[Callable] = None,
     monte_carlo_method: str = "auto",
     stop_at_log_likelihood: Optional[float] = None,
-    chmc_step_size: float = 0.4,
-    chmc_num_leapfrog: int = 16,
+    chmc_step_size: Optional[float] = None,
+    chmc_num_leapfrog: Optional[int] = None,
 ) -> NSRunData:
     """Run the main loop (semantics of ``nestedSamplingInternal``,
     BS:859-1040) fully on device as ONE cached-jit program — repeated runs
@@ -302,8 +407,16 @@ def nested_sampling_loop(
     progress_callback, interrupt_check = _sanitize_callbacks(
         progress_callback, progress_interval, interrupt_check
     )
-    monte_carlo_method = resolve_monte_carlo_method(monte_carlo_method, _dim)
-    warn_if_slice_steps_below_dim(monte_carlo_method, monte_carlo_steps, _dim)
+    monte_carlo_method = resolve_monte_carlo_method(
+        monte_carlo_method, _dim, gradient_check=problem.gradient_sanity
+    )
+    if monte_carlo_steps is None:
+        monte_carlo_steps = default_monte_carlo_steps(
+            monte_carlo_method, _dim
+        )
+    warn_if_slice_steps_below_dim(
+        monte_carlo_method, monte_carlo_steps, _dim, chmc_num_leapfrog
+    )
     cfg = make_loop_config(
         max_iterations=max_iterations,
         min_iterations=min_iterations,
@@ -355,8 +468,8 @@ def make_loop_config(
     progress_interval: int = 0,
     interrupt_check=None,
     monte_carlo_method: str = "auto",
-    chmc_step_size: float = 0.4,
-    chmc_num_leapfrog: int = 16,
+    chmc_step_size: Optional[float] = None,
+    chmc_num_leapfrog: Optional[int] = None,
 ) -> "_LoopConfig":
     """Canonicalize the loop options into the hashable static config (the
     jit cache key) — shared by the single-device front-end and the
@@ -382,8 +495,10 @@ def make_loop_config(
         progress_interval=progress_interval,
         interrupt_check=interrupt_check,
         monte_carlo_method=monte_carlo_method,
-        chmc_step_size=float(chmc_step_size),
-        chmc_num_leapfrog=int(chmc_num_leapfrog),
+        chmc_step_size=None if chmc_step_size is None else float(chmc_step_size),
+        chmc_num_leapfrog=(
+            None if chmc_num_leapfrog is None else int(chmc_num_leapfrog)
+        ),
     )
 
 
@@ -402,9 +517,11 @@ class _LoopConfig(NamedTuple):
     progress_interval: int = 0
     interrupt_check: Optional[Callable] = None
     monte_carlo_method: str = "adaptive_metropolis"
-    # chmc kernel tuning (ignored by the other methods)
-    chmc_step_size: float = 0.4
-    chmc_num_leapfrog: int = 16
+    # chmc kernel tuning (ignored by the other methods); None resolves to
+    # the measured dimension law ``default_chmc_step_size(dim)`` at the
+    # point of use, where the problem dimension is known
+    chmc_step_size: Optional[float] = None
+    chmc_num_leapfrog: Optional[int] = None
 
 
 def _build_loop(
@@ -497,8 +614,17 @@ def _build_loop(
                 mass_chol,
                 jnp.eye(dim, dtype=cov_est.dtype),
             )
-            n_leap = cfg.chmc_num_leapfrog
+            n_leap = (
+                cfg.chmc_num_leapfrog
+                if cfg.chmc_num_leapfrog is not None
+                else default_chmc_num_leapfrog(dim)
+            )
             n_traj = max(1, num_steps // n_leap)
+            chmc_eps = (
+                cfg.chmc_step_size
+                if cfg.chmc_step_size is not None
+                else default_chmc_step_size(dim)
+            )
 
             def one_chain(ck, x0_i):
                 st = run_chmc_chain(
@@ -512,7 +638,7 @@ def _build_loop(
                     problem.upper,
                     n_traj,
                     n_leap,
-                    cfg.chmc_step_size,
+                    chmc_eps,
                     in_support=problem.in_support,
                 )
                 acc = st.accepted.astype(x0_i.dtype) / n_traj

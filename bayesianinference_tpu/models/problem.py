@@ -143,6 +143,45 @@ class InferenceProblem:
         md.update(kw)
         return dataclasses.replace(self, metadata=md)
 
+    def gradient_sanity(self) -> bool:
+        """One-point usability probe of ``grad logL`` — the gate the NS
+        ``"auto"`` policy uses before selecting the constrained-HMC
+        kernel at high d (``resolve_monte_carlo_method``).  Evaluates
+        ``jax.grad(guarded_log_likelihood)`` once, eagerly, at the
+        center of the finite prior box (0 on unbounded axes) and
+        requires it to be finite with at least one nonzero component;
+        a likelihood built from lookups/rounding (zero or NaN gradient)
+        fails the probe and keeps the gradient-free slice kernel.
+        Memoized per problem object, so repeated engine calls pay the
+        two-point evaluation once.  Two OFF-CENTER probes (golden-ratio
+        fractions of the box) are used because the box center is exactly
+        the mode of a centered likelihood, where a perfectly healthy
+        gradient is legitimately zero."""
+        cached = getattr(self, "_gradient_sanity_cache", None)
+        if cached is not None:
+            return cached
+        try:
+            lo = jnp.asarray(self.lower, jnp.result_type(float))
+            hi = jnp.asarray(self.upper, jnp.result_type(float))
+            both = jnp.isfinite(lo) & jnp.isfinite(hi)
+            gfn = jax.grad(self.guarded_log_likelihood)
+            ok_any = False
+            ok_fin = True
+            for frac, fallback in ((0.618, 0.7), (0.382, -0.7)):
+                probe = jnp.where(
+                    both,
+                    lo + frac * (hi - lo),
+                    jnp.clip(jnp.full_like(lo, fallback), lo, hi),
+                )
+                g = gfn(probe)
+                ok_fin = ok_fin and bool(jnp.all(jnp.isfinite(g)))
+                ok_any = ok_any or bool(jnp.any(g != 0))
+            ok = ok_fin and ok_any
+        except Exception:
+            ok = False
+        object.__setattr__(self, "_gradient_sanity_cache", ok)
+        return ok
+
 
 def _as_param_specs(parameters) -> Tuple[ParamSpec, ...]:
     out = []

@@ -43,6 +43,7 @@ from ..engines.evidence import NestedSamplingResult
 from ..engines.nested_sampling import (
     evals_to_int,
     generate_starting_points,
+    default_monte_carlo_steps,
     resolve_monte_carlo_method,
 )
 from ..models.problem import InferenceProblem
@@ -162,7 +163,7 @@ def multi_axis_nested_sampling(
     local_log_likelihood: Optional[Callable] = None,
     max_iterations: int = 1000,
     min_iterations: int = 10,
-    monte_carlo_steps=200,
+    monte_carlo_steps=None,
     termination_fraction: float = 0.01,
     min_max_acceptance_rate: Tuple[float, float] = (0.0, 1.0),
     covariance_learn_delay: int = 10,
@@ -254,7 +255,16 @@ def multi_axis_nested_sampling(
             f"{starting_points.shape}"
         )
     dim = starting_points.shape[2]
+    # no gradient_check: the shared build_pool_loop body is slice/AM only
     monte_carlo_method = resolve_monte_carlo_method(monte_carlo_method, dim)
+    if monte_carlo_steps is None:
+        monte_carlo_steps = default_monte_carlo_steps(monte_carlo_method, dim)
+    if monte_carlo_method == "chmc":
+        raise ValueError(
+            "monte_carlo_method='chmc' is not supported by the multi-axis "
+            "mesh NS engine (shared pool-sharded chain body); use slice "
+            "here or the single-device/parallel-runs engines"
+        )
     dtype = jnp.result_type(starting_points.dtype, float)
     capacity = max_iterations * k
     schedule = pool_schedule(n, k, capacity).astype(dtype)

@@ -50,6 +50,7 @@ from ..engines.nested_sampling import (
     _ns_loop_jit,
     evals_to_int,
     make_loop_config,
+    default_monte_carlo_steps,
     resolve_monte_carlo_method,
     warn_if_slice_steps_below_dim,
 )
@@ -132,7 +133,7 @@ def parallel_dynamic_nested_sampling(
     target_posterior_ess: Optional[float] = None,
     posterior_fraction: float = 1.0,
     importance_fraction: float = 0.8,
-    monte_carlo_steps=200,
+    monte_carlo_steps=None,
     monte_carlo_method: str = "auto",
     num_delete: int = 1,
     max_iterations: int = 10000,
@@ -173,7 +174,11 @@ def parallel_dynamic_nested_sampling(
             f"(got num_delete={num_delete}, sample_pool_size="
             f"{sample_pool_size}, batch_size={batch_size})"
         )
-    method = resolve_monte_carlo_method(monte_carlo_method, problem.dim)
+    method = resolve_monte_carlo_method(
+        monte_carlo_method, problem.dim, gradient_check=problem.gradient_sanity
+    )
+    if monte_carlo_steps is None:
+        monte_carlo_steps = default_monte_carlo_steps(method, problem.dim)
     warn_if_slice_steps_below_dim(method, monte_carlo_steps, problem.dim)
 
     # the user's min_iterations applies to the BASE run; batch runs

@@ -168,7 +168,9 @@ def parallel_nested_sampling(
     cfg = make_loop_config(**loop_kwargs)
     if cfg.monte_carlo_method == "auto":
         cfg = cfg._replace(
-            monte_carlo_method=resolve_monte_carlo_method("auto", problem.dim)
+            monte_carlo_method=resolve_monte_carlo_method(
+                "auto", problem.dim, gradient_check=problem.gradient_sanity
+            )
         )
     program = _parallel_runs_program(mesh, int(sample_pool_size), cfg)
     (

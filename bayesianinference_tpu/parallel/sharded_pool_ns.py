@@ -50,6 +50,7 @@ from ..engines.nested_sampling import (
     _accumulate_evals,
     evals_to_int,
     generate_starting_points,
+    default_monte_carlo_steps,
     resolve_monte_carlo_method,
 )
 from ..models.problem import InferenceProblem
@@ -70,7 +71,7 @@ def sharded_pool_nested_sampling(
     num_delete: Optional[int] = None,
     max_iterations: int = 1000,
     min_iterations: int = 10,
-    monte_carlo_steps=200,
+    monte_carlo_steps=None,
     termination_fraction: float = 0.01,
     min_max_acceptance_rate: Tuple[float, float] = (0.0, 1.0),
     covariance_learn_delay: int = 10,
@@ -114,7 +115,18 @@ def sharded_pool_nested_sampling(
         starting_points = generate_starting_points(problem, k_start, n)
     starting_points = jnp.asarray(starting_points)
     dim = starting_points.shape[1]
+    # no gradient_check: build_pool_loop's chain bodies are the gradient-
+    # free slice/AM kernels, so "auto" must not escalate to chmc here
     monte_carlo_method = resolve_monte_carlo_method(monte_carlo_method, dim)
+    if monte_carlo_steps is None:
+        monte_carlo_steps = default_monte_carlo_steps(monte_carlo_method, dim)
+    if monte_carlo_method == "chmc":
+        raise ValueError(
+            "monte_carlo_method='chmc' is not supported by the pool-sharded "
+            "NS engine (its shard_map chain body implements the slice and "
+            "adaptive-Metropolis kernels); use slice here or the "
+            "single-device/parallel-runs engines for constrained HMC"
+        )
     dtype = jnp.result_type(starting_points.dtype, float)
     capacity = max_iterations * k
     schedule = pool_schedule(n, k, capacity).astype(dtype)

@@ -290,10 +290,88 @@ def test_monte_carlo_method_auto_dispatch():
         resolve_monte_carlo_method("adaptive_metropolis", 64)
         == "adaptive_metropolis"
     )
-    # constrained HMC is opt-in only (needs a differentiable likelihood)
+    # explicit chmc passes through without needing a gradient probe
     assert resolve_monte_carlo_method("chmc", 64) == "chmc"
     with pytest.raises(ValueError, match="unknown monte_carlo_method"):
         resolve_monte_carlo_method("hmc", 4)
+
+
+def test_auto_chmc_above_crossover_needs_gradient_probe():
+    """Above the measured d=64 crossover "auto" picks constrained HMC
+    ONLY when the caller's gradient probe passes; gradient-free callers
+    (no probe) and failing probes stay on slice — the latter with a
+    warning (round-5 dimension sweep, PERFORMANCE.md)."""
+    from bayesianinference_tpu.engines.nested_sampling import (
+        resolve_monte_carlo_method,
+    )
+
+    # boundary: d=64 stays slice even with a passing probe
+    assert (
+        resolve_monte_carlo_method("auto", 64, gradient_check=lambda: True)
+        == "slice"
+    )
+    assert (
+        resolve_monte_carlo_method("auto", 65, gradient_check=lambda: True)
+        == "chmc"
+    )
+    # no probe supplied -> conservative slice, silently
+    assert resolve_monte_carlo_method("auto", 65) == "slice"
+    # failing probe -> slice, with a warning
+    with pytest.warns(UserWarning, match="gradient probe failed"):
+        got = resolve_monte_carlo_method(
+            "auto", 65, gradient_check=lambda: False
+        )
+    assert got == "slice"
+    # the probe is LAZY: never called below the crossover
+    def boom():
+        raise AssertionError("probe must not run at low d")
+
+    assert resolve_monte_carlo_method("auto", 8, gradient_check=boom) == (
+        "adaptive_metropolis"
+    )
+    assert resolve_monte_carlo_method("auto", 32, gradient_check=boom) == (
+        "slice"
+    )
+
+
+def test_default_chmc_step_size_law():
+    """The leapfrog step shrinks as 0.8/sqrt(d) (constant whitened
+    per-step displacement), capped at the legacy 0.4 so d <= 4 behavior
+    is unchanged — the measured no-bias law of the round-5 grid."""
+    from bayesianinference_tpu.engines.nested_sampling import (
+        default_chmc_step_size,
+    )
+
+    assert default_chmc_step_size(2) == 0.4
+    assert default_chmc_step_size(4) == 0.4
+    assert abs(default_chmc_step_size(16) - 0.2) < 1e-12
+    assert abs(default_chmc_step_size(64) - 0.1) < 1e-12
+    assert abs(default_chmc_step_size(256) - 0.05) < 1e-12
+
+
+def test_gradient_sanity_probe():
+    """InferenceProblem.gradient_sanity: True for smooth likelihoods
+    (including ones whose gradient vanishes at the box CENTER — the
+    probe points are off-center), False for zero-gradient (lookup/
+    rounding) likelihoods, and memoized per problem object."""
+    smooth = define_inference_problem(
+        parameters=[(f"x{i}", -5.0, 5.0) for i in range(3)],
+        log_likelihood=lambda th: -0.5 * jnp.sum(th * th),
+        prior_distribution=["location"] * 3,
+        validate=False,
+    )
+    assert smooth.gradient_sanity() is True
+
+    rounded = define_inference_problem(
+        parameters=[(f"x{i}", -5.0, 5.0) for i in range(3)],
+        log_likelihood=lambda th: -jnp.sum(jnp.round(th) ** 2),
+        prior_distribution=["location"] * 3,
+        validate=False,
+    )
+    assert rounded.gradient_sanity() is False
+    # memoized: a second call must return the cached value
+    assert rounded._gradient_sanity_cache is False
+    assert rounded.gradient_sanity() is False
 
 
 def test_chmc_chain_preserves_constraint(key):
@@ -336,6 +414,45 @@ def test_chmc_chain_preserves_constraint(key):
     assert acc.mean() > 0.5, acc.mean()
     moved = np.linalg.norm(np.asarray(st_.x - x0), axis=1)
     assert (moved > 1e-3).mean() > 0.9
+
+
+@pytest.mark.slow
+def test_ns_auto_picks_chmc_above_crossover_logz_oracle(key):
+    """d=72 through the DEFAULT path: above the measured d=64 crossover
+    "auto" resolves to constrained HMC (the likelihood gradient probe
+    passes) with the dimension-scaled step 0.8/sqrt(72), and the full
+    loop still recovers the analytic evidence — the round-5 policy
+    boundary oracle (PERFORMANCE.md "NS above d=32")."""
+    from bayesianinference_tpu.engines.nested_sampling import (
+        resolve_monte_carlo_method,
+    )
+
+    dim = 72
+    problem = define_inference_problem(
+        parameters=[(f"x{i}", -A, A) for i in range(dim)],
+        log_likelihood=lambda th: jnp.sum(d.Normal(0.0, SIGMA).log_prob(th)),
+        prior_distribution=["location"] * dim,
+        validate=False,
+    )
+    assert (
+        resolve_monte_carlo_method(
+            "auto", dim, gradient_check=problem.gradient_sanity
+        )
+        == "chmc"
+    )
+    # no monte_carlo_steps / chmc_* overrides: the dimension-scaled
+    # defaults (432 steps -> 108 four-step trajectories, eps 0.8/sqrt(72))
+    # must hold the oracle on their own
+    result = nested_sampling(
+        problem, key, sample_pool_size=512, max_iterations=150,
+        min_iterations=20, num_delete=256,
+        post_process_sampling_runs=20,
+    )
+    mass = st.norm(0, SIGMA).cdf(A) - st.norm(0, SIGMA).cdf(-A)
+    want = dim * (np.log(mass) - np.log(2 * A))
+    got = float(result.log_evidence.mean)
+    err = max(float(result.log_evidence.standard_error), 0.2)
+    assert abs(got - want) < 4 * err, (got, want, err)
 
 
 @pytest.mark.slow
