@@ -14,13 +14,15 @@ Targets (both have logZ = -d log 10 up to < 1e-4 nats of box-edge mass):
   for axis-aligned kernels; marginals are still unit normals so the
   box truncation stays negligible.
 
-Kernel settings follow each kernel's own scaling guidance: slice gets
-3*d axis updates per replacement (the measured 2-5x-d no-bias band,
-PERFORMANCE.md), chmc keeps the fixed default 200 steps -> 12
-trajectories x 16 leapfrog (HMC mixing degrades ~d^(1/4), so the
-trajectory count need not grow with d).  NS statistical error at these
-settings is sqrt(H / n_live) ~ 0.08-0.17 nats; a kernel-mixing bias
-shows up as a multiple-sigma systematic offset.
+Kernel settings default to the engine's dimension laws
+(`engines/nested_sampling.default_monte_carlo_steps` /
+`default_chmc_step_size` / `default_chmc_num_leapfrog`: 3d slice
+updates, 6d chmc steps as ~1.5d four-step trajectories with
+eps = 0.8/sqrt(d) above the d=64 crossover); pass explicit
+``mc_steps`` / ``chmc_*`` to probe off-default settings.  NS
+statistical error at these settings is sqrt(H / n_live) ~ 0.08-0.17
+nats; a kernel-mixing bias shows up as a multiple-sigma systematic
+offset.
 
 Usage::
 
@@ -57,7 +59,7 @@ from ns_dim_sweep import _correlated_loglike
 
 def run_case(dim: int, method: str, correlated: bool, n_live=8192,
              num_delete=4096, max_iterations=420, seed=0,
-             mc_steps=None, chmc_step_size=None, chmc_num_leapfrog=16):
+             mc_steps=None, chmc_step_size=None, chmc_num_leapfrog=None):
     a = 5.0
     problem = define_inference_problem(
         parameters=[(f"x{i}", -a, a) for i in range(dim)],
@@ -69,7 +71,6 @@ def run_case(dim: int, method: str, correlated: bool, n_live=8192,
         prior_distribution=["location"] * dim,
         validate=False,
     )
-    mc = mc_steps if mc_steps else (3 * dim if method == "slice" else 200)
     key = jax.random.PRNGKey(seed)
     starts = problem.prior_distribution.sample(key, (n_live,))
     t0 = time.perf_counter()
@@ -78,7 +79,9 @@ def run_case(dim: int, method: str, correlated: bool, n_live=8192,
         starts,
         key,
         max_iterations=max_iterations,
-        monte_carlo_steps=(mc, mc, 5 * mc),
+        monte_carlo_steps=(
+            None if mc_steps is None else (mc_steps, mc_steps, 5 * mc_steps)
+        ),
         num_delete=num_delete,
         monte_carlo_method=method,
         chmc_step_size=chmc_step_size,
