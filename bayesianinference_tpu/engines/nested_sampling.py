@@ -76,14 +76,16 @@ _EVAL_BASE = 1 << 30  # counter radix: int32-safe per-iteration accumulation
 # faster per wall second and mixes better per update.
 _AUTO_SLICE_DIM = 16
 
-# measured crossover of the round-5 TPU dimension sweep (PERFORMANCE.md
-# "NS above d=32"): with the dimension laws below, constrained HMC is
-# measured ~8x (d=64) to ~3x (d=128-256) less wall per replacement than
-# slice at equal (unbiased) logZ accuracy — straight-line reflected
-# trajectories batch as dense matmul/VPU work while slice's stepping-
-# out/shrink loop serializes, so chmc's eval rate is ~2-3x slice's on
-# top of needing ~1.5x fewer evals per replacement.  chmc needs a
-# usable likelihood gradient, so "auto" only selects it when the caller
+# measured crossover of the round-5 on-chip dimension grid
+# (PERFORMANCE.md "NS above d=32"): with the dimension laws below the
+# kernels tie at d=64 (slice 1.3x faster on a unit Gaussian, chmc 1.8x
+# on an AR(1)-correlated one), and above it constrained HMC wins
+# decisively at equal (unbiased) logZ accuracy — chmc finished the
+# d=128 runs in 45-67 s where slice exceeded an 850 s cap: slice's
+# ~3d updates serialize through a stepping-out/shrink loop whose
+# vmapped block waits on the worst chain, while chmc's 6d leapfrog
+# steps are straight-line batched VPU work.  chmc needs a usable
+# likelihood gradient, so "auto" only selects it when the caller
 # supplies a gradient probe that passes (see
 # ``resolve_monte_carlo_method``); gradient-free callers keep slice.
 _AUTO_CHMC_DIM = 64
